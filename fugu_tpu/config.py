@@ -1,0 +1,179 @@
+"""Config system: server/namespace/validation config + file/env loading.
+
+Parity with `/root/reference/src/db/config.rs:13-87` (shapes & defaults) and
+`/root/reference/src/main.rs:89-127` (probe list + env fallback):
+
+- defaults: data_path ``./data``, default namespace ``default``, one
+  startup namespace ``default``, writer budget 50MB, auto-create dirs on,
+  validation {require_non_empty_id, max_text_length=1MB, validate_facet_paths}
+- config file: YAML when the extension is .yaml/.yml, else JSON
+- probe order: server_config.yaml, server_config.yml,
+  config/server_config.yaml, config.yaml
+- env fallback: FUGU_DATA_PATH (default ``./data``) and
+  FUGU_DEFAULT_NAMESPACE (default ``fugu_db`` — main.rs:120-121)
+- namespace-name validation: non-empty, none of ``/\\:*?"<>|``, no dups
+  (config.rs:292-330)
+
+Unlike the reference — where ``writer_memory_budget`` and
+``max_text_length`` are carried but never read (SURVEY.md §5) — this
+rebuild honors them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+CONFIG_PROBE_PATHS = [
+    "server_config.yaml",
+    "server_config.yml",
+    "config/server_config.yaml",
+    "config.yaml",
+]
+
+ENV_DATA_PATH = "FUGU_DATA_PATH"
+ENV_DEFAULT_NAMESPACE = "FUGU_DEFAULT_NAMESPACE"
+
+INVALID_NAMESPACE_CHARS = set('/\\:*?"<>|')
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class ValidationConfig:
+    require_non_empty_id: bool = True
+    max_text_length: Optional[int] = 1_000_000
+    validate_facet_paths: bool = True
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ValidationConfig":
+        return cls(
+            require_non_empty_id=d.get("require_non_empty_id", True),
+            max_text_length=d.get("max_text_length", 1_000_000),
+            validate_facet_paths=d.get("validate_facet_paths", True),
+        )
+
+
+@dataclasses.dataclass
+class NamespaceConfig:
+    name: str
+    data_path: Optional[str] = None
+    initialize_on_startup: bool = True
+    schema_overrides: Optional[Dict[str, List[str]]] = None
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "NamespaceConfig":
+        if "name" not in d:
+            raise ConfigError("namespace config requires a `name`")
+        return cls(
+            name=d["name"],
+            data_path=d.get("data_path"),
+            initialize_on_startup=d.get("initialize_on_startup", True),
+            schema_overrides=d.get("schema_overrides"),
+        )
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    data_path: str = "./data"
+    default_namespace: str = "default"
+    namespaces: List[NamespaceConfig] = dataclasses.field(
+        default_factory=lambda: [NamespaceConfig(name="default")]
+    )
+    writer_memory_budget: Optional[int] = 50_000_000
+    auto_create_directories: bool = True
+    validation: ValidationConfig = dataclasses.field(default_factory=ValidationConfig)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ServerConfig":
+        cfg = cls()
+        if "data_path" in d:
+            cfg.data_path = str(d["data_path"])
+        if "default_namespace" in d:
+            cfg.default_namespace = d["default_namespace"]
+        if "namespaces" in d:
+            cfg.namespaces = [NamespaceConfig.from_dict(n) for n in d["namespaces"]]
+        if "writer_memory_budget" in d:
+            cfg.writer_memory_budget = d["writer_memory_budget"]
+        if "auto_create_directories" in d:
+            cfg.auto_create_directories = bool(d["auto_create_directories"])
+        if "validation" in d and d["validation"] is not None:
+            cfg.validation = ValidationConfig.from_dict(d["validation"])
+        return cfg
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "ServerConfig":
+        path = Path(path)
+        try:
+            content = path.read_text()
+        except OSError as e:
+            raise ConfigError(f"Failed to read config file {path}: {e}") from e
+        if path.suffix in (".yaml", ".yml"):
+            try:
+                data = yaml.safe_load(content) or {}
+            except yaml.YAMLError as e:
+                raise ConfigError(f"Failed to parse YAML config: {e}") from e
+        else:
+            try:
+                data = json.loads(content)
+            except json.JSONDecodeError as e:
+                raise ConfigError(f"Failed to parse JSON config: {e}") from e
+        return cls.from_dict(data)
+
+    @classmethod
+    def with_defaults(cls, data_path: str, default_namespace: str) -> "ServerConfig":
+        cfg = cls()
+        cfg.data_path = data_path
+        cfg.default_namespace = default_namespace
+        cfg.namespaces = [NamespaceConfig(name=default_namespace)]
+        return cfg
+
+    @classmethod
+    def discover(cls, cwd: str | Path = ".") -> "ServerConfig":
+        """Probe the well-known file list, else env overrides, else defaults."""
+        cwd = Path(cwd)
+        for rel in CONFIG_PROBE_PATHS:
+            p = cwd / rel
+            if p.exists():
+                try:
+                    return cls.from_file(p)
+                except ConfigError:
+                    continue
+        data_path = os.environ.get(ENV_DATA_PATH, "./data")
+        default_namespace = os.environ.get(ENV_DEFAULT_NAMESPACE, "fugu_db")
+        return cls.with_defaults(data_path, default_namespace)
+
+    def validate(self) -> None:
+        """Namespace-name and path checks (config.rs:292-330)."""
+        if not Path(self.data_path).exists() and not self.auto_create_directories:
+            raise ConfigError(
+                f"Data path {self.data_path!r} does not exist and "
+                "auto_create_directories is false"
+            )
+        seen = set()
+        for ns in self.namespaces:
+            if not ns.name:
+                raise ConfigError("Empty namespace name found in configuration")
+            if INVALID_NAMESPACE_CHARS & set(ns.name):
+                raise ConfigError(f"Invalid characters in namespace name: {ns.name}")
+        for ns in self.namespaces:
+            if ns.name in seen:
+                raise ConfigError(f"Duplicate namespace name: {ns.name}")
+            seen.add(ns.name)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "data_path": self.data_path,
+            "default_namespace": self.default_namespace,
+            "namespaces": [dataclasses.asdict(n) for n in self.namespaces],
+            "writer_memory_budget": self.writer_memory_budget,
+            "auto_create_directories": self.auto_create_directories,
+            "validation": dataclasses.asdict(self.validation),
+        }

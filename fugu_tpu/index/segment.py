@@ -1,0 +1,312 @@
+"""Immutable index segments with TPU-resident posting packs.
+
+This is the TPU-native replacement for the engine layer the reference
+delegates to Tantivy (SURVEY.md §2b): per-segment term dictionary,
+inverted index, fieldnorms, facet postings, doc store and tombstones.
+
+Layout (the "posting tile pack"): one segment holds, across ALL indexed
+fields, a single flat entry pack sorted by (field, term, doc):
+
+    e_doc  : int32[E_pad]  local doc id          (sentinel-padded)
+    e_tf   : int32[E_pad]  term frequency in doc (facet entries: 1)
+    e_fid  : int32[E_pad]  fieldnorm byte-id of (doc, field), inlined so the
+                           scoring kernel needs no per-doc gather
+
+plus a host-side term table ``field -> term -> (start, doc_freq)``.  The
+facet field's hierarchical postings live in the same pack under the
+pseudo-field ``__facet__`` with every ancestor path expanded (Tantivy's
+facet tokenizer emits one token per ancestor, which is what makes
+ancestor-path TermQuery filters match descendants).  This means a facet
+filter is just another scored clause to the very same BM25 kernel —
+"bitset mask fusion" for free.
+
+Positions are stored host-side (ragged arrays) for phrase queries.
+
+Doc-id sentinel padding lets query-time ``dynamic_slice`` windows read
+past a term's postings without branching; the scoring pipeline masks by
+length and the sort pushes sentinels to the tail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fugu_tpu import analysis
+from fugu_tpu.fieldnorm import fieldnorms_to_ids
+from fugu_tpu.index.schema import IndexSchema
+
+#: pseudo-field name for hierarchical facet postings in the entry pack
+FACET_FIELD_KEY = "__facet__"
+
+#: doc-id sentinel used for padding (sorts after every real doc id)
+DOC_SENTINEL = np.int32(2**31 - 1)
+
+#: position gap inserted between multiple values of one field
+POSITION_GAP = 2
+
+
+def facet_ancestors(path: str) -> List[str]:
+    """All ancestor paths of a facet, including itself: /a/b/c -> /a, /a/b, /a/b/c."""
+    parts = [p for p in path.split("/") if p != ""]
+    return ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
+
+
+@dataclasses.dataclass(frozen=True)
+class TermInfo:
+    start: int
+    doc_freq: int
+
+
+class SegmentBuilder:
+    """Accumulates documents, then freezes into an immutable Segment.
+
+    The host-side analog of Tantivy's in-RAM segment writer
+    (`/root/reference/src/db/core.rs:247-249` gives it a 50MB budget; our
+    NamedIndex flushes the builder based on its configured budget).
+    """
+
+    def __init__(self, schema: IndexSchema):
+        self.schema = schema
+        # field -> term -> list of [doc, tf]; positions parallel list
+        self._postings: Dict[str, Dict[str, List[Tuple[int, int]]]] = {}
+        self._positions: Dict[str, Dict[str, List[List[int]]]] = {}
+        self._fieldnorms: Dict[str, Dict[int, int]] = {}  # field -> doc -> tokens
+        self._facet_postings: Dict[str, List[int]] = {}  # expanded path -> docs
+        self._stored: List[Dict[str, Any]] = []
+        self._doc_count = 0
+        self.approx_bytes = 0  # rough memory budget accounting
+
+    @property
+    def doc_count(self) -> int:
+        return self._doc_count
+
+    def add_document(
+        self,
+        text_fields: Dict[str, Sequence[str]],
+        facets: Sequence[str] = (),
+        stored: Optional[Dict[str, Any]] = None,
+    ) -> int:
+        """Index one document. ``text_fields`` maps field -> list of values.
+
+        Returns the local doc id.
+        """
+        doc = self._doc_count
+        self._doc_count += 1
+
+        for field, values in text_fields.items():
+            field_post = self._postings.setdefault(field, {})
+            field_pos = self._positions.setdefault(field, {})
+            per_doc: Dict[str, Tuple[int, List[int]]] = {}
+            pos_base = 0
+            n_tokens = 0
+            for value in values:
+                last_pos = -1
+                for tok in analysis.tokenize(value):
+                    p = pos_base + tok.position
+                    tf, poss = per_doc.get(tok.text, (0, []))
+                    poss = poss + [p]
+                    per_doc[tok.text] = (tf + 1, poss)
+                    n_tokens += 1
+                    last_pos = max(last_pos, tok.position)
+                pos_base += last_pos + POSITION_GAP if last_pos >= 0 else 0
+            if n_tokens:
+                self._fieldnorms.setdefault(field, {})[doc] = n_tokens
+            for term, (tf, poss) in per_doc.items():
+                field_post.setdefault(term, []).append((doc, tf))
+                field_pos.setdefault(term, []).append(poss)
+                self.approx_bytes += 16 + len(term) + 4 * len(poss)
+
+        # hierarchical facet postings: dedupe ancestors per doc
+        if facets:
+            seen: set = set()
+            for path in facets:
+                for anc in facet_ancestors(path):
+                    if anc not in seen:
+                        seen.add(anc)
+                        self._facet_postings.setdefault(anc, []).append(doc)
+                        self.approx_bytes += 8 + len(anc)
+
+        self._stored.append(stored if stored is not None else {})
+        self.approx_bytes += 64
+        return doc
+
+    def build(self) -> "Segment":
+        fields = sorted(self._postings.keys())
+        packs_doc: List[np.ndarray] = []
+        packs_tf: List[np.ndarray] = []
+        packs_fid: List[np.ndarray] = []
+        terms: Dict[str, Dict[str, TermInfo]] = {}
+        fieldnorm_ids: Dict[str, np.ndarray] = {}
+        total_tokens: Dict[str, int] = {}
+        pos_map: Dict[str, Dict[str, List[List[int]]]] = {}
+        offset = 0
+        max_posting = 1
+
+        for field in fields:
+            norms = np.zeros(self._doc_count, dtype=np.int64)
+            for doc, n in self._fieldnorms.get(field, {}).items():
+                norms[doc] = n
+            fids = fieldnorms_to_ids(norms)
+            fieldnorm_ids[field] = fids
+            total_tokens[field] = int(norms.sum())
+
+            tmap: Dict[str, TermInfo] = {}
+            fpos: Dict[str, List[List[int]]] = {}
+            for term in sorted(self._postings[field].keys()):
+                plist = self._postings[field][term]
+                docs = np.array([d for d, _ in plist], dtype=np.int32)
+                tfs = np.array([t for _, t in plist], dtype=np.int32)
+                order = np.argsort(docs, kind="stable")
+                docs, tfs = docs[order], tfs[order]
+                tmap[term] = TermInfo(start=offset, doc_freq=len(docs))
+                packs_doc.append(docs)
+                packs_tf.append(tfs)
+                packs_fid.append(fids[docs].astype(np.int32))
+                raw_pos = self._positions[field][term]
+                fpos[term] = [raw_pos[i] for i in order]
+                offset += len(docs)
+                max_posting = max(max_posting, len(docs))
+            terms[field] = tmap
+            pos_map[field] = fpos
+
+        # facet pseudo-field: tf=1, fid=0 (scoring treats facets as
+        # constant-fieldnorm clauses; see ops/scoring.py)
+        ftmap: Dict[str, TermInfo] = {}
+        for path in sorted(self._facet_postings.keys()):
+            docs = np.array(sorted(self._facet_postings[path]), dtype=np.int32)
+            ftmap[path] = TermInfo(start=offset, doc_freq=len(docs))
+            packs_doc.append(docs)
+            packs_tf.append(np.ones(len(docs), dtype=np.int32))
+            packs_fid.append(np.zeros(len(docs), dtype=np.int32))
+            offset += len(docs)
+            max_posting = max(max_posting, len(docs))
+        terms[FACET_FIELD_KEY] = ftmap
+
+        # Pad by the posting-window bucket so any query-time dynamic_slice
+        # window (<= l_bucket(longest posting)) stays in bounds unclamped.
+        from fugu_tpu.ops.buckets import l_bucket
+
+        n_entries = offset
+        pad = l_bucket(max_posting)
+        size = n_entries + pad
+        e_doc = np.full(size, DOC_SENTINEL, dtype=np.int32)
+        e_tf = np.zeros(size, dtype=np.int32)
+        e_fid = np.zeros(size, dtype=np.int32)
+        if n_entries:
+            e_doc[:n_entries] = np.concatenate(packs_doc)
+            e_tf[:n_entries] = np.concatenate(packs_tf)
+            e_fid[:n_entries] = np.concatenate(packs_fid)
+
+        return Segment(
+            schema=self.schema,
+            doc_count=self._doc_count,
+            n_entries=n_entries,
+            e_doc=e_doc,
+            e_tf=e_tf,
+            e_fid=e_fid,
+            terms=terms,
+            fieldnorm_ids=fieldnorm_ids,
+            total_tokens=total_tokens,
+            stored=self._stored,
+            positions=pos_map,
+            tombstones=np.zeros(self._doc_count, dtype=bool),
+        )
+
+
+@dataclasses.dataclass
+class Segment:
+    """An immutable frozen segment (tombstones are the only mutable state)."""
+
+    schema: IndexSchema
+    doc_count: int
+    n_entries: int
+    e_doc: np.ndarray
+    e_tf: np.ndarray
+    e_fid: np.ndarray
+    #: field -> term -> TermInfo   (FACET_FIELD_KEY holds facet postings)
+    terms: Dict[str, Dict[str, TermInfo]]
+    fieldnorm_ids: Dict[str, np.ndarray]
+    total_tokens: Dict[str, int]
+    stored: List[Dict[str, Any]]
+    #: field -> term -> per-entry position lists (host-side, for phrases)
+    positions: Dict[str, Dict[str, List[List[int]]]]
+    tombstones: np.ndarray
+    segment_id: str = ""
+
+    _device_pack: Optional[tuple] = dataclasses.field(default=None, repr=False)
+
+    # -- stats ---------------------------------------------------------------
+
+    @property
+    def num_live_docs(self) -> int:
+        return self.doc_count - int(self.tombstones.sum())
+
+    @property
+    def num_tombstoned(self) -> int:
+        return int(self.tombstones.sum())
+
+    def doc_freq(self, field: str, term: str) -> int:
+        info = self.terms.get(field, {}).get(term)
+        return info.doc_freq if info else 0
+
+    def term_info(self, field: str, term: str) -> Optional[TermInfo]:
+        return self.terms.get(field, {}).get(term)
+
+    # -- posting access (host) ----------------------------------------------
+
+    def postings(self, field: str, term: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(docs, tfs, fids) for one term — host numpy views."""
+        info = self.term_info(field, term)
+        if info is None:
+            z = np.zeros(0, dtype=np.int32)
+            return z, z, z
+        s, e = info.start, info.start + info.doc_freq
+        return self.e_doc[s:e], self.e_tf[s:e], self.e_fid[s:e]
+
+    def term_positions(self, field: str, term: str) -> List[List[int]]:
+        return self.positions.get(field, {}).get(term, [])
+
+    def facet_docs(self, path: str) -> np.ndarray:
+        """Sorted doc ids carrying `path` (or any descendant)."""
+        docs, _, _ = self.postings(FACET_FIELD_KEY, path)
+        return docs
+
+    def live_mask(self) -> np.ndarray:
+        return ~self.tombstones
+
+    # -- deletes -------------------------------------------------------------
+
+    def delete_by_term(self, field: str, term: str) -> int:
+        """Tombstone all docs whose `field` contains `term` (Tantivy
+        ``delete_term`` semantics — the raw, non-analyzed term string,
+        document.rs:40-43)."""
+        docs, _, _ = self.postings(field, term)
+        if len(docs) == 0:
+            return 0
+        fresh = ~self.tombstones[docs]
+        self.tombstones[docs] = True
+        if fresh.any():
+            self._device_pack = None  # device tombstone words are stale
+        return int(fresh.sum())
+
+    # -- device --------------------------------------------------------------
+
+    def device_pack(self):
+        """Upload (and cache) the entry pack + tombstone bitset to device."""
+        if self._device_pack is None:
+            import jax.numpy as jnp
+
+            n_words = max((self.doc_count + 31) // 32, 1)
+            tomb_words = np.zeros(n_words, dtype=np.uint32)
+            idx = np.nonzero(self.tombstones)[0]
+            np.bitwise_or.at(tomb_words, idx >> 5, np.uint32(1) << (idx & 31))
+            self._device_pack = (
+                jnp.asarray(self.e_doc),
+                jnp.asarray(self.e_tf),
+                jnp.asarray(self.e_fid),
+                jnp.asarray(tomb_words),
+            )
+        return self._device_pack

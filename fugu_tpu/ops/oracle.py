@@ -1,0 +1,231 @@
+"""NumPy oracle: scalar-faithful BM25 + boolean + top-k reference.
+
+This is the ground truth the device kernels are tested against (SURVEY.md
+§4 test plan: "kernel tests vs NumPy oracle ... plus bit-for-bit
+BM25-ordering parity vs a Tantivy-equivalent scalar oracle").  It
+implements exactly what Tantivy executes for the reference's search path
+(`/root/reference/src/db/search.rs:153-162`):
+
+- per-(field,term) weight  = idf(df, N) * (k1+1) * boost      (f32)
+- per-(doc)      component = tf / (tf + cache[fieldnorm_id])  (f32)
+- document score = sum over all matching clauses of weight * component
+- boolean semantics: MUST all present, MUST_NOT none present, and at
+  least one SHOULD when no MUST exists
+- top-k ordered by score desc, ties by (segment_ord, doc id) asc
+- facet clauses score a constant idf (facet fields carry no fieldnorms)
+
+Also used as the fallback execution path for query shapes the device
+pipeline does not take (phrase queries resolve their postings here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fugu_tpu.index.segment import FACET_FIELD_KEY, Segment
+from fugu_tpu.query import (
+    B,
+    K1,
+    Occur,
+    PhraseClause,
+    QueryPlan,
+    bm25_weight,
+    fieldnorm_cache,
+    idf,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Hit:
+    score: float
+    segment_ord: int
+    doc: int
+
+
+class IndexStats:
+    """Searcher-wide statistics across a list of segments."""
+
+    def __init__(self, segments: Sequence[Segment]):
+        self.segments = list(segments)
+        # live docs (Tantivy Searcher::num_docs excludes deletes)
+        self.doc_count = sum(s.num_live_docs for s in segments)
+        self.total_tokens: Dict[str, int] = {}
+        for s in segments:
+            for field, n in s.total_tokens.items():
+                self.total_tokens[field] = self.total_tokens.get(field, 0) + n
+
+    def doc_freq(self, field: str, term: str) -> int:
+        return sum(s.doc_freq(field, term) for s in self.segments)
+
+    def avg_fieldnorm(self, field: str) -> float:
+        if self.doc_count == 0:
+            return 1.0
+        return self.total_tokens.get(field, 0) / self.doc_count
+
+    def facet_doc_freq(self, path: str) -> int:
+        return sum(s.doc_freq(FACET_FIELD_KEY, path) for s in self.segments)
+
+
+def phrase_postings(
+    segment: Segment, clause: PhraseClause
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(docs, phrase_tf) for a phrase within one segment.
+
+    A doc matches when the clause terms occur at consecutive positions
+    (slop 0) — Tantivy PhraseQuery semantics; phrase_tf is the number of
+    such occurrences and feeds the BM25 tf component.
+    """
+    field = clause.field
+    terms = clause.terms
+    if not terms:
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    if len(terms) == 1:
+        docs, tfs, _ = segment.postings(field, terms[0])
+        return docs, tfs
+    doc_lists = []
+    for t in terms:
+        docs, _, _ = segment.postings(field, t)
+        if len(docs) == 0:
+            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+        doc_lists.append(docs)
+    common = doc_lists[0]
+    for d in doc_lists[1:]:
+        common = np.intersect1d(common, d, assume_unique=True)
+    out_docs: List[int] = []
+    out_tf: List[int] = []
+    pos_maps = []
+    for t in terms:
+        docs, _, _ = segment.postings(field, t)
+        plist = segment.term_positions(field, t)
+        pos_maps.append({int(d): plist[i] for i, d in enumerate(docs)})
+    for doc in common:
+        base = set(pos_maps[0][int(doc)])
+        count = 0
+        for p in pos_maps[0][int(doc)]:
+            if all((p + k) in set(pos_maps[k][int(doc)]) for k in range(1, len(terms))):
+                count += 1
+        _ = base
+        if count > 0:
+            out_docs.append(int(doc))
+            out_tf.append(count)
+    return np.array(out_docs, dtype=np.int32), np.array(out_tf, dtype=np.int32)
+
+
+def score_segment(
+    segment: Segment,
+    plan: QueryPlan,
+    stats: IndexStats,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense scores + match mask for every doc of one segment."""
+    n = segment.doc_count
+    scores = np.zeros(n, dtype=np.float32)
+    matched_should = np.zeros(n, dtype=bool)
+    matched_all_must = np.ones(n, dtype=bool)
+    excluded = np.zeros(n, dtype=bool)
+    n_must = 0
+    n_should = 0
+
+    caches: Dict[str, np.ndarray] = {}
+
+    def cache_for(field: str) -> np.ndarray:
+        if field not in caches:
+            caches[field] = fieldnorm_cache(stats.avg_fieldnorm(field))
+        return caches[field]
+
+    for group in plan.groups:
+        gm = np.zeros(n, dtype=bool)
+        gs = np.zeros(n, dtype=np.float32)
+        if group.phrase is not None:
+            pc = group.phrase
+            docs, ptf = phrase_postings(segment, pc)
+            if len(docs):
+                dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
+                # Tantivy PhraseWeight: BM25 weight from the max doc_freq
+                # among the phrase terms.
+                w = bm25_weight(max(dfs), stats.doc_count, pc.boost)
+                fids = segment.fieldnorm_ids[pc.field][docs].astype(np.int64)
+                comp = ptf.astype(np.float32) / (
+                    ptf.astype(np.float32) + cache_for(pc.field)[fids]
+                )
+                gm[docs] = True
+                gs[docs] += np.float32(w) * comp
+        for clause in group.clauses:
+            if clause.is_facet:
+                docs = segment.facet_docs(clause.term)
+                if len(docs) == 0 and stats.facet_doc_freq(clause.term) == 0:
+                    continue
+                w = np.float32(
+                    idf(stats.facet_doc_freq(clause.term), stats.doc_count)
+                ) * np.float32(clause.boost)
+                gm[docs] = True
+                gs[docs] += w
+            else:
+                docs, tfs, fids = segment.postings(clause.field, clause.term)
+                df = stats.doc_freq(clause.field, clause.term)
+                if df == 0:
+                    continue
+                w = bm25_weight(df, stats.doc_count, clause.boost)
+                comp = tfs.astype(np.float32) / (
+                    tfs.astype(np.float32) + cache_for(clause.field)[fids.astype(np.int64)]
+                )
+                gm[docs] = True
+                gs[docs] += np.float32(w) * comp
+        if group.occur is Occur.SHOULD:
+            n_should += 1
+            matched_should |= gm
+            scores += gs
+        elif group.occur is Occur.MUST:
+            n_must += 1
+            matched_all_must &= gm
+            scores += gs
+        else:
+            excluded |= gm
+
+    if plan.match_all:
+        base = np.ones(n, dtype=np.float32)
+        scores = scores + base
+        mask = np.ones(n, dtype=bool)
+        if n_must:
+            mask &= matched_all_must
+    else:
+        if n_must:
+            mask = matched_all_must
+        elif n_should:
+            mask = matched_should
+        else:
+            mask = np.zeros(n, dtype=bool)
+    if n_should and not n_must and not plan.match_all:
+        mask &= matched_should
+    mask &= ~excluded
+    mask &= segment.live_mask()
+    return scores, mask
+
+
+def search(
+    segments: Sequence[Segment],
+    plan: QueryPlan,
+    limit: int,
+    stats: Optional[IndexStats] = None,
+) -> List[Hit]:
+    """Top-`limit` hits across segments, Tantivy TopDocs ordering."""
+    if stats is None:
+        stats = IndexStats(segments)
+    if plan.is_empty:
+        return []
+    hits: List[Hit] = []
+    for ord_, seg in enumerate(segments):
+        scores, mask = score_segment(seg, plan, stats)
+        docs = np.nonzero(mask)[0]
+        if len(docs) == 0:
+            continue
+        seg_scores = scores[docs]
+        if len(docs) > limit:
+            part = np.argpartition(-seg_scores, limit - 1)[:limit]
+            docs, seg_scores = docs[part], seg_scores[part]
+        for d, s in zip(docs, seg_scores):
+            hits.append(Hit(float(s), ord_, int(d)))
+    hits.sort(key=lambda h: (-h.score, h.segment_ord, h.doc))
+    return hits[:limit]

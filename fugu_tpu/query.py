@@ -1,0 +1,123 @@
+"""Query plan model shared by the oracle, the JAX pipeline, and the parser.
+
+A parsed query is a list of clause **groups**.  Each group carries an
+``Occur`` (SHOULD / MUST / MUST_NOT, Tantivy ``Occur``) and one or more
+term clauses OR-combined within the group — e.g. the word ``hello``
+searched over default fields [text, name] is one group with two clauses.
+Scores of all matching clauses in all groups are summed (Tantivy boolean
+sum-combiner), subject to: every MUST group matches, no MUST_NOT group
+matches, and — when there is at least one SHOULD group and no MUST group —
+at least one SHOULD group matches.
+
+BM25 constants are Tantivy's defaults (k1=1.2, b=0.75; tantivy bm25.rs),
+reachable from every scored search the reference runs
+(`/root/reference/src/db/search.rs:162`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fugu_tpu.fieldnorm import ids_to_fieldnorms
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+
+
+class Occur(enum.Enum):
+    SHOULD = "should"
+    MUST = "must"
+    MUST_NOT = "must_not"
+
+
+@dataclasses.dataclass(frozen=True)
+class TermClause:
+    field: str
+    term: str
+    boost: float = 1.0
+    #: facet clauses score as a constant-fieldnorm term (score == idf)
+    is_facet: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PhraseClause:
+    field: str
+    terms: Tuple[str, ...]
+    boost: float = 1.0
+    slop: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class QueryGroup:
+    occur: Occur
+    clauses: Tuple[TermClause, ...] = ()
+    phrase: Optional[PhraseClause] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class QueryPlan:
+    """match_all: Tantivy AllQuery (constant score 1.0 for every live doc).
+
+    When ``match_all`` is True the groups (if any) are additional MUST
+    clauses combined with it (the reference combines AllQuery text with a
+    facet Must clause only through BooleanQuery — we keep the same shape).
+    """
+
+    groups: Tuple[QueryGroup, ...] = ()
+    match_all: bool = False
+
+    @property
+    def has_phrase(self) -> bool:
+        return any(g.phrase is not None for g in self.groups)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.groups and not self.match_all
+
+
+@dataclasses.dataclass
+class FieldStats:
+    """Searcher-wide per-field statistics feeding BM25 weights.
+
+    Matching Tantivy's statistics provider: ``doc_count`` counts live docs
+    (Searcher::num_docs), while ``doc_freq`` and ``total_tokens`` come from
+    raw segment postings and so still include tombstoned docs until a merge
+    purges them.
+    """
+
+    doc_count: int
+    total_tokens: Dict[str, int]
+    # doc_freq is looked up per term by the caller
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """Tantivy bm25.rs: ln(1 + (N - df + 0.5) / (df + 0.5)), all f32."""
+    x = (np.float32(doc_count - doc_freq) + np.float32(0.5)) / (
+        np.float32(doc_freq) + np.float32(0.5)
+    )
+    return np.float32(np.log(np.float32(1.0) + x))
+
+
+def bm25_weight(doc_freq: int, doc_count: int, boost: float = 1.0) -> np.float32:
+    """idf * (k1 + 1) * boost — the per-term multiplier."""
+    return np.float32(idf(doc_freq, doc_count) * (np.float32(1.0) + K1) * np.float32(boost))
+
+
+def fieldnorm_cache(avg_fieldnorm: float) -> np.ndarray:
+    """cache[fid] = k1 * (1 - b + b * decode(fid) / avg)  (f32[256]).
+
+    Tantivy precomputes this 256-entry table per (field, searcher).
+    """
+    decoded = ids_to_fieldnorms(np.arange(256)).astype(np.float32)
+    avg = np.float32(avg_fieldnorm) if avg_fieldnorm > 0 else np.float32(1.0)
+    return (K1 * (np.float32(1.0) - B + B * decoded / avg)).astype(np.float32)
+
+
+def tf_component(tf: np.ndarray, cache_vals: np.ndarray) -> np.ndarray:
+    """tf / (tf + cache[fieldnorm_id]) in f32."""
+    tff = tf.astype(np.float32)
+    return tff / (tff + cache_vals)

@@ -1,0 +1,14 @@
+"""Test harness config: force CPU JAX with 8 virtual devices.
+
+Must run before the first `import jax` anywhere in the test session so the
+multi-chip sharding tests can fake an 8-device mesh (SURVEY.md §4 item 4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

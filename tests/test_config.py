@@ -1,0 +1,86 @@
+"""Config loading/validation parity (config.rs + main.rs probe/env)."""
+
+import json
+
+import pytest
+
+from fugu_tpu.config import (
+    ConfigError,
+    NamespaceConfig,
+    ServerConfig,
+)
+
+
+def test_defaults():
+    cfg = ServerConfig()
+    assert cfg.data_path == "./data"
+    assert cfg.default_namespace == "default"
+    assert [n.name for n in cfg.namespaces] == ["default"]
+    assert cfg.writer_memory_budget == 50_000_000
+    assert cfg.auto_create_directories
+    assert cfg.validation.max_text_length == 1_000_000
+
+
+def test_yaml_file(tmp_path):
+    p = tmp_path / "server_config.yaml"
+    p.write_text(
+        "data_path: /tmp/x\ndefault_namespace: ns1\n"
+        "namespaces:\n  - name: ns1\n  - name: ns2\n    initialize_on_startup: false\n"
+    )
+    cfg = ServerConfig.from_file(p)
+    assert cfg.data_path == "/tmp/x"
+    assert cfg.default_namespace == "ns1"
+    assert [n.name for n in cfg.namespaces] == ["ns1", "ns2"]
+    assert cfg.namespaces[1].initialize_on_startup is False
+
+
+def test_json_file(tmp_path):
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps({"data_path": "/tmp/y", "default_namespace": "j"}))
+    cfg = ServerConfig.from_file(p)
+    assert cfg.data_path == "/tmp/y" and cfg.default_namespace == "j"
+
+
+def test_discover_probe_order(tmp_path, monkeypatch):
+    (tmp_path / "config").mkdir()
+    (tmp_path / "config.yaml").write_text("default_namespace: last\n")
+    (tmp_path / "server_config.yaml").write_text("default_namespace: first\n")
+    cfg = ServerConfig.discover(tmp_path)
+    assert cfg.default_namespace == "first"
+
+
+def test_discover_env_fallback(tmp_path, monkeypatch):
+    monkeypatch.setenv("FUGU_DATA_PATH", "/tmp/envdata")
+    monkeypatch.setenv("FUGU_DEFAULT_NAMESPACE", "envns")
+    cfg = ServerConfig.discover(tmp_path)
+    assert cfg.data_path == "/tmp/envdata"
+    assert cfg.default_namespace == "envns"
+
+
+def test_discover_default_env_namespace_is_fugu_db(tmp_path, monkeypatch):
+    monkeypatch.delenv("FUGU_DATA_PATH", raising=False)
+    monkeypatch.delenv("FUGU_DEFAULT_NAMESPACE", raising=False)
+    cfg = ServerConfig.discover(tmp_path)
+    assert cfg.default_namespace == "fugu_db"  # main.rs:120-121
+
+
+@pytest.mark.parametrize("bad", ["", "a/b", "a\\b", "a:b", "a*b", 'a"b', "a|b"])
+def test_validate_bad_namespace_names(tmp_path, bad):
+    cfg = ServerConfig.with_defaults(str(tmp_path), "ok")
+    cfg.namespaces = [NamespaceConfig(name=bad)]
+    with pytest.raises(ConfigError):
+        cfg.validate()
+
+
+def test_validate_duplicate_namespaces(tmp_path):
+    cfg = ServerConfig.with_defaults(str(tmp_path), "ok")
+    cfg.namespaces = [NamespaceConfig(name="a"), NamespaceConfig(name="a")]
+    with pytest.raises(ConfigError):
+        cfg.validate()
+
+
+def test_validate_missing_path_without_autocreate(tmp_path):
+    cfg = ServerConfig.with_defaults(str(tmp_path / "nope"), "ok")
+    cfg.auto_create_directories = False
+    with pytest.raises(ConfigError):
+        cfg.validate()

@@ -1,0 +1,368 @@
+"""Dataset: the per-namespace bundle of three indexes + the search path.
+
+Parity layer for `/root/reference/src/db/core.rs` (Dataset part) and
+`/root/reference/src/db/search.rs` (search/filters/wildcards/pagination).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from fugu_tpu.engine import facets as facet_ops
+from fugu_tpu.engine import queryparser
+from fugu_tpu.engine.named_index import NamedIndex
+from fugu_tpu.index.schema import IndexType
+from fugu_tpu.query import Occur, QueryGroup, QueryPlan, TermClause
+from fugu_tpu.records import ObjectRecord, normalize_facet_path
+
+
+@dataclasses.dataclass
+class FuguSearchResult:
+    """Wire shape of a hit (search.rs:20-27)."""
+
+    id: str
+    score: float
+    text: str
+    metadata: Optional[Any] = None
+    facets: Optional[List[str]] = None
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class DatasetStats:
+    namespace: str
+    docs_count: int
+    filter_count: int
+    query_count: int
+
+    def total_docs(self) -> int:
+        return self.docs_count + self.filter_count + self.query_count
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class FilterOperator(enum.Enum):
+    EQUALS = "equals"
+    PREFIX = "prefix"
+    CONTAINS = "contains"
+    EXISTS = "exists"
+    WILDCARD = "wildcard"
+
+
+@dataclasses.dataclass
+class FacetFilter:
+    path: str
+    operator: FilterOperator
+    value: Optional[str] = None
+
+
+def parse_filters(filters: Sequence[str]) -> List[FacetFilter]:
+    """Filter-string parsing (search.rs:292-324), with the *intended*
+    wildcard detection: the reference's enum has a Wildcard arm and its
+    search path post-filters on it, but parse_filters never constructs it
+    (a dead branch) — we detect ``*pat*`` as the surrounding code expects
+    (search.rs:101-105 treats exactly these as non-facet filters)."""
+    out: List[FacetFilter] = []
+    for f in filters:
+        if f.startswith("*") and f.endswith("*") and len(f) >= 2:
+            out.append(FacetFilter(f.strip("*"), FilterOperator.WILDCARD))
+            continue
+        normalized = normalize_facet_path(f)
+        if normalized.endswith("/*"):
+            out.append(FacetFilter(normalized[:-2], FilterOperator.PREFIX))
+        elif "=" in normalized:
+            path, value = normalized.split("=", 1)
+            out.append(FacetFilter(path, FilterOperator.EQUALS, value))
+        else:
+            out.append(FacetFilter(normalized, FilterOperator.EQUALS))
+    return out
+
+
+def build_facet_groups(filters: Sequence[str]) -> Tuple[QueryGroup, ...]:
+    """The facet filter clause (search.rs:221-289): one MUST group whose
+    clauses OR all exact/prefix facet terms (nested shoulds flatten to the
+    same boolean + scoring semantics)."""
+    clauses: List[TermClause] = []
+    for filt in parse_filters(filters):
+        if filt.operator is FilterOperator.WILDCARD:
+            continue
+        # Equals, Prefix, Contains, Exists all resolve to an exact facet
+        # term on the (possibly ancestor) path — ancestor-expanded postings
+        # make descendants match, which is Tantivy's facet-term behavior.
+        clauses.append(TermClause(field="", term=filt.path, is_facet=True))
+    if not clauses:
+        return ()
+    return (QueryGroup(occur=Occur.MUST, clauses=tuple(clauses)),)
+
+
+class Dataset:
+    def __init__(
+        self,
+        namespace: str,
+        base_path: str | Path,
+        writer_memory_budget: int = 50_000_000,
+        use_device: bool = True,
+    ):
+        self.namespace = namespace
+        self.base_path = Path(base_path)
+        ns_dir = self.base_path / namespace
+        self._docs = NamedIndex(
+            "docs", ns_dir / "docs", IndexType.DOCS, writer_memory_budget, use_device
+        )
+        self._filter_index = NamedIndex(
+            "filter_index",
+            ns_dir / "filter_index",
+            IndexType.FILTER_INDEX,
+            writer_memory_budget,
+            use_device,
+        )
+        self._query_index = NamedIndex(
+            "query_index",
+            ns_dir / "query_index",
+            IndexType.QUERY_INDEX,
+            writer_memory_budget,
+            use_device,
+        )
+
+    def docs(self) -> NamedIndex:
+        return self._docs
+
+    def filter_index(self) -> NamedIndex:
+        return self._filter_index
+
+    def query_index(self) -> NamedIndex:
+        return self._query_index
+
+    def all_indexes(self) -> List[NamedIndex]:
+        return [self._docs, self._filter_index, self._query_index]
+
+    # -- document operations (document.rs Dataset impl) ----------------------
+
+    def upsert(self, records: Sequence[ObjectRecord]) -> None:
+        self._docs.upsert(records)
+        self._filter_index.upsert(records)
+        self._query_index.upsert(records)
+
+    def batch_upsert(self, records: Sequence[ObjectRecord]) -> int:
+        self.upsert(records)
+        return len(records)
+
+    def ingest(self, records: Sequence[ObjectRecord]) -> None:
+        self.upsert(records)
+
+    def delete_document(self, doc_id: str) -> None:
+        # Only the docs index supports id deletes; filter/query go stale
+        # (document.rs:444-455 — documented reference behavior).
+        self._docs.delete_document(doc_id)
+
+    # -- search (search.rs) ---------------------------------------------------
+
+    def simple_search(self, query: str) -> List[FuguSearchResult]:
+        return self.search(query, [], 0, 20)
+
+    def search(
+        self,
+        query: str,
+        filters: Sequence[str],
+        page: int,
+        per_page: int,
+    ) -> List[FuguSearchResult]:
+        parsed = parse_filters(filters)
+        wildcard_patterns = [
+            f.path.lower() for f in parsed if f.operator is FilterOperator.WILDCARD
+        ]
+        has_wildcard = bool(wildcard_patterns)
+        non_wildcard = [
+            f for f in filters if not (f.startswith("*") and f.endswith("*"))
+        ]
+
+        plan = self.build_search_plan(query, non_wildcard, has_wildcard)
+
+        offset = page * per_page
+        search_limit = (offset + per_page) * 10 if has_wildcard else offset + per_page
+
+        hits = self._docs.search_topk(plan, search_limit)
+
+        results: List[FuguSearchResult] = []
+        for hit in hits:
+            result = self._convert_hit(hit)
+            if has_wildcard:
+                if result.facets and any(
+                    pat in facet.lower()
+                    for facet in result.facets
+                    for pat in wildcard_patterns
+                ):
+                    results.append(result)
+            else:
+                results.append(result)
+            if len(results) >= offset + per_page:
+                break
+        return results[offset : offset + per_page]
+
+    def build_search_plan(
+        self, query: str, non_wildcard_filters: Sequence[str], has_wildcard: bool
+    ) -> QueryPlan:
+        """The base_query assembly of search.rs:107-151."""
+        text_empty = not query.strip()
+        if text_empty:
+            text_plan = QueryPlan(match_all=True)
+        else:
+            text_plan = queryparser.parse_with_fallback(
+                query,
+                default_fields=("text", "name"),
+                known_fields=self._docs.schema.text_fields,
+            )
+
+        facet_groups = build_facet_groups(non_wildcard_filters)
+        if facet_groups:
+            if text_empty:
+                # facet query alone: its shoulds are the only constraint
+                g = facet_groups[0]
+                return QueryPlan(
+                    groups=(QueryGroup(Occur.SHOULD, g.clauses),),
+                    require_should=True,
+                )
+            return QueryPlan(
+                groups=text_plan.groups + facet_groups,
+                match_all=text_plan.match_all,
+                require_should=text_plan.require_should,
+            )
+        # no facet filters: empty text means AllQuery (even with wildcard)
+        return text_plan
+
+    def _convert_hit(self, hit) -> FuguSearchResult:
+        stored = self._docs.stored_doc(hit.segment_ord, hit.doc)
+        return FuguSearchResult(
+            id=stored.get("id", "unknown"),
+            score=hit.score,
+            text=stored.get("text", ""),
+            metadata=stored.get("metadata"),
+            facets=stored.get("facet") or None,
+        )
+
+    def get(self, doc_id: str) -> List[Dict[str, Any]]:
+        """Point lookup via a parsed query on the id field (search.rs:457-470)."""
+        try:
+            plan = queryparser.parse_with_fallback(
+                doc_id, default_fields=("id",), known_fields=("id",)
+            )
+        except queryparser.ParseError:
+            return []
+        hits = self._docs.search_topk(plan, 1)
+        return [self._docs.stored_doc(h.segment_ord, h.doc) for h in hits[:1]]
+
+    # -- facets (facet.rs) ----------------------------------------------------
+
+    def get_namespace_facets(self, namespace: str) -> List[Tuple[str, int]]:
+        return facet_ops.children(self._docs, f"/namespace/{namespace}")
+
+    def get_available_namespaces(self) -> List[str]:
+        names = []
+        for path, _ in facet_ops.children(self._docs, "/namespace"):
+            ns = path[len("/namespace/") :]
+            if "/" not in ns:
+                names.append(ns)
+        return sorted(set(names))
+
+    def list_facet(self, from_level: str) -> List[Tuple[str, int]]:
+        return facet_ops.children(self._docs, from_level)
+
+    def get_facets(self, namespace: Optional[str]) -> List[Tuple[str, int]]:
+        return self.list_facet(namespace if namespace else "/")
+
+    def get_facets_at(self, prefix: str) -> List[Tuple[str, int]]:
+        return self.list_facet(prefix)
+
+    def get_facet_tree(self, max_depth: Optional[int]) -> facet_ops.FacetTreeResponse:
+        return facet_ops.facet_tree(self._docs, max_depth)
+
+    def get_all_filter_paths(self) -> Dict[str, List[str]]:
+        tree = self.get_facet_tree(None)
+        return facet_ops.parent_leaf_paths(tree.tree)
+
+    def get_filter_paths_for_namespace(self, namespace: str) -> Dict[str, List[str]]:
+        """Filter paths for one namespace.
+
+        NOTE: the reference's implementation (facet.rs:273-384) queries a
+        raw, non-analyzed term against the tokenized `facet` TEXT field of
+        the filter index, which can never match — it always returns an
+        empty map.  We implement the documented intent instead: collect
+        the facets of (up to 10k) live docs carrying /namespace/<ns>,
+        exclude /namespace/* paths, and build the parent->leaf-values map.
+        """
+        ns_path = f"/namespace/{namespace}"
+        counts: Dict[str, int] = {}
+        seen = 0
+        for seg in self._docs.segments:
+            docs = seg.facet_docs(ns_path)
+            for d in docs:
+                if seg.tombstones[d]:
+                    continue
+                if seen >= 10_000:
+                    break
+                seen += 1
+                for facet in seg.stored[d].get("facet", []):
+                    if not facet.startswith("/namespace/"):
+                        counts[facet] = counts.get(facet, 0) + 1
+
+        tree: Dict[str, facet_ops.FacetNode] = {}
+        for path, count in sorted(counts.items()):
+            components = [c for c in path.split("/") if c]
+            current = tree
+            current_path = ""
+            for i, comp in enumerate(components):
+                current_path += "/" + comp
+                is_leaf = i == len(components) - 1
+                if comp not in current:
+                    current[comp] = facet_ops.FacetNode(
+                        comp, current_path, count if is_leaf else 0, {}
+                    )
+                if not is_leaf:
+                    current = current[comp].children
+        return facet_ops.parent_leaf_paths(tree)
+
+    def get_filter_values_at_path(self, filter_path: str) -> List[str]:
+        return facet_ops.filter_values_at_path(self._filter_index, filter_path)
+
+    def search_facet(
+        self, facet_prefix: str, query_text: Optional[str]
+    ) -> List[Tuple[str, int]]:
+        return facet_ops.search_facet(self._filter_index, facet_prefix, query_text)
+
+    # -- stats / schema (core.rs:146-167, 441-468) ----------------------------
+
+    def stats(self) -> DatasetStats:
+        return DatasetStats(
+            namespace=self.namespace,
+            docs_count=self._docs.num_docs,
+            filter_count=self._filter_index.num_docs,
+            query_count=self._query_index.num_docs,
+        )
+
+    def validate_all_schemas(self) -> None:
+        for idx in self.all_indexes():
+            idx.validate_required_fields()
+
+    def schema_info(self) -> Dict[str, Dict[str, str]]:
+        return {idx.name: idx.schema_info() for idx in self.all_indexes()}
+
+    # -- suggestions (query_index read path; no reference route reads it,
+    #    SURVEY.md §2a — provided for completeness) --------------------------
+
+    def suggest(self, prefix: str, limit: int = 10) -> List[str]:
+        plan = queryparser.parse_with_fallback(
+            prefix, default_fields=("text",), known_fields=("text",)
+        )
+        hits = self._query_index.search_topk(plan, limit)
+        out = []
+        for h in hits:
+            text = self._query_index.stored_doc(h.segment_ord, h.doc).get("text", "")
+            if text and text not in out:
+                out.append(text)
+        return out[:limit]

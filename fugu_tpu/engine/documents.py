@@ -1,0 +1,145 @@
+"""Per-index document building — parity with document.rs.
+
+Turns an ObjectRecord into the (text_fields, facets, stored) triple each
+index role wants:
+
+- docs index: full record (document.rs:116-184)
+- query_index: text + name + extracted 2-3-word phrase suggestions
+  (document.rs:187-225, 384-403)
+- filter_index: one doc per facet path — leaf text + full path text +
+  hierarchy facet (document.rs:228-274)
+
+Facet derivation priority (document.rs:277-312): explicit ``facets[]``
+(normalized to a leading slash) — else namespace facets plus metadata
+facets.  NOTE the reference keeps only the FIRST path component of each
+recursive metadata facet (``facet_path.first()`` at document.rs:299) and
+prefixes it with ``/metadata/`` — so ``{"details": {"department": "x"}}``
+yields just ``/metadata/details``.  We replicate that observable behavior.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from fugu_tpu.metadata import create_metadata_facets_hashmap
+from fugu_tpu.records import ObjectRecord
+
+
+def get_all_facet_paths(record: ObjectRecord) -> List[str]:
+    all_facets: List[str] = []
+    if record.facets is not None:
+        for facet_path in record.facets:
+            all_facets.append(
+                facet_path if facet_path.startswith("/") else "/" + facet_path
+            )
+    else:
+        all_facets.extend(record.generate_namespace_facets())
+        if record.metadata is not None:
+            for facet_path in create_metadata_facets_hashmap(record.metadata, []):
+                if facet_path:
+                    first = facet_path[0]
+                    all_facets.append(
+                        first if first.startswith("/") else f"/metadata/{first}"
+                    )
+    return all_facets
+
+
+def parse_rfc3339(date_str: str) -> Optional[int]:
+    """RFC3339 -> microseconds since epoch; None when invalid
+    (invalid dates are silently skipped, document.rs:346)."""
+    try:
+        s = date_str.replace("Z", "+00:00") if date_str.endswith("Z") else date_str
+        dt = datetime.datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            return None  # RFC3339 requires an offset
+        return int(dt.timestamp() * 1_000_000)
+    except ValueError:
+        return None
+
+
+def format_rfc3339(micros: int) -> str:
+    dt = datetime.datetime.fromtimestamp(micros / 1_000_000, tz=datetime.timezone.utc)
+    return dt.isoformat().replace("+00:00", "Z")
+
+
+DocSpec = Tuple[Dict[str, List[str]], List[str], Dict[str, Any]]
+
+
+def build_full_document(record: ObjectRecord) -> DocSpec:
+    """Docs-index document: all fields + facets + stored record."""
+    text_fields: Dict[str, List[str]] = {
+        "id": [record.id],
+        "text": [record.text],
+    }
+    stored: Dict[str, Any] = {"id": record.id, "text": record.text}
+
+    name = record.name
+    if name is not None:
+        text_fields["name"] = [name]
+        stored["name"] = name
+    for field in ("namespace", "organization", "conversation_id", "data_type"):
+        value = getattr(record, field)
+        if value is not None:
+            text_fields[field] = [value]
+            stored[field] = value
+    if record.metadata is not None:
+        stored["metadata"] = record.metadata
+
+    facets = [f for f in get_all_facet_paths(record) if f.startswith("/")]
+    if facets:
+        stored["facet"] = facets
+
+    for field in ("date_created", "date_updated", "date_published"):
+        value = getattr(record, field)
+        if value is not None:
+            micros = parse_rfc3339(value)
+            if micros is not None:
+                stored[field] = format_rfc3339(micros)
+
+    return text_fields, facets, stored
+
+
+def extract_query_suggestions(text: str) -> List[str]:
+    """2-3 word phrases, 3 < len < 50, max 10 (document.rs:384-403)."""
+    suggestions: List[str] = []
+    for sentence in _split_any(text, ".!?\n"):
+        words = sentence.strip().split()
+        if len(words) >= 2:
+            phrase = " ".join(words[: min(3, len(words))])
+            if 3 < len(phrase) < 50:
+                suggestions.append(phrase)
+    return suggestions[:10]
+
+
+def _split_any(text: str, seps: str) -> List[str]:
+    out = [text]
+    for sep in seps:
+        out = [piece for chunk in out for piece in chunk.split(sep)]
+    return out
+
+
+def build_query_suggestion_documents(record: ObjectRecord) -> List[DocSpec]:
+    docs: List[DocSpec] = [({"text": [record.text]}, [], {"text": record.text})]
+    name = record.name
+    if name is not None:
+        docs.append(({"text": [name]}, [], {"text": name}))
+    for suggestion in extract_query_suggestions(record.text):
+        docs.append(({"text": [suggestion]}, [], {"text": suggestion}))
+    return docs
+
+
+def build_filter_documents(record: ObjectRecord) -> List[DocSpec]:
+    docs: List[DocSpec] = []
+    for facet_path in get_all_facet_paths(record):
+        parts = [p for p in facet_path.lstrip("/").split("/")]
+        leaf = parts[-1] if parts else facet_path
+        facets = [facet_path] if facet_path.startswith("/") else []
+        docs.append(
+            (
+                {"text": [leaf], "facet": [facet_path]},
+                facets,
+                {"text": leaf, "facet": facet_path},
+            )
+        )
+    return docs

@@ -1,0 +1,138 @@
+"""DatasetManager: namespace registry + config-driven initialization.
+
+Parity with `/root/reference/src/db/config.rs:90-331` and the
+quick_setup/setup_from_config helpers (config.rs:366-384).  Extends the
+reference with explicit create/delete namespace operations so the CLI's
+``POST /namespaces`` / ``DELETE /namespaces/{ns}`` calls (which 404/405
+against the reference server — SURVEY.md §2d drift) actually work.
+"""
+
+from __future__ import annotations
+
+import shutil
+import threading
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from fugu_tpu.config import ConfigError, NamespaceConfig, ServerConfig
+from fugu_tpu.engine.dataset import Dataset, DatasetStats
+
+
+class DatasetManager:
+    def __init__(self, config: ServerConfig, use_device: bool = True):
+        self.config = config
+        self.use_device = use_device
+        self._lock = threading.RLock()
+        self.datasets: Dict[str, Dataset] = {}
+        self._initialize_configured_namespaces()
+
+    # -- constructors (config.rs:96-159) --------------------------------------
+
+    @classmethod
+    def from_config(cls, config: ServerConfig, **kw) -> "DatasetManager":
+        return cls(config, **kw)
+
+    @classmethod
+    def from_config_file(cls, path: str | Path, **kw) -> "DatasetManager":
+        return cls(ServerConfig.from_file(path), **kw)
+
+    @classmethod
+    def with_defaults(
+        cls, data_path: str, default_namespace: str, **kw
+    ) -> "DatasetManager":
+        return cls(ServerConfig.with_defaults(data_path, default_namespace), **kw)
+
+    @classmethod
+    def quick_setup(cls, default_namespace: str, data_path: str, **kw) -> "DatasetManager":
+        return cls.with_defaults(data_path, default_namespace, **kw)
+
+    @classmethod
+    def setup_from_config(cls, config_path: str | Path, **kw) -> "DatasetManager":
+        return cls.from_config_file(config_path, **kw)
+
+    @classmethod
+    def discover(cls, cwd: str | Path = ".", **kw) -> "DatasetManager":
+        """Config probe list -> env fallback -> defaults (main.rs:89-127)."""
+        return cls(ServerConfig.discover(cwd), **kw)
+
+    # -- namespace lifecycle --------------------------------------------------
+
+    def _initialize_configured_namespaces(self) -> None:
+        for ns_cfg in self.config.namespaces:
+            if ns_cfg.initialize_on_startup:
+                self._create(ns_cfg.name, ns_cfg)
+
+    def _create(self, namespace: str, ns_cfg: Optional[NamespaceConfig]) -> Dataset:
+        base_path = Path(
+            (ns_cfg.data_path if ns_cfg and ns_cfg.data_path else self.config.data_path)
+        )
+        if self.config.auto_create_directories:
+            base_path.mkdir(parents=True, exist_ok=True)
+        elif not base_path.exists():
+            raise ConfigError(f"Data path {base_path} does not exist")
+        ds = Dataset(
+            namespace,
+            base_path,
+            writer_memory_budget=self.config.writer_memory_budget or 50_000_000,
+            use_device=self.use_device,
+        )
+        ds.validate_all_schemas()
+        self.datasets[namespace] = ds
+        return ds
+
+    def get_dataset(self, namespace: str) -> Optional[Dataset]:
+        return self.datasets.get(namespace)
+
+    def get_or_create_dataset(self, namespace: str) -> Dataset:
+        with self._lock:
+            if namespace not in self.datasets:
+                self._create(namespace, None)
+            return self.datasets[namespace]
+
+    def default_dataset(self) -> Dataset:
+        return self.get_or_create_dataset(self.config.default_namespace)
+
+    def create_namespace(self, namespace: str) -> Dataset:
+        return self.get_or_create_dataset(namespace)
+
+    def delete_namespace(self, namespace: str, remove_files: bool = True) -> bool:
+        with self._lock:
+            ds = self.datasets.pop(namespace, None)
+            if ds is None:
+                return False
+            if remove_files:
+                ns_dir = ds.base_path / namespace
+                if ns_dir.exists():
+                    shutil.rmtree(ns_dir)
+            return True
+
+    # -- introspection --------------------------------------------------------
+
+    def list_namespaces(self) -> List[str]:
+        return sorted(self.datasets.keys())
+
+    def get_available_namespaces(self) -> List[str]:
+        return sorted(self.datasets.keys())
+
+    def get_namespace_facets(self, namespace: str, facet_root: str):
+        ds = self.get_dataset(namespace)
+        if ds is None:
+            raise KeyError(f"Dataset not found for namespace: {namespace}")
+        return ds.get_facets_at(facet_root)
+
+    def get_filter_values_at_path(self, filter_path: str) -> List[str]:
+        """Route a filter path to its namespace's dataset (config.rs:258-273)."""
+        if filter_path.startswith("/namespace/"):
+            namespace = filter_path[len("/namespace/") :].split("/")[0]
+        else:
+            namespace = self.config.default_namespace
+        ds = self.get_dataset(namespace)
+        if ds is None:
+            raise KeyError(f"Dataset not found for namespace: {namespace}")
+        return ds.get_filter_values_at_path(filter_path)
+
+    def get_all_stats(self) -> Dict[str, DatasetStats]:
+        return {ns: ds.stats() for ns, ds in self.datasets.items()}
+
+    def validate_config(self) -> None:
+        self.config.validate()

@@ -1,0 +1,231 @@
+"""NamedIndex: one logical index (docs / filter_index / query_index).
+
+The schema-aware wrapper layer (L2 in SURVEY.md §1) — the analog of
+`/root/reference/src/db/core.rs:227-497`, with the Tantivy engine replaced
+by our segments + device pipeline:
+
+- single writer behind a lock (core.rs:300-302's tokio::Mutex analog)
+- synchronous commit per upsert batch (document.rs:65): every batch
+  freezes an immutable segment, persists it, and atomically publishes the
+  new manifest; readers see committed state immediately
+- delete_term tombstones matching docs in committed segments AND earlier
+  docs of the same in-flight batch (Tantivy opstamp ordering)
+- a simple log-style merge policy keeps the live segment count bounded
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from fugu_tpu.engine import documents as docbuild
+from fugu_tpu.index.manifest import Manifest, load_segment, save_segment, save_tombstones
+from fugu_tpu.index.merge import merge_segments
+from fugu_tpu.index.schema import REQUIRED_FIELDS, IndexSchema, IndexType, SCHEMAS
+from fugu_tpu.index.segment import Segment, SegmentBuilder
+from fugu_tpu.ops import oracle as oracle_ops
+from fugu_tpu.ops import scoring
+from fugu_tpu.query import QueryPlan
+from fugu_tpu.records import ObjectRecord
+
+#: plans whose total staged postings are below this run on the host oracle
+#: (device dispatch overhead dominates tiny queries)
+DEVICE_MIN_ENTRIES = 4096
+
+#: merge when the segment count exceeds this (Tantivy LogMergePolicy analog)
+MAX_SEGMENTS = 8
+
+
+class NamedIndex:
+    def __init__(
+        self,
+        name: str,
+        path: Path,
+        index_type: IndexType,
+        writer_memory_budget: int = 50_000_000,
+        use_device: bool = True,
+    ):
+        self.name = name
+        self.path = Path(path)
+        self.index_type = index_type
+        self.schema: IndexSchema = SCHEMAS[index_type]
+        self.writer_memory_budget = writer_memory_budget
+        self.use_device = use_device
+        self._lock = threading.RLock()
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.manifest = Manifest(self.path)
+        self.segments: List[Segment] = []
+        if self.manifest.load():  # open_or_create (core.rs:238-245)
+            for seg_id in self.manifest.segment_ids:
+                self.segments.append(load_segment(self.path, seg_id, self.schema))
+        self._stats: Optional[oracle_ops.IndexStats] = None
+
+    # -- reader side ---------------------------------------------------------
+
+    @property
+    def num_docs(self) -> int:
+        return sum(s.num_live_docs for s in self.segments)
+
+    def stats(self) -> oracle_ops.IndexStats:
+        if self._stats is None:
+            self._stats = oracle_ops.IndexStats(self.segments)
+        return self._stats
+
+    def _invalidate(self) -> None:
+        self._stats = None
+
+    def has_field(self, field: str) -> bool:
+        return self.schema.has_field(field)
+
+    def validate_required_fields(self) -> None:
+        self.schema.validate_required(REQUIRED_FIELDS[self.index_type])
+
+    def schema_info(self) -> Dict[str, str]:
+        info = {f: "TEXT | STORED" for f in self.schema.text_fields}
+        if self.schema.facet_field:
+            info[self.schema.facet_field] = "FACET | INDEXED | STORED"
+        for f in self.schema.json_fields:
+            info[f] = "JSON | STORED"
+        for f in self.schema.date_fields:
+            info[f] = "DATE | INDEXED | STORED"
+        return info
+
+    def search_topk(self, plan: QueryPlan, limit: int) -> List[oracle_ops.Hit]:
+        """Top-k across segments: device pipeline with oracle fallback."""
+        if plan.is_empty or limit <= 0:
+            return []
+        stats = self.stats()
+        hits: List[oracle_ops.Hit] = []
+        for ord_, seg in enumerate(self.segments):
+            res = None
+            if (
+                self.use_device
+                and not plan.match_all
+                and not plan.has_phrase
+                and seg.n_entries >= DEVICE_MIN_ENTRIES
+            ):
+                res = scoring.device_search_segment(seg, plan, stats, limit)
+            if res is not None:
+                hits.extend(oracle_ops.Hit(s, ord_, d) for s, d in res)
+            else:
+                scores, mask = oracle_ops.score_segment(seg, plan, stats)
+                docs = np.nonzero(mask)[0]
+                if len(docs) > limit:
+                    sc = scores[docs]
+                    part = np.argpartition(-sc, limit - 1)[:limit]
+                    docs = docs[part]
+                hits.extend(
+                    oracle_ops.Hit(float(scores[d]), ord_, int(d)) for d in docs
+                )
+        hits.sort(key=lambda h: (-h.score, h.segment_ord, h.doc))
+        return hits[:limit]
+
+    def stored_doc(self, segment_ord: int, doc: int) -> Dict[str, Any]:
+        return self.segments[segment_ord].stored[doc]
+
+    # -- writer side ---------------------------------------------------------
+
+    def upsert(self, records: Sequence[ObjectRecord]) -> None:
+        """Validate -> delete-by-id -> add -> synchronous commit
+        (document.rs:23-67)."""
+        self.validate_required_fields()
+        with self._lock:
+            builder = SegmentBuilder(self.schema)
+            kill_local: set = set()
+            touched_committed = False
+            for record in records:
+                if not record.id:
+                    raise ValueError("Object ID cannot be empty")
+                record.validate()
+
+                if self.supports_full_documents():
+                    # Tantivy delete_term: the raw id string as one term
+                    for seg in self.segments:
+                        if seg.delete_by_term("id", record.id):
+                            touched_committed = True
+                    for d in builder.pending_docs_for_term("id", record.id):
+                        kill_local.add(d)
+
+                for text_fields, facets, stored in self._build_docs(record):
+                    builder.add_document(text_fields, facets=facets, stored=stored)
+
+                if builder.approx_bytes >= self.writer_memory_budget:
+                    self._freeze(builder, kill_local)
+                    builder = SegmentBuilder(self.schema)
+                    kill_local = set()
+
+            self._commit(builder, kill_local, touched_committed)
+
+    def delete_document(self, doc_id: str) -> None:
+        """Delete by id — docs index only (document.rs:81-99)."""
+        if not doc_id:
+            raise ValueError("Document ID cannot be empty")
+        if not self.supports_full_documents():
+            raise ValueError(
+                f"Delete by ID not supported for {self.index_type.value} index type"
+            )
+        with self._lock:
+            touched = False
+            for seg in self.segments:
+                if seg.delete_by_term("id", doc_id):
+                    touched = True
+            if touched:
+                for seg in self.segments:
+                    save_tombstones(seg, self.path)
+                self.manifest.commit(self.segments)
+                self._invalidate()
+
+    def _build_docs(self, record: ObjectRecord) -> List[docbuild.DocSpec]:
+        if self.index_type is IndexType.DOCS:
+            return [docbuild.build_full_document(record)]
+        if self.index_type is IndexType.QUERY_INDEX:
+            return docbuild.build_query_suggestion_documents(record)
+        return docbuild.build_filter_documents(record)
+
+    def _freeze(self, builder: SegmentBuilder, kill_local: set) -> None:
+        seg = builder.build()
+        if kill_local:
+            seg.tombstones[sorted(kill_local)] = True
+        save_segment(seg, self.path)
+        self.segments.append(seg)
+
+    def _commit(
+        self, builder: SegmentBuilder, kill_local: set, touched_committed: bool
+    ) -> None:
+        if builder.doc_count:
+            self._freeze(builder, kill_local)
+        if touched_committed:
+            for seg in self.segments:
+                save_tombstones(seg, self.path)
+        self.manifest.commit(self.segments)
+        self._invalidate()
+        self.maybe_merge()
+
+    def maybe_merge(self, force: bool = False) -> bool:
+        """Compact when the segment count exceeds the policy threshold."""
+        with self._lock:
+            if not force and len(self.segments) <= MAX_SEGMENTS:
+                return False
+            if not self.segments:
+                return False
+            merged = merge_segments(self.segments, self.schema)
+            save_segment(merged, self.path)
+            self.segments = [merged]
+            self.manifest.commit(self.segments)
+            self.manifest.gc([merged.segment_id])
+            self._invalidate()
+            return True
+
+    # -- capability flags (core.rs:484-497) ----------------------------------
+
+    def supports_full_documents(self) -> bool:
+        return self.index_type is IndexType.DOCS
+
+    def supports_facet_filtering(self) -> bool:
+        return self.index_type in (IndexType.DOCS, IndexType.FILTER_INDEX)
+
+    def supports_query_suggestions(self) -> bool:
+        return self.index_type is IndexType.QUERY_INDEX

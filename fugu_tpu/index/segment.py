@@ -83,6 +83,11 @@ class SegmentBuilder:
     def doc_count(self) -> int:
         return self._doc_count
 
+    def pending_docs_for_term(self, field: str, term: str) -> List[int]:
+        """Local doc ids of not-yet-frozen docs containing `term` in `field`
+        (for in-batch upsert overwrite semantics, document.rs:40-49)."""
+        return [d for d, _ in self._postings.get(field, {}).get(term, [])]
+
     def add_document(
         self,
         text_fields: Dict[str, Sequence[str]],
@@ -141,7 +146,9 @@ class SegmentBuilder:
         terms: Dict[str, Dict[str, TermInfo]] = {}
         fieldnorm_ids: Dict[str, np.ndarray] = {}
         total_tokens: Dict[str, int] = {}
-        pos_map: Dict[str, Dict[str, List[List[int]]]] = {}
+        pos_data: Dict[str, np.ndarray] = {}
+        pos_offsets: Dict[str, np.ndarray] = {}
+        field_entry_base: Dict[str, int] = {}
         offset = 0
         max_posting = 1
 
@@ -153,8 +160,10 @@ class SegmentBuilder:
             fieldnorm_ids[field] = fids
             total_tokens[field] = int(norms.sum())
 
+            field_entry_base[field] = offset
             tmap: Dict[str, TermInfo] = {}
-            fpos: Dict[str, List[List[int]]] = {}
+            flat_pos: List[int] = []
+            offs: List[int] = [0]
             for term in sorted(self._postings[field].keys()):
                 plist = self._postings[field][term]
                 docs = np.array([d for d, _ in plist], dtype=np.int32)
@@ -166,11 +175,14 @@ class SegmentBuilder:
                 packs_tf.append(tfs)
                 packs_fid.append(fids[docs].astype(np.int32))
                 raw_pos = self._positions[field][term]
-                fpos[term] = [raw_pos[i] for i in order]
+                for i in order:
+                    flat_pos.extend(raw_pos[i])
+                    offs.append(len(flat_pos))
                 offset += len(docs)
                 max_posting = max(max_posting, len(docs))
             terms[field] = tmap
-            pos_map[field] = fpos
+            pos_data[field] = np.array(flat_pos, dtype=np.int32)
+            pos_offsets[field] = np.array(offs, dtype=np.int64)
 
         # facet pseudo-field: tf=1, fid=0 (scoring treats facets as
         # constant-fieldnorm clauses; see ops/scoring.py)
@@ -211,7 +223,9 @@ class SegmentBuilder:
             fieldnorm_ids=fieldnorm_ids,
             total_tokens=total_tokens,
             stored=self._stored,
-            positions=pos_map,
+            pos_data=pos_data,
+            pos_offsets=pos_offsets,
+            field_entry_base=field_entry_base,
             tombstones=np.zeros(self._doc_count, dtype=bool),
         )
 
@@ -231,8 +245,12 @@ class Segment:
     fieldnorm_ids: Dict[str, np.ndarray]
     total_tokens: Dict[str, int]
     stored: List[Dict[str, Any]]
-    #: field -> term -> per-entry position lists (host-side, for phrases)
-    positions: Dict[str, Dict[str, List[List[int]]]]
+    #: packed per-field token positions (host-side, for phrases):
+    #: entry i of `field` (i = pack index - field_entry_base[field]) owns
+    #: pos_data[field][pos_offsets[field][i] : pos_offsets[field][i+1]]
+    pos_data: Dict[str, np.ndarray]
+    pos_offsets: Dict[str, np.ndarray]
+    field_entry_base: Dict[str, int]
     tombstones: np.ndarray
     segment_id: str = ""
 
@@ -267,7 +285,17 @@ class Segment:
         return self.e_doc[s:e], self.e_tf[s:e], self.e_fid[s:e]
 
     def term_positions(self, field: str, term: str) -> List[List[int]]:
-        return self.positions.get(field, {}).get(term, [])
+        info = self.term_info(field, term)
+        if info is None or field not in self.pos_offsets:
+            return []
+        base = self.field_entry_base[field]
+        offs = self.pos_offsets[field]
+        data = self.pos_data[field]
+        i0 = info.start - base
+        return [
+            data[offs[i] : offs[i + 1]].tolist()
+            for i in range(i0, i0 + info.doc_freq)
+        ]
 
     def facet_docs(self, path: str) -> np.ndarray:
         """Sorted doc ids carrying `path` (or any descendant)."""

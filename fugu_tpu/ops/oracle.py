@@ -138,8 +138,7 @@ def score_segment(
     for group in plan.groups:
         gm = np.zeros(n, dtype=bool)
         gs = np.zeros(n, dtype=np.float32)
-        if group.phrase is not None:
-            pc = group.phrase
+        for pc in group.phrases:
             docs, ptf = phrase_postings(segment, pc)
             if len(docs):
                 dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
@@ -185,20 +184,19 @@ def score_segment(
             excluded |= gm
 
     if plan.match_all:
-        base = np.ones(n, dtype=np.float32)
-        scores = scores + base
+        scores = scores + np.ones(n, dtype=np.float32)
         mask = np.ones(n, dtype=bool)
         if n_must:
             mask &= matched_all_must
     else:
         if n_must:
-            mask = matched_all_must
+            mask = matched_all_must.copy()
+            if n_should and plan.require_should:
+                mask &= matched_should
         elif n_should:
             mask = matched_should
         else:
             mask = np.zeros(n, dtype=bool)
-    if n_should and not n_must and not plan.match_all:
-        mask &= matched_should
     mask &= ~excluded
     mask &= segment.live_mask()
     return scores, mask

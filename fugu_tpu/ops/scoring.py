@@ -243,9 +243,12 @@ def stage_clauses(
             gbits.append(bit)
 
     # Tantivy boolean semantics: SHOULD groups are optional whenever any
-    # MUST group exists — only pure-should queries require a should match.
-    if must_mask:
+    # MUST group exists — unless the plan's require_should preserves the
+    # inner text query's constraint (see QueryPlan.require_should).
+    if must_mask and not plan.require_should:
         should_mask = 0
+    if must_mask and should_mask:
+        has_constraints = True
 
     n = len(starts)
     if n == 0:

@@ -55,7 +55,9 @@ class PhraseClause:
 class QueryGroup:
     occur: Occur
     clauses: Tuple[TermClause, ...] = ()
-    phrase: Optional[PhraseClause] = None
+    #: phrase alternatives OR-combined with `clauses` inside the group
+    #: (a multi-token query word over several default fields)
+    phrases: Tuple[PhraseClause, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,14 +67,24 @@ class QueryPlan:
     When ``match_all`` is True the groups (if any) are additional MUST
     clauses combined with it (the reference combines AllQuery text with a
     facet Must clause only through BooleanQuery — we keep the same shape).
+
+    ``require_should``: when True, at least one SHOULD group must match
+    even if MUST groups exist.  This encodes the nested boolean the
+    reference builds — ``Must(text_query) AND Must(facet_query)``
+    (search.rs:141-144) — where the inner text query's own "at least one
+    should" constraint survives the outer conjunction.  Plans built
+    directly from a parsed pure-should user query set it True; plans
+    whose user query already contains '+' MUST terms set it False
+    (Tantivy then treats shoulds as optional).
     """
 
     groups: Tuple[QueryGroup, ...] = ()
     match_all: bool = False
+    require_should: bool = True
 
     @property
     def has_phrase(self) -> bool:
-        return any(g.phrase is not None for g in self.groups)
+        return any(g.phrases for g in self.groups)
 
     @property
     def is_empty(self) -> bool:

@@ -121,7 +121,7 @@ def test_match_all_scores_one():
 def test_phrase_query():
     segs = corpus(["big red fox", "red big fox", "big blue red fox"])
     plan = QueryPlan(
-        groups=(QueryGroup(Occur.SHOULD, phrase=PhraseClause("text", ("big", "red"))),)
+        groups=(QueryGroup(Occur.SHOULD, phrases=(PhraseClause("text", ("big", "red")),)),)
     )
     hits = oracle.search(segs, plan, 10)
     assert [h.doc for h in hits] == [0]

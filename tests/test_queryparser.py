@@ -1,0 +1,101 @@
+"""Query parser tests (Tantivy-compatible subset)."""
+
+import pytest
+
+from fugu_tpu.engine import queryparser as qp
+from fugu_tpu.query import Occur
+
+FIELDS = ("text", "name")
+KNOWN = ("id", "text", "namespace", "name")
+
+
+def parse(q):
+    return qp.parse_query(q, FIELDS, KNOWN)
+
+
+def test_bare_words_should_over_default_fields():
+    plan = parse("hello world")
+    assert len(plan.groups) == 2
+    for g in plan.groups:
+        assert g.occur is Occur.SHOULD
+        assert [c.field for c in g.clauses] == ["text", "name"]
+    assert plan.groups[0].clauses[0].term == "hello"
+    assert plan.require_should
+
+
+def test_must_and_mustnot_prefixes():
+    plan = parse("+alpha -beta gamma")
+    assert [g.occur for g in plan.groups] == [
+        Occur.MUST,
+        Occur.MUST_NOT,
+        Occur.SHOULD,
+    ]
+    assert not plan.require_should
+
+
+def test_field_restriction():
+    plan = parse("name:alice")
+    assert len(plan.groups) == 1
+    assert [c.field for c in plan.groups[0].clauses] == ["name"]
+
+
+def test_unknown_field_raises():
+    with pytest.raises(qp.ParseError):
+        parse("bogus:thing")
+
+
+def test_phrase():
+    plan = parse('"big red fox"')
+    g = plan.groups[0]
+    assert not g.clauses
+    assert [p.field for p in g.phrases] == ["text", "name"]
+    assert g.phrases[0].terms == ("big", "red", "fox")
+
+
+def test_phrase_slop():
+    plan = parse('"a b"~2')
+    assert plan.groups[0].phrases[0].slop == 2
+
+
+def test_boost():
+    plan = parse("word^2.5")
+    assert plan.groups[0].clauses[0].boost == 2.5
+
+
+def test_multi_token_word_becomes_phrase():
+    plan = parse("hello-world")
+    assert plan.groups[0].phrases[0].terms == ("hello", "world")
+
+
+def test_and_keyword_upgrades_to_must():
+    plan = parse("cat AND dog")
+    assert [g.occur for g in plan.groups] == [Occur.MUST, Occur.MUST]
+
+
+def test_not_keyword():
+    plan = parse("cat NOT dog")
+    assert [g.occur for g in plan.groups] == [Occur.SHOULD, Occur.MUST_NOT]
+
+
+def test_unbalanced_quote_raises():
+    with pytest.raises(qp.ParseError):
+        parse('"unclosed')
+
+
+def test_escape_and_retry():
+    plan = qp.parse_with_fallback('"unclosed', FIELDS, KNOWN)
+    assert plan.groups[0].clauses[0].term == "unclosed"
+
+
+def test_escape_query_string():
+    assert qp.escape_query_string('a(b)c":+d-e') == "abcde"
+
+
+def test_punctuation_only_token_dropped():
+    plan = parse("hello !!!")
+    assert len(plan.groups) == 1
+
+
+def test_terms_lowercased_by_analyzer():
+    plan = parse("HeLLo")
+    assert plan.groups[0].clauses[0].term == "hello"

@@ -205,6 +205,53 @@ class Dataset:
                 break
         return results[offset : offset + per_page]
 
+    def search_many(
+        self,
+        queries: Sequence[Tuple[str, Sequence[str]]],
+        page: int,
+        per_page: int,
+    ) -> List[List[FuguSearchResult]]:
+        """Batched search: one device dispatch per bucket for the whole
+        query batch (the serving-throughput path; no reference analog —
+        Tantivy executes queries one at a time)."""
+        plans = []
+        metas = []
+        for query, filters in queries:
+            parsed = parse_filters(filters)
+            patterns = [
+                f.path.lower() for f in parsed if f.operator is FilterOperator.WILDCARD
+            ]
+            non_wildcard = [
+                f for f in filters if not (f.startswith("*") and f.endswith("*"))
+            ]
+            plans.append(self.build_search_plan(query, non_wildcard, bool(patterns)))
+            metas.append(patterns)
+        offset = page * per_page
+        out: List[List[FuguSearchResult]] = []
+        limits = [
+            (offset + per_page) * 10 if patterns else offset + per_page
+            for patterns in metas
+        ]
+        max_limit = max(limits) if limits else per_page
+        batch_hits = self._docs.search_topk_batch(plans, max_limit)
+        for hits, patterns, limit in zip(batch_hits, metas, limits):
+            results: List[FuguSearchResult] = []
+            for hit in hits[:limit]:
+                result = self._convert_hit(hit)
+                if patterns:
+                    if result.facets and any(
+                        pat in facet.lower()
+                        for facet in result.facets
+                        for pat in patterns
+                    ):
+                        results.append(result)
+                else:
+                    results.append(result)
+                if len(results) >= offset + per_page:
+                    break
+            out.append(results[offset : offset + per_page])
+        return out
+
     def build_search_plan(
         self, query: str, non_wildcard_filters: Sequence[str], has_wildcard: bool
     ) -> QueryPlan:
@@ -351,6 +398,20 @@ class Dataset:
 
     def schema_info(self) -> Dict[str, Dict[str, str]]:
         return {idx.name: idx.schema_info() for idx in self.all_indexes()}
+
+    # -- spill / restore (BASELINE config #5: cold-namespace S3 spill) -------
+
+    def spill(self, remote_prefix: str) -> None:
+        from fugu_tpu.storage.spill import SegmentSpiller
+
+        for idx in self.all_indexes():
+            idx.spill(SegmentSpiller(f"{remote_prefix}/{self.namespace}/{idx.name}"))
+
+    def restore(self, remote_prefix: str) -> None:
+        from fugu_tpu.storage.spill import SegmentSpiller
+
+        for idx in self.all_indexes():
+            idx.restore(SegmentSpiller(f"{remote_prefix}/{self.namespace}/{idx.name}"))
 
     # -- suggestions (query_index read path; no reference route reads it,
     #    SURVEY.md §2a — provided for completeness) --------------------------

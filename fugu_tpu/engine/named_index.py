@@ -60,6 +60,8 @@ class NamedIndex:
         self.segments: List[Segment] = []
         if self.manifest.load():  # open_or_create (core.rs:238-245)
             for seg_id in self.manifest.segment_ids:
+                if (self.path / f"seg-{seg_id}.spilled").exists():
+                    continue  # cold segment: stays remote until restore()
                 self.segments.append(load_segment(self.path, seg_id, self.schema))
         self._stats: Optional[oracle_ops.IndexStats] = None
 
@@ -95,33 +97,65 @@ class NamedIndex:
 
     def search_topk(self, plan: QueryPlan, limit: int) -> List[oracle_ops.Hit]:
         """Top-k across segments: device pipeline with oracle fallback."""
-        if plan.is_empty or limit <= 0:
-            return []
+        return self.search_topk_batch([plan], limit)[0]
+
+    def search_topk_batch(
+        self, plans: Sequence[QueryPlan], limit: int
+    ) -> List[List[oracle_ops.Hit]]:
+        """Top-k for many queries, batching device dispatches per segment."""
         stats = self.stats()
-        hits: List[oracle_ops.Hit] = []
+        all_hits: List[List[oracle_ops.Hit]] = [[] for _ in plans]
+        runnable = [
+            i
+            for i, p in enumerate(plans)
+            if not p.is_empty and limit > 0
+        ]
         for ord_, seg in enumerate(self.segments):
-            res = None
-            if (
-                self.use_device
-                and not plan.match_all
-                and not plan.has_phrase
+            device_idx = [
+                i
+                for i in runnable
+                if self.use_device
+                and not plans[i].match_all
+                and not plans[i].has_phrase
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
-            ):
-                res = scoring.device_search_segment(seg, plan, stats, limit)
-            if res is not None:
-                hits.extend(oracle_ops.Hit(s, ord_, d) for s, d in res)
-            else:
-                scores, mask = oracle_ops.score_segment(seg, plan, stats)
-                docs = np.nonzero(mask)[0]
-                if len(docs) > limit:
-                    sc = scores[docs]
-                    part = np.argpartition(-sc, limit - 1)[:limit]
-                    docs = docs[part]
-                hits.extend(
-                    oracle_ops.Hit(float(scores[d]), ord_, int(d)) for d in docs
-                )
-        hits.sort(key=lambda h: (-h.score, h.segment_ord, h.doc))
-        return hits[:limit]
+            ]
+            res_map = {}
+            if device_idx:
+                try:
+                    batch_res = scoring.device_search_batch(
+                        seg, [plans[i] for i in device_idx], stats, limit
+                    )
+                    res_map = dict(zip(device_idx, batch_res))
+                except RuntimeError as e:
+                    # device backend unavailable (e.g. misconfigured
+                    # platform env): degrade permanently to the oracle
+                    import logging
+
+                    logging.getLogger("fugu_tpu").warning(
+                        "device search unavailable (%s); falling back to host", e
+                    )
+                    self.use_device = False
+            for i in runnable:
+                res = res_map.get(i)
+                if res is not None:
+                    all_hits[i].extend(
+                        oracle_ops.Hit(s, ord_, d) for s, d in res
+                    )
+                else:
+                    scores, mask = oracle_ops.score_segment(seg, plans[i], stats)
+                    docs = np.nonzero(mask)[0]
+                    if len(docs) > limit:
+                        sc = scores[docs]
+                        part = np.argpartition(-sc, limit - 1)[:limit]
+                        docs = docs[part]
+                    all_hits[i].extend(
+                        oracle_ops.Hit(float(scores[d]), ord_, int(d))
+                        for d in docs
+                    )
+        for i in range(len(plans)):
+            all_hits[i].sort(key=lambda h: (-h.score, h.segment_ord, h.doc))
+            all_hits[i] = all_hits[i][:limit]
+        return all_hits
 
     def stored_doc(self, segment_ord: int, doc: int) -> Dict[str, Any]:
         return self.segments[segment_ord].stored[doc]
@@ -218,6 +252,34 @@ class NamedIndex:
             self.manifest.gc([merged.segment_id])
             self._invalidate()
             return True
+
+    # -- spill / restore (cold-namespace tier, storage.spill) ----------------
+
+    def spill(self, spiller) -> None:
+        """Offload all committed segments to the remote tier and drop them
+        from memory; the manifest stays authoritative for restore."""
+        with self._lock:
+            for seg in self.segments:
+                spiller.spill(self.path, seg.segment_id)
+            self.segments = []
+            self._invalidate()
+
+    def restore(self, spiller) -> None:
+        with self._lock:
+            self.manifest.load()
+            from fugu_tpu.index.manifest import load_segment
+
+            segs = []
+            for sid in self.manifest.segment_ids:
+                if spiller.is_spilled(self.path, sid):
+                    spiller.restore(self.path, sid)
+                segs.append(load_segment(self.path, sid, self.schema))
+            self.segments = segs
+            self._invalidate()
+
+    @property
+    def is_loaded(self) -> bool:
+        return bool(self.segments) or not self.manifest.segment_ids
 
     # -- capability flags (core.rs:484-497) ----------------------------------
 

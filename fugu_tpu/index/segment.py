@@ -68,12 +68,21 @@ class SegmentBuilder:
     NamedIndex flushes the builder based on its configured budget).
     """
 
-    def __init__(self, schema: IndexSchema):
+    def __init__(self, schema: IndexSchema, use_native: Optional[bool] = None):
         self.schema = schema
-        # field -> term -> list of [doc, tf]; positions parallel list
+        if use_native is None:
+            from fugu_tpu import native
+
+            use_native = native.available()
+        self.use_native = use_native
+        # Python path: field -> term -> list of [doc, tf]; positions parallel
         self._postings: Dict[str, Dict[str, List[Tuple[int, int]]]] = {}
         self._positions: Dict[str, Dict[str, List[List[int]]]] = {}
         self._fieldnorms: Dict[str, Dict[int, int]] = {}  # field -> doc -> tokens
+        # native path: field -> NativeFieldAccumulator (+ id-term side table
+        # for in-batch upsert dedupe)
+        self._native_accs: Dict[str, Any] = {}
+        self._id_docs: Dict[str, List[int]] = {}
         self._facet_postings: Dict[str, List[int]] = {}  # expanded path -> docs
         self._stored: List[Dict[str, Any]] = []
         self._doc_count = 0
@@ -86,6 +95,12 @@ class SegmentBuilder:
     def pending_docs_for_term(self, field: str, term: str) -> List[int]:
         """Local doc ids of not-yet-frozen docs containing `term` in `field`
         (for in-batch upsert overwrite semantics, document.rs:40-49)."""
+        if self.use_native:
+            if field != "id":
+                raise NotImplementedError(
+                    "native builder tracks pending terms only for the id field"
+                )
+            return list(self._id_docs.get(term, []))
         return [d for d, _ in self._postings.get(field, {}).get(term, [])]
 
     def add_document(
@@ -101,6 +116,49 @@ class SegmentBuilder:
         doc = self._doc_count
         self._doc_count += 1
 
+        if self.use_native:
+            self._add_document_native(doc, text_fields)
+        else:
+            self._add_document_python(doc, text_fields)
+
+        # hierarchical facet postings: dedupe ancestors per doc
+        if facets:
+            seen: set = set()
+            for path in facets:
+                for anc in facet_ancestors(path):
+                    if anc not in seen:
+                        seen.add(anc)
+                        self._facet_postings.setdefault(anc, []).append(doc)
+                        self.approx_bytes += 8 + len(anc)
+
+        self._stored.append(stored if stored is not None else {})
+        self.approx_bytes += 64
+        return doc
+
+    def _add_document_native(
+        self, doc: int, text_fields: Dict[str, Sequence[str]]
+    ) -> None:
+        from fugu_tpu.native import NativeFieldAccumulator
+
+        for field in text_fields:
+            if field not in self._native_accs:
+                acc = NativeFieldAccumulator()
+                for _ in range(doc):  # backfill docs missing this field
+                    acc.add_doc([])
+                self._native_accs[field] = acc
+        for field, acc in self._native_accs.items():
+            vals = [str(v) for v in text_fields.get(field, [])]
+            acc.add_doc(vals)
+            self.approx_bytes += sum(len(v) for v in vals) * 2 + 16
+        if "id" in text_fields:
+            # raw-id-token side table for in-batch upsert dedupe
+            for v in text_fields["id"]:
+                for tok in analysis.tokenize(str(v)):
+                    self._id_docs.setdefault(tok.text, []).append(doc)
+
+    def _add_document_python(
+        self, doc: int, text_fields: Dict[str, Sequence[str]]
+    ) -> None:
         for field, values in text_fields.items():
             field_post = self._postings.setdefault(field, {})
             field_pos = self._positions.setdefault(field, {})
@@ -124,21 +182,88 @@ class SegmentBuilder:
                 field_pos.setdefault(term, []).append(poss)
                 self.approx_bytes += 16 + len(term) + 4 * len(poss)
 
-        # hierarchical facet postings: dedupe ancestors per doc
-        if facets:
-            seen: set = set()
-            for path in facets:
-                for anc in facet_ancestors(path):
-                    if anc not in seen:
-                        seen.add(anc)
-                        self._facet_postings.setdefault(anc, []).append(doc)
-                        self.approx_bytes += 8 + len(anc)
+    def _build_native(self) -> "Segment":
+        """Assemble the segment from the C++ accumulators' flat arrays."""
+        terms: Dict[str, Dict[str, TermInfo]] = {}
+        fieldnorm_ids: Dict[str, np.ndarray] = {}
+        total_tokens: Dict[str, int] = {}
+        pos_data: Dict[str, np.ndarray] = {}
+        pos_offsets: Dict[str, np.ndarray] = {}
+        field_entry_base: Dict[str, int] = {}
+        packs_doc: List[np.ndarray] = []
+        packs_tf: List[np.ndarray] = []
+        packs_fid: List[np.ndarray] = []
+        offset = 0
+        max_posting = 1
 
-        self._stored.append(stored if stored is not None else {})
-        self.approx_bytes += 64
-        return doc
+        for field in sorted(self._native_accs.keys()):
+            acc = self._native_accs[field]
+            (tlist, dfs, docs, tfs, poffs, pdata, tok_counts) = acc.finish()
+            norms = np.zeros(self._doc_count, dtype=np.int64)
+            norms[: len(tok_counts)] = tok_counts
+            fids = fieldnorms_to_ids(norms)
+            fieldnorm_ids[field] = fids
+            total_tokens[field] = int(norms.sum())
+            field_entry_base[field] = offset
+            tmap: Dict[str, TermInfo] = {}
+            pos = 0
+            for term, df in zip(tlist, dfs):
+                tmap[term] = TermInfo(start=offset + pos, doc_freq=int(df))
+                pos += int(df)
+                if int(df) > max_posting:
+                    max_posting = int(df)
+            terms[field] = tmap
+            packs_doc.append(docs)
+            packs_tf.append(tfs)
+            packs_fid.append(fids[docs].astype(np.int32))
+            pos_data[field] = pdata
+            pos_offsets[field] = poffs
+            offset += len(docs)
+
+        ftmap: Dict[str, TermInfo] = {}
+        for path in sorted(self._facet_postings.keys()):
+            docs = np.array(sorted(self._facet_postings[path]), dtype=np.int32)
+            ftmap[path] = TermInfo(start=offset, doc_freq=len(docs))
+            packs_doc.append(docs)
+            packs_tf.append(np.ones(len(docs), dtype=np.int32))
+            packs_fid.append(np.zeros(len(docs), dtype=np.int32))
+            offset += len(docs)
+            max_posting = max(max_posting, len(docs))
+        terms[FACET_FIELD_KEY] = ftmap
+
+        from fugu_tpu.ops.buckets import l_bucket
+
+        n_entries = offset
+        pad = l_bucket(max_posting)
+        size = n_entries + pad
+        e_doc = np.full(size, DOC_SENTINEL, dtype=np.int32)
+        e_tf = np.zeros(size, dtype=np.int32)
+        e_fid = np.zeros(size, dtype=np.int32)
+        if n_entries:
+            e_doc[:n_entries] = np.concatenate(packs_doc)
+            e_tf[:n_entries] = np.concatenate(packs_tf)
+            e_fid[:n_entries] = np.concatenate(packs_fid)
+
+        return Segment(
+            schema=self.schema,
+            doc_count=self._doc_count,
+            n_entries=n_entries,
+            e_doc=e_doc,
+            e_tf=e_tf,
+            e_fid=e_fid,
+            terms=terms,
+            fieldnorm_ids=fieldnorm_ids,
+            total_tokens=total_tokens,
+            stored=self._stored,
+            pos_data=pos_data,
+            pos_offsets=pos_offsets,
+            field_entry_base=field_entry_base,
+            tombstones=np.zeros(self._doc_count, dtype=bool),
+        )
 
     def build(self) -> "Segment":
+        if self.use_native:
+            return self._build_native()
         fields = sorted(self._postings.keys())
         packs_doc: List[np.ndarray] = []
         packs_tf: List[np.ndarray] = []
@@ -323,18 +448,39 @@ class Segment:
     # -- device --------------------------------------------------------------
 
     def device_pack(self):
-        """Upload (and cache) the entry pack + tombstone bitset to device."""
+        """Upload (and cache) the entry pack + tombstone bitset to device.
+
+        Array lengths are padded to a coarse power-of-two ladder: the jit
+        signature includes these shapes, so without bucketing every
+        segment size would compile a fresh program (~minutes each on this
+        stack).  Padding is sentinel/zero and invisible to the kernel.
+        """
         if self._device_pack is None:
             import jax.numpy as jnp
 
-            n_words = max((self.doc_count + 31) // 32, 1)
+            size = _pow2_bucket(len(self.e_doc))
+            e_doc = np.full(size, DOC_SENTINEL, dtype=np.int32)
+            e_doc[: len(self.e_doc)] = self.e_doc
+            e_tf = np.zeros(size, dtype=np.int32)
+            e_tf[: len(self.e_tf)] = self.e_tf
+            e_fid = np.zeros(size, dtype=np.int32)
+            e_fid[: len(self.e_fid)] = self.e_fid
+
+            n_words = _pow2_bucket(max((self.doc_count + 31) // 32, 1))
             tomb_words = np.zeros(n_words, dtype=np.uint32)
             idx = np.nonzero(self.tombstones)[0]
             np.bitwise_or.at(tomb_words, idx >> 5, np.uint32(1) << (idx & 31))
             self._device_pack = (
-                jnp.asarray(self.e_doc),
-                jnp.asarray(self.e_tf),
-                jnp.asarray(self.e_fid),
+                jnp.asarray(e_doc),
+                jnp.asarray(e_tf),
+                jnp.asarray(e_fid),
                 jnp.asarray(tomb_words),
             )
         return self._device_pack
+
+
+def _pow2_bucket(n: int) -> int:
+    p = 1024
+    while p < n:
+        p <<= 1
+    return p

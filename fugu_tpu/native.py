@@ -1,0 +1,215 @@
+"""ctypes binding for the native (C++) analyzer/postings builder.
+
+Loads ``native/libfugu_native.so`` (built by ``make -C native`` or
+``python -m fugu_tpu.native --build``).  Falls back cleanly when the
+library is missing — every caller must treat ``load()`` returning None
+as "use the Python path".  Parity with fugu_tpu.analysis is enforced by
+tests/test_native.py; the Unicode tables are generated from the running
+CPython so the two cannot drift.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+NATIVE_DIR = Path(__file__).parent.parent / "native"
+LIB_PATH = NATIVE_DIR / "libfugu_native.so"
+
+
+def build_library() -> bool:
+    """Compile the shared library (g++ is baked into the image)."""
+    try:
+        subprocess.run(
+            [sys.executable, str(NATIVE_DIR / "gen_unicode_tables.py")],
+            check=True,
+            capture_output=True,
+        )
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-std=c++17",
+                "-shared",
+                "-fPIC",
+                str(NATIVE_DIR / "fugu_native.cc"),
+                "-o",
+                str(LIB_PATH),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("FUGU_NO_NATIVE"):
+        return None
+    if not LIB_PATH.exists():
+        if not build_library():
+            return None
+    try:
+        lib = ctypes.CDLL(str(LIB_PATH))
+    except OSError:
+        return None
+    lib.fugu_builder_new.restype = ctypes.c_void_p
+    lib.fugu_builder_add_doc.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
+    lib.fugu_builder_finish.restype = ctypes.c_void_p
+    lib.fugu_builder_finish.argtypes = [ctypes.c_void_p]
+    lib.fugu_builder_free.argtypes = [ctypes.c_void_p]
+    for name in (
+        "fugu_result_n_terms",
+        "fugu_result_n_postings",
+        "fugu_result_n_positions",
+        "fugu_result_term_blob_size",
+        "fugu_result_n_docs",
+        "fugu_tokens_count",
+        "fugu_tokens_blob_size",
+    ):
+        getattr(lib, name).restype = ctypes.c_int64
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.fugu_result_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 8
+    lib.fugu_result_free.argtypes = [ctypes.c_void_p]
+    lib.fugu_tokenize.restype = ctypes.c_void_p
+    lib.fugu_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.fugu_tokens_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+    lib.fugu_tokens_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def tokenize(text: str) -> List[Tuple[str, int]]:
+    """(token, position) pairs via the native tokenizer."""
+    lib = load()
+    assert lib is not None
+    data = text.encode("utf-8")
+    h = lib.fugu_tokenize(data, len(data))
+    try:
+        n = lib.fugu_tokens_count(h)
+        blob_n = lib.fugu_tokens_blob_size(h)
+        blob = ctypes.create_string_buffer(max(blob_n, 1))
+        lens = np.zeros(max(n, 1), dtype=np.int32)
+        poss = np.zeros(max(n, 1), dtype=np.int32)
+        lib.fugu_tokens_copy(
+            h,
+            blob,
+            lens.ctypes.data_as(ctypes.c_void_p),
+            poss.ctypes.data_as(ctypes.c_void_p),
+        )
+        out = []
+        off = 0
+        raw = blob.raw[:blob_n]
+        for i in range(n):
+            ln = int(lens[i])
+            out.append((raw[off : off + ln].decode("utf-8"), int(poss[i])))
+            off += ln
+        return out
+    finally:
+        lib.fugu_tokens_free(h)
+
+
+class NativeFieldAccumulator:
+    """Per-field postings accumulation in C++."""
+
+    def __init__(self):
+        self._lib = load()
+        assert self._lib is not None
+        self._h = self._lib.fugu_builder_new()
+        self.n_docs = 0
+
+    def add_doc(self, values: List[str]) -> None:
+        data = b"".join(v.encode("utf-8") for v in values)
+        offsets = np.zeros(len(values) + 1, dtype=np.int64)
+        acc = 0
+        for i, v in enumerate(values):
+            acc += len(v.encode("utf-8"))
+            offsets[i + 1] = acc
+        self._lib.fugu_builder_add_doc(
+            self._h,
+            data,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(values),
+        )
+        self.n_docs += 1
+
+    def finish(self):
+        """-> (terms, dfs, docs, tfs, pos_offsets, pos_data, token_counts)."""
+        lib = self._lib
+        r = lib.fugu_builder_finish(self._h)
+        lib.fugu_builder_free(self._h)
+        self._h = None
+        try:
+            n_terms = lib.fugu_result_n_terms(r)
+            n_post = lib.fugu_result_n_postings(r)
+            n_pos = lib.fugu_result_n_positions(r)
+            blob_n = lib.fugu_result_term_blob_size(r)
+            n_docs = lib.fugu_result_n_docs(r)
+            blob = ctypes.create_string_buffer(max(blob_n, 1))
+            term_lens = np.zeros(max(n_terms, 1), dtype=np.int32)
+            term_dfs = np.zeros(max(n_terms, 1), dtype=np.int32)
+            post_docs = np.zeros(max(n_post, 1), dtype=np.int32)
+            post_tfs = np.zeros(max(n_post, 1), dtype=np.int32)
+            pos_offsets = np.zeros(n_post + 1, dtype=np.int64)
+            pos_data = np.zeros(max(n_pos, 1), dtype=np.int32)
+            token_counts = np.zeros(max(n_docs, 1), dtype=np.int64)
+            lib.fugu_result_copy(
+                r,
+                blob,
+                term_lens.ctypes.data_as(ctypes.c_void_p),
+                term_dfs.ctypes.data_as(ctypes.c_void_p),
+                post_docs.ctypes.data_as(ctypes.c_void_p),
+                post_tfs.ctypes.data_as(ctypes.c_void_p),
+                pos_offsets.ctypes.data_as(ctypes.c_void_p),
+                pos_data.ctypes.data_as(ctypes.c_void_p),
+                token_counts.ctypes.data_as(ctypes.c_void_p),
+            )
+            terms = []
+            off = 0
+            raw = blob.raw[:blob_n]
+            for i in range(n_terms):
+                ln = int(term_lens[i])
+                terms.append(raw[off : off + ln].decode("utf-8"))
+                off += ln
+            return (
+                terms,
+                term_dfs[:n_terms],
+                post_docs[:n_post],
+                post_tfs[:n_post],
+                pos_offsets,
+                pos_data[:n_pos],
+                token_counts[:n_docs],
+            )
+        finally:
+            lib.fugu_result_free(r)
+
+
+if __name__ == "__main__":
+    if "--build" in sys.argv:
+        ok = build_library()
+        print("built" if ok else "build failed")
+        sys.exit(0 if ok else 1)
+    print("native available:", available())

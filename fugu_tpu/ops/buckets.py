@@ -1,20 +1,26 @@
 """Static-shape bucketing policy.
 
 Everything under ``jit`` must have static shapes; query postings don't.
-We bucket the three degrees of freedom — clause count T, longest posting
-window L, total entry count E — to a small fixed ladder so the number of
-distinct compiled programs stays bounded (SURVEY.md §7 "Dynamic-shape
-postings vs static-shape kernels").
+We bucket the degrees of freedom — clause count T, longest posting
+window L, total entry count E, result size K, and query batch size B —
+to small fixed ladders so the number of distinct compiled programs stays
+bounded (SURVEY.md §7 "Dynamic-shape postings vs static-shape kernels").
+The ladders are deliberately coarse: on this stack each new program
+costs ~O(minutes) of (remote) XLA compilation, so fewer/larger buckets
+beat tighter padding.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-T_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
-# lane-aligned (multiples of 128) posting-window ladder, ~4x steps
-L_BUCKETS = (128, 512, 2048, 8192, 32768, 131072, 524288, 2097152, 8388608)
-K_BUCKETS = (16, 64, 256, 1024, 4096)
+T_BUCKETS = (1, 4, 16, 64)
+# posting-window ladder (lane-aligned), coarse ~16x steps
+L_BUCKETS = (512, 8192, 131072, 2097152, 8388608)
+# total-entries ladder gets intermediate rungs (sums of several windows)
+E_BUCKETS = (512, 8192, 32768, 131072, 524288, 2097152, 8388608, 33554432)
+K_BUCKETS = (16, 256, 4096)
+B_BUCKETS = (1, 8, 64)
 
 
 def bucket(value: int, ladder: Sequence[int]) -> int:
@@ -33,8 +39,12 @@ def l_bucket(max_len: int) -> int:
 
 
 def e_bucket(total: int) -> int:
-    return bucket(max(total, 1), L_BUCKETS)
+    return bucket(max(total, 1), E_BUCKETS)
 
 
 def k_bucket(k: int) -> int:
     return bucket(max(k, 1), K_BUCKETS)
+
+
+def b_bucket(n: int) -> int:
+    return bucket(max(n, 1), B_BUCKETS)

@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fugu_tpu import jax_setup
 from fugu_tpu.index.segment import DOC_SENTINEL, FACET_FIELD_KEY, Segment
+
+jax_setup.configure()
 from fugu_tpu.ops import buckets
 from fugu_tpu.query import (
     B,
@@ -57,6 +60,41 @@ def _decode_fid(fid):
     return jnp.where(fid < 24, fid, 24 + f4)
 
 
+def merge_sorted_rows(keys, *payloads):
+    """Merge T sorted rows [T, L] into one sorted flat array [T*L].
+
+    A bitonic merge *network*, not a full sort: each level pairs rows
+    (second one reversed → bitonic), then runs log2(2M) compare-exchange
+    passes expressed as reshapes + min/max — pure VPU work XLA fuses
+    well, an order of magnitude fewer passes than ``lax.sort`` on the
+    concatenation.  T and L must be powers of two (bucketing guarantees
+    it); ascending; sentinel keys sink to the tail.
+    """
+    arrs = (keys,) + payloads
+    T, L = keys.shape
+    while T > 1:
+        # pair rows: a = even rows, b = odd rows reversed -> bitonic
+        a = [x[0::2] for x in arrs]
+        b = [jnp.flip(x[1::2], axis=-1) for x in arrs]
+        arrs = [jnp.concatenate([xa, xb], axis=-1) for xa, xb in zip(a, b)]
+        T //= 2
+        M = arrs[0].shape[-1]
+        s = M // 2
+        while s >= 1:
+            shaped = [x.reshape(T, M // (2 * s), 2, s) for x in arrs]
+            lo = [x[:, :, 0, :] for x in shaped]
+            hi = [x[:, :, 1, :] for x in shaped]
+            swap = lo[0] > hi[0]
+            new_lo = [jnp.where(swap, h, l) for l, h in zip(lo, hi)]
+            new_hi = [jnp.where(swap, l, h) for l, h in zip(lo, hi)]
+            arrs = [
+                jnp.stack([nl, nh], axis=2).reshape(T, M)
+                for nl, nh in zip(new_lo, new_hi)
+            ]
+            s //= 2
+    return tuple(x.reshape(-1) for x in arrs)
+
+
 class ClauseArgs(NamedTuple):
     """Per-clause device operands (host-staged numpy, padded to T)."""
 
@@ -68,11 +106,7 @@ class ClauseArgs(NamedTuple):
     gbits: np.ndarray    # uint32[T] 1 << group_id
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("t_pad", "l_pad", "e_pad", "k", "need_bits", "single_clause"),
-)
-def segment_topk(
+def segment_topk_impl(
     e_doc: jax.Array,
     e_tf: jax.Array,
     e_fid: jax.Array,
@@ -177,6 +211,89 @@ def segment_topk(
     return top_scores, doc_s[idx]
 
 
+segment_topk = jax.jit(
+    segment_topk_impl,
+    static_argnames=("t_pad", "l_pad", "e_pad", "k", "need_bits", "single_clause"),
+)
+
+
+def segment_topk_merge_impl(
+    e_doc,
+    e_tf,
+    e_fid,
+    tomb_words,
+    starts,
+    lens,
+    weights,
+    c1,
+    c2,
+    gbits,
+    must_mask,
+    mustnot_mask,
+    should_mask,
+    *,
+    t_pad: int,
+    l_pad: int,
+    k: int,
+    need_bits: bool,
+):
+    """Merge-network scoring kernel (the fast path).
+
+    vs segment_topk_impl: clause windows stay stacked [T, L] (no packed
+    scatter), the T-way bitonic merge replaces the full sort, and —
+    because each clause contributes a doc at most once, so runs have
+    length <= T — per-doc aggregation is T-1 static shifted adds instead
+    of a log-N segmented scan.  Compile signature loses the E dimension.
+    """
+    lane = jnp.arange(l_pad, dtype=jnp.int32)
+
+    doc_rows, con_rows, bit_rows = [], [], []
+    for t in range(t_pad):
+        s = starts[t]
+        docs = jax.lax.dynamic_slice(e_doc, (s,), (l_pad,))
+        tfs = jax.lax.dynamic_slice(e_tf, (s,), (l_pad,))
+        fids = jax.lax.dynamic_slice(e_fid, (s,), (l_pad,))
+        valid = lane < lens[t]
+        tff = tfs.astype(jnp.float32)
+        denom = tff + c1[t] + c2[t] * _decode_fid(fids).astype(jnp.float32)
+        con_rows.append(jnp.where(valid, weights[t] * tff / denom, 0.0))
+        doc_rows.append(jnp.where(valid, docs, jnp.int32(DOC_SENTINEL)))
+        bit_rows.append(jnp.where(valid, gbits[t], jnp.uint32(0)))
+
+    if t_pad == 1:
+        doc_s, con_s, bit_s = doc_rows[0], con_rows[0], bit_rows[0]
+    else:
+        doc_s, con_s, bit_s = merge_sorted_rows(
+            jnp.stack(doc_rows), jnp.stack(con_rows), jnp.stack(bit_rows)
+        )
+
+    # aggregate runs (length <= t_pad) with backward shifts
+    total = con_s
+    bits_total = bit_s
+    for w in range(1, t_pad):
+        pd = jnp.concatenate([jnp.full(w, -1, doc_s.dtype), doc_s[:-w]])
+        pc = jnp.concatenate([jnp.zeros(w, con_s.dtype), con_s[:-w]])
+        pb = jnp.concatenate([jnp.zeros(w, bit_s.dtype), bit_s[:-w]])
+        m = pd == doc_s
+        total = total + jnp.where(m, pc, 0.0)
+        if need_bits:
+            bits_total = bits_total | jnp.where(m, pb, jnp.uint32(0))
+
+    end_flag = jnp.concatenate([doc_s[1:] != doc_s[:-1], jnp.ones(1, dtype=bool)])
+    ok = end_flag & (doc_s != jnp.int32(DOC_SENTINEL))
+    if need_bits:
+        ok &= (bits_total & must_mask) == must_mask
+        ok &= (bits_total & mustnot_mask) == 0
+        ok &= ((bits_total & should_mask) != 0) | (should_mask == 0)
+    word = tomb_words[jnp.clip(doc_s >> 5, 0, tomb_words.shape[0] - 1)]
+    ok &= ((word >> (doc_s & 31).astype(jnp.uint32)) & 1) == 0
+
+    score = jnp.where(ok, total, NEG_INF)
+    kk = min(k, t_pad * l_pad)
+    top_scores, idx = jax.lax.top_k(score, kk)
+    return top_scores, doc_s[idx]
+
+
 def stage_clauses(
     segment: Segment,
     plan: QueryPlan,
@@ -271,63 +388,148 @@ def stage_clauses(
     return args, must_mask, mustnot_mask, should_mask, has_constraints
 
 
+@functools.partial(
+    jax.jit, static_argnames=("t_pad", "l_pad", "k", "need_bits")
+)
+def segment_topk_batch(
+    e_doc,
+    e_tf,
+    e_fid,
+    tomb_words,
+    starts,     # int32[B, T]
+    lens,
+    weights,    # float32[B, T]
+    c1,
+    c2,
+    gbits,      # uint32[B, T]
+    must,       # uint32[B]
+    mustnot,
+    should,
+    *,
+    t_pad,
+    l_pad,
+    k,
+    need_bits,
+):
+    """Query-batched merge-network kernel: one dispatch scores B queries.
+
+    On this stack a device round trip costs ~30ms while the per-query
+    compute is ~1ms — batching is the difference between losing to a
+    single CPU core and beating it by orders of magnitude.
+    """
+
+    def one(s, l, w, a1, a2, g, m, mn, sh):
+        return segment_topk_merge_impl(
+            e_doc, e_tf, e_fid, tomb_words, s, l, w, a1, a2, g, m, mn, sh,
+            t_pad=t_pad, l_pad=l_pad, k=k, need_bits=need_bits,
+        )
+
+    return jax.vmap(one)(starts, lens, weights, c1, c2, gbits, must, mustnot, should)
+
+
+#: cap on B*T*L lanes per dispatch (memory + compile-shape control)
+MAX_BATCH_LANES = 64 * 1024 * 1024
+#: merge kernel handles up to this many clauses; beyond -> oracle
+MERGE_MAX_T = 16
+
+
+def device_search_batch(
+    segment: Segment,
+    plans: Sequence[QueryPlan],
+    stats,
+    limit: int,
+) -> List[Optional[List[Tuple[float, int]]]]:
+    """Run many queries over one segment with batched device dispatches.
+
+    Returns one entry per plan: [(score, local_doc)] (score desc, doc asc),
+    [] when the plan provably matches nothing, or None when that plan must
+    take the oracle fallback (match_all / phrases / >32 constrained groups
+    / beyond the largest bucket).
+    """
+    results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
+    k = buckets.k_bucket(limit)
+    groups: dict = {}
+    for i, plan in enumerate(plans):
+        if plan.match_all or plan.has_phrase:
+            continue
+        n_clauses = sum(len(g.clauses) for g in plan.groups)
+        t_pad = buckets.t_bucket(max(n_clauses, 1))
+        if t_pad > MERGE_MAX_T:
+            continue  # fallback
+        args, must, mustnot, should, need_bits = stage_clauses(
+            segment, plan, stats, t_pad
+        )
+        if args is None:
+            has_constraints = any(g.occur is not Occur.SHOULD for g in plan.groups)
+            if has_constraints and len(plan.groups) > 32:
+                continue  # fallback
+            results[i] = []  # no clause has postings -> provably empty
+            continue
+        max_len = int(args.lens.max())
+        if max_len > buckets.L_BUCKETS[-1]:
+            continue  # fallback
+        l_pad = buckets.l_bucket(max_len)
+        sig = (t_pad, l_pad, need_bits)
+        groups.setdefault(sig, []).append((i, args, must, mustnot, should))
+
+    for (t_pad, l_pad, need_bits), items in groups.items():
+        e_docd, e_tfd, e_fidd, tombd = segment.device_pack()
+        b_cap = max(1, MAX_BATCH_LANES // (t_pad * l_pad))
+        b_allowed = max([b for b in buckets.B_BUCKETS if b <= b_cap] or [1])
+        pos = 0
+        while pos < len(items):
+            b_pad = min(buckets.b_bucket(len(items) - pos), b_allowed)
+            chunk = items[pos : pos + b_pad]
+            pos += len(chunk)
+            n = len(chunk)
+            starts = np.zeros((b_pad, t_pad), dtype=np.int32)
+            lens = np.zeros((b_pad, t_pad), dtype=np.int32)
+            weights = np.zeros((b_pad, t_pad), dtype=np.float32)
+            c1 = np.ones((b_pad, t_pad), dtype=np.float32)
+            c2 = np.zeros((b_pad, t_pad), dtype=np.float32)
+            gbits = np.zeros((b_pad, t_pad), dtype=np.uint32)
+            must = np.zeros(b_pad, dtype=np.uint32)
+            mustnot = np.zeros(b_pad, dtype=np.uint32)
+            should = np.zeros(b_pad, dtype=np.uint32)
+            for j, (_, a, m, mn, sh) in enumerate(chunk):
+                starts[j], lens[j] = a.starts, a.lens
+                weights[j], c1[j], c2[j], gbits[j] = a.weights, a.c1, a.c2, a.gbits
+                must[j], mustnot[j], should[j] = m, mn, sh
+            scores, docs = segment_topk_batch(
+                e_docd,
+                e_tfd,
+                e_fidd,
+                tombd,
+                jnp.asarray(starts),
+                jnp.asarray(lens),
+                jnp.asarray(weights),
+                jnp.asarray(c1),
+                jnp.asarray(c2),
+                jnp.asarray(gbits),
+                jnp.asarray(must),
+                jnp.asarray(mustnot),
+                jnp.asarray(should),
+                t_pad=t_pad,
+                l_pad=l_pad,
+                k=k,
+                need_bits=need_bits,
+            )
+            scores = np.asarray(scores)
+            docs = np.asarray(docs)
+            for j, (i, *_rest) in enumerate(chunk):
+                keep = np.isfinite(scores[j])
+                results[i] = [
+                    (float(s), int(d))
+                    for s, d in zip(scores[j][keep], docs[j][keep])
+                ][:limit]
+    return results
+
+
 def device_search_segment(
     segment: Segment,
     plan: QueryPlan,
     stats,
     limit: int,
 ) -> Optional[List[Tuple[float, int]]]:
-    """Run one query over one segment on device.
-
-    Returns [(score, local_doc)] sorted by score desc / doc asc, or None
-    if this plan must use the oracle fallback.
-    """
-    n_clauses = sum(len(g.clauses) for g in plan.groups)
-    t_pad = buckets.t_bucket(n_clauses)
-    staged = stage_clauses(segment, plan, stats, t_pad)
-    args, must_mask, mustnot_mask, should_mask, need_bits = staged
-    if args is None:
-        return None
-
-    active = int((args.lens > 0).sum())
-    max_len = int(args.lens.max()) if active else 1
-    l_pad = buckets.l_bucket(max_len)
-    total = int(args.lens.sum())
-    if total > buckets.L_BUCKETS[-1] or max_len > buckets.L_BUCKETS[-1]:
-        return None  # beyond the largest static bucket: oracle fallback
-    e_pad = buckets.e_bucket(total)
-    k = buckets.k_bucket(limit)
-    single = active == 1 and not need_bits
-
-    e_docd, e_tfd, e_fidd, tombd = segment.device_pack()
-    if single:
-        # move the one active clause to slot 0
-        i = int(np.nonzero(args.lens)[0][0])
-        args = ClauseArgs(*(np.roll(a, -i) for a in args))
-
-    scores, docs = segment_topk(
-        e_docd,
-        e_tfd,
-        e_fidd,
-        tombd,
-        jnp.asarray(args.starts),
-        jnp.asarray(args.lens),
-        jnp.asarray(args.weights),
-        jnp.asarray(args.c1),
-        jnp.asarray(args.c2),
-        jnp.asarray(args.gbits),
-        jnp.uint32(must_mask),
-        jnp.uint32(mustnot_mask),
-        jnp.uint32(should_mask),
-        t_pad=t_pad,
-        l_pad=l_pad,
-        e_pad=e_pad,
-        k=k,
-        need_bits=need_bits,
-        single_clause=single,
-    )
-    scores = np.asarray(scores)
-    docs = np.asarray(docs)
-    keep = np.isfinite(scores)
-    out = [(float(s), int(d)) for s, d in zip(scores[keep], docs[keep])]
-    return out[:limit]
+    """Single-query convenience wrapper over device_search_batch."""
+    return device_search_batch(segment, [plan], stats, limit)[0]

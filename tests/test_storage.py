@@ -1,0 +1,102 @@
+"""Object-store spill tier tests (filesystem backend; s3/mod.rs parity)."""
+
+import time
+
+import pytest
+
+from fugu_tpu.engine.dataset import Dataset
+from fugu_tpu.records import ObjectRecord
+from fugu_tpu.storage.spill import (
+    CachePolicy,
+    FileSystemLocation,
+    RemoteLocation,
+    S3Location,
+    SegmentSpiller,
+)
+
+
+def test_s3_location_url_codec():
+    loc = S3Location.from_url("s3://mybucket/path/to/key.npz")
+    assert loc.bucket == "mybucket"
+    assert loc.key == "path/to/key.npz"
+    assert loc.to_url() == "s3://mybucket/path/to/key.npz"
+
+
+def test_s3_location_http_codec():
+    loc = S3Location.from_url("https://fugu.sfo3.digitaloceanspaces.com/seg/abc")
+    assert loc.bucket == "fugu"
+    assert loc.endpoint == "https://sfo3.digitaloceanspaces.com"
+    assert loc.key == "seg/abc"
+    assert loc.to_http_url() == "https://fugu.sfo3.digitaloceanspaces.com/seg/abc"
+
+
+def test_s3_location_env(monkeypatch):
+    monkeypatch.setenv("S3_FUGU_BUCKET", "envbucket")
+    monkeypatch.setenv("S3_ENDPOINT", "https://example.com")
+    loc = S3Location.from_env("k")
+    assert loc.bucket == "envbucket"
+    assert loc.endpoint == "https://example.com"
+
+
+@pytest.mark.parametrize("bad", ["s3://", "s3://onlybucket", "ftp://x/y"])
+def test_bad_urls(bad):
+    with pytest.raises(ValueError):
+        S3Location.from_url(bad)
+
+
+def test_filesystem_roundtrip(tmp_path):
+    loc = RemoteLocation.from_url(str(tmp_path / "sub" / "file.bin"))
+    loc.raw_upload(b"hello spill")
+    assert loc.raw_fetch() == b"hello spill"
+
+
+def test_cache_policy_ttl(tmp_path):
+    cache = CachePolicy(tmp_path / "cache", ttl=0.2)
+    cache.put("name", b"data1")
+    assert cache.get("name") == b"data1"
+    time.sleep(0.25)
+    assert cache.get("name") is None  # stale
+
+
+def test_cache_hash_mismatch_rejected(tmp_path):
+    cache = CachePolicy(tmp_path / "cache", ttl=100)
+    cache.put("n", b"data")
+    # corrupt the data file
+    k = cache._key("n")
+    (cache.root / "data" / k).write_bytes(b"tampered")
+    assert cache.get("n") is None
+
+
+def test_segment_spill_restore(tmp_path):
+    data_dir = tmp_path / "data"
+    remote = tmp_path / "remote"
+    ds = Dataset("cold", data_dir, use_device=False)
+    ds.ingest(
+        [ObjectRecord(id=f"c{i}", text=f"cold storage doc {i}", namespace="cold") for i in range(5)]
+    )
+    assert ds.search("cold storage", [], 0, 10)
+
+    ds.spill(str(remote))
+    # local segment files gone, spilled markers present
+    docs_dir = data_dir / "cold" / "docs"
+    assert not list(docs_dir.glob("seg-*.npz"))
+    assert list(docs_dir.glob("seg-*.spilled"))
+    assert ds.stats().docs_count == 0  # unloaded
+
+    ds.restore(str(remote))
+    assert ds.stats().docs_count == 5
+    res = ds.search("cold storage", [], 0, 10)
+    assert len(res) == 5
+
+
+def test_spilled_namespace_reopens_after_restart(tmp_path):
+    data_dir = tmp_path / "data"
+    remote = tmp_path / "remote"
+    ds = Dataset("ns", data_dir, use_device=False)
+    ds.ingest([ObjectRecord(id="a", text="alpha beta", namespace="ns")])
+    ds.spill(str(remote))
+
+    ds2 = Dataset("ns", data_dir, use_device=False)
+    # segments are spilled: not loadable until restore
+    ds2.restore(str(remote))
+    assert [r.id for r in ds2.search("alpha", [], 0, 10)] == ["a"]

@@ -172,6 +172,9 @@ class Dataset:
         filters: Sequence[str],
         page: int,
         per_page: int,
+        k1: Optional[float] = None,
+        b: Optional[float] = None,
+        min_score: Optional[float] = None,
     ) -> List[FuguSearchResult]:
         parsed = parse_filters(filters)
         wildcard_patterns = [
@@ -183,6 +186,12 @@ class Dataset:
         ]
 
         plan = self.build_search_plan(query, non_wildcard, has_wildcard)
+        if k1 is not None or b is not None:
+            plan = dataclasses.replace(
+                plan,
+                k1=k1 if k1 is not None else plan.k1,
+                b=b if b is not None else plan.b,
+            )
 
         offset = page * per_page
         search_limit = (offset + per_page) * 10 if has_wildcard else offset + per_page
@@ -203,6 +212,8 @@ class Dataset:
                 results.append(result)
             if len(results) >= offset + per_page:
                 break
+        if min_score is not None:
+            results = [r for r in results if r.score >= min_score]
         return results[offset : offset + per_page]
 
     def search_many(

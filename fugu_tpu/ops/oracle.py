@@ -132,7 +132,9 @@ def score_segment(
 
     def cache_for(field: str) -> np.ndarray:
         if field not in caches:
-            caches[field] = fieldnorm_cache(stats.avg_fieldnorm(field))
+            caches[field] = fieldnorm_cache(
+                stats.avg_fieldnorm(field), plan.k1, plan.b
+            )
         return caches[field]
 
     for group in plan.groups:
@@ -144,7 +146,7 @@ def score_segment(
                 dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
                 # Tantivy PhraseWeight: BM25 weight from the max doc_freq
                 # among the phrase terms.
-                w = bm25_weight(max(dfs), stats.doc_count, pc.boost)
+                w = bm25_weight(max(dfs), stats.doc_count, pc.boost, plan.k1)
                 fids = segment.fieldnorm_ids[pc.field][docs].astype(np.int64)
                 comp = ptf.astype(np.float32) / (
                     ptf.astype(np.float32) + cache_for(pc.field)[fids]
@@ -166,7 +168,7 @@ def score_segment(
                 df = stats.doc_freq(clause.field, clause.term)
                 if df == 0:
                     continue
-                w = bm25_weight(df, stats.doc_count, clause.boost)
+                w = bm25_weight(df, stats.doc_count, clause.boost, plan.k1)
                 comp = tfs.astype(np.float32) / (
                     tfs.astype(np.float32) + cache_for(clause.field)[fids.astype(np.int64)]
                 )

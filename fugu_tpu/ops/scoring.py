@@ -318,8 +318,8 @@ def stage_clauses(
     must_mask = 0
     mustnot_mask = 0
     should_mask = 0
-    k1 = float(K1)
-    b = float(B)
+    k1 = float(plan.k1)
+    b = float(plan.b)
 
     n_groups = len(plan.groups)
     has_constraints = any(g.occur is not Occur.SHOULD for g in plan.groups)
@@ -352,7 +352,9 @@ def stage_clauses(
                 if df == 0:
                     continue
                 avg = stats.avg_fieldnorm(clause.field)
-                weights.append(float(bm25_weight(df, stats.doc_count, clause.boost)))
+                weights.append(
+                    float(bm25_weight(df, stats.doc_count, clause.boost, k1))
+                )
                 c1s.append(k1 * (1.0 - b))
                 c2s.append(k1 * b / avg if avg > 0 else 0.0)
             starts.append(info.start if info else 0)

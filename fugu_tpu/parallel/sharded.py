@@ -127,7 +127,7 @@ class ShardedPack:
         c2 = np.zeros(t_pad, dtype=np.float32)
         gbits = np.zeros(t_pad, dtype=np.uint32)
         must = mustnot = should = 0
-        k1, b = float(K1), float(B)
+        k1, b = float(plan.k1), float(plan.b)
         ti = 0
         has_constraints = any(g.occur is not Occur.SHOULD for g in plan.groups)
         if has_constraints and len(plan.groups) > 32:
@@ -154,7 +154,9 @@ class ShardedPack:
                     if df == 0:
                         continue
                     avg = stats.avg_fieldnorm(clause.field)
-                    weights[ti] = float(bm25_weight(df, stats.doc_count, clause.boost))
+                    weights[ti] = float(
+                        bm25_weight(df, stats.doc_count, clause.boost, k1)
+                    )
                     c1[ti] = k1 * (1.0 - b)
                     c2[ti] = k1 * b / avg if avg > 0 else 0.0
                     field, term = clause.field, clause.term

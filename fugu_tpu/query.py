@@ -81,6 +81,10 @@ class QueryPlan:
     groups: Tuple[QueryGroup, ...] = ()
     match_all: bool = False
     require_should: bool = True
+    #: per-query BM25 constants (API.md:30-40 `bm25_k1`/`bm25_b` knobs —
+    #: documented in the reference but never implemented there)
+    k1: float = float(K1)
+    b: float = float(B)
 
     @property
     def has_phrase(self) -> bool:
@@ -114,19 +118,28 @@ def idf(doc_freq: int, doc_count: int) -> np.float32:
     return np.float32(np.log(np.float32(1.0) + x))
 
 
-def bm25_weight(doc_freq: int, doc_count: int, boost: float = 1.0) -> np.float32:
+def bm25_weight(
+    doc_freq: int, doc_count: int, boost: float = 1.0, k1: float = None
+) -> np.float32:
     """idf * (k1 + 1) * boost — the per-term multiplier."""
-    return np.float32(idf(doc_freq, doc_count) * (np.float32(1.0) + K1) * np.float32(boost))
+    k1f = K1 if k1 is None else np.float32(k1)
+    return np.float32(
+        idf(doc_freq, doc_count) * (np.float32(1.0) + k1f) * np.float32(boost)
+    )
 
 
-def fieldnorm_cache(avg_fieldnorm: float) -> np.ndarray:
+def fieldnorm_cache(
+    avg_fieldnorm: float, k1: float = None, b: float = None
+) -> np.ndarray:
     """cache[fid] = k1 * (1 - b + b * decode(fid) / avg)  (f32[256]).
 
     Tantivy precomputes this 256-entry table per (field, searcher).
     """
+    k1f = K1 if k1 is None else np.float32(k1)
+    bf = B if b is None else np.float32(b)
     decoded = ids_to_fieldnorms(np.arange(256)).astype(np.float32)
     avg = np.float32(avg_fieldnorm) if avg_fieldnorm > 0 else np.float32(1.0)
-    return (K1 * (np.float32(1.0) - B + B * decoded / avg)).astype(np.float32)
+    return (k1f * (np.float32(1.0) - bf + bf * decoded / avg)).astype(np.float32)
 
 
 def tf_component(tf: np.ndarray, cache_vals: np.ndarray) -> np.ndarray:

@@ -56,6 +56,9 @@ class AppState:
 
     def __init__(self, db: DatasetManager):
         self.db = db
+        from fugu_tpu.server.batcher import SearchBatcher
+
+        self.batcher = SearchBatcher()
 
     async def run_sync(self, fn, *args):
         """Engine calls are CPU-bound sync; keep the event loop free."""
@@ -85,13 +88,14 @@ def _search_response(results, query, page, per_page, took_ms) -> dict:
 
 
 async def _perform_search(state, namespace, query, filters, page, per_page):
-    """perform_search parity (handlers/search.rs:350-402)."""
+    """perform_search parity (handlers/search.rs:350-402), executed through
+    the micro-batcher so concurrent requests share device dispatches."""
     ds = state.db.get_dataset(namespace)
     if ds is None:
         raise KeyError(f"Namespace '{namespace}' not found")
     per_page = _clamp_per_page(per_page)
     with telemetry.Timer() as t:
-        results = await state.run_sync(ds.search, query, filters, page, per_page)
+        results = await state.batcher.search(ds, query, filters, page, per_page)
     return _search_response(results, query, page, per_page, t.took_ms)
 
 
@@ -163,8 +167,8 @@ async def search_endpoint(request: web.Request) -> web.Response:
             return _err("Default dataset not found")
         try:
             with telemetry.Timer() as t:
-                results = await state.run_sync(
-                    ds.search, query, filters, page, per_page
+                results = await state.batcher.search(
+                    ds, query, filters, page, per_page
                 )
         except Exception as e:  # engine errors -> 500 envelope
             return _err(f"Search failed: {e}")
@@ -202,8 +206,8 @@ async def search_namespace_post(request: web.Request) -> web.Response:
             return _err(f"Namespace '{namespace}' not found", 404)
         try:
             with telemetry.Timer() as t:
-                results = await state.run_sync(
-                    ds.search, query, filters, page, _clamp_per_page(per_page)
+                results = await state.batcher.search(
+                    ds, query, filters, page, _clamp_per_page(per_page)
                 )
         except Exception as e:
             return _err(f"Search failed: {e}")
@@ -250,12 +254,44 @@ async def query_json_post(request: web.Request) -> web.Response:
             include_data = not targeting
 
         namespace = payload.get("namespace") or state.db.config.default_namespace
+
+        # intended-API knobs (API.md:30-44 — documented in the reference,
+        # implemented here): bm25_k1 / bm25_b / min_score_threshold /
+        # highlight_snippets
+        k1 = payload.get("bm25_k1")
+        b = payload.get("bm25_b")
+        min_score = payload.get("min_score_threshold")
+        want_highlights = bool(payload.get("highlight_snippets"))
+
         try:
-            out = await _perform_search(
-                state, namespace, payload["query"], filters, page, per_page
-            )
+            if k1 is None and b is None and min_score is None:
+                out = await _perform_search(
+                    state, namespace, payload["query"], filters, page, per_page
+                )
+            else:
+                ds = state.db.get_dataset(namespace)
+                if ds is None:
+                    raise KeyError(f"Namespace '{namespace}' not found")
+                pp = _clamp_per_page(per_page)
+                with telemetry.Timer() as t:
+                    results = await state.run_sync(
+                        lambda: ds.search(
+                            payload["query"], filters, page, pp,
+                            k1=k1, b=b, min_score=min_score,
+                        )
+                    )
+                out = _search_response(results, payload["query"], page, pp, t.took_ms)
         except KeyError as e:
             return _json({"error": f"Search failed: {e}"}, status=500)
+
+        if want_highlights:
+            from fugu_tpu import analysis
+            from fugu_tpu.engine.highlight import highlight
+
+            terms = analysis.tokenize_terms(payload["query"])
+            for item in out["results"]:
+                if "text" in item and item["text"]:
+                    item["snippet"] = highlight(item["text"], terms)
         out = _strip_text(out, include_text)
         if developer_message:
             out["developer_message"] = developer_message

@@ -1,0 +1,98 @@
+"""Serving micro-batcher: coalesce concurrent searches into one dispatch.
+
+The device engine is throughput-oriented — one batched dispatch for B
+queries costs barely more than for one (see ops/scoring.py).  Under
+concurrent HTTP load, per-request execution would serialize ~30ms
+dispatches; this batcher parks each request briefly (a few ms) and runs
+every request that arrived in the window through
+``Dataset.search_many`` in a single executor call.
+
+No reference analog: Tantivy executes queries one at a time on a thread
+pool.  This is the TPU-native serving model (same idea as inference
+serving batchers).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from fugu_tpu.engine.dataset import Dataset, FuguSearchResult
+
+
+@dataclasses.dataclass
+class _Pending:
+    query: str
+    filters: Tuple[str, ...]
+    page: int
+    per_page: int
+    future: asyncio.Future
+
+
+class SearchBatcher:
+    """One batcher per process; batches are grouped per (dataset, page,
+    per_page) — mixed paging is rare enough to split batches on."""
+
+    def __init__(self, window_ms: float = 3.0, max_batch: int = 64):
+        self.window_ms = window_ms
+        self.max_batch = max_batch
+        self._queues: Dict[int, List[_Pending]] = {}
+        self._tasks: Dict[int, asyncio.Task] = {}
+        self._datasets: Dict[int, Dataset] = {}
+
+    async def search(
+        self,
+        dataset: Dataset,
+        query: str,
+        filters: Sequence[str],
+        page: int,
+        per_page: int,
+    ) -> List[FuguSearchResult]:
+        key = id(dataset)
+        self._datasets[key] = dataset
+        loop = asyncio.get_running_loop()
+        pending = _Pending(query, tuple(filters), page, per_page, loop.create_future())
+        queue = self._queues.setdefault(key, [])
+        queue.append(pending)
+        if len(queue) >= self.max_batch:
+            self._flush_now(key)
+        elif key not in self._tasks or self._tasks[key].done():
+            self._tasks[key] = asyncio.create_task(self._flush_later(key))
+        return await pending.future
+
+    def _flush_now(self, key: int) -> None:
+        queue = self._queues.get(key)
+        if not queue:
+            return
+        self._queues[key] = []
+        batch = queue[: self.max_batch]
+        rest = queue[self.max_batch :]
+        if rest:
+            self._queues[key] = rest
+        asyncio.create_task(self._run_batch(key, batch))
+
+    async def _flush_later(self, key: int) -> None:
+        await asyncio.sleep(self.window_ms / 1000.0)
+        self._flush_now(key)
+
+    async def _run_batch(self, key: int, batch: List[_Pending]) -> None:
+        dataset = self._datasets[key]
+        # group by paging so search_many's shared limit stays tight
+        by_page: Dict[Tuple[int, int], List[_Pending]] = {}
+        for p in batch:
+            by_page.setdefault((p.page, p.per_page), []).append(p)
+        loop = asyncio.get_running_loop()
+        for (page, per_page), items in by_page.items():
+            queries = [(p.query, list(p.filters)) for p in items]
+            try:
+                results = await loop.run_in_executor(
+                    None, dataset.search_many, queries, page, per_page
+                )
+                for p, res in zip(items, results):
+                    if not p.future.done():
+                        p.future.set_result(res)
+            except Exception as e:  # propagate to every waiter
+                for p in items:
+                    if not p.future.done():
+                        p.future.set_exception(e)

@@ -1,0 +1,72 @@
+"""Intended-API features from the reference's API.md (documented there,
+implemented here): BM25 knobs, min_score_threshold, highlight_snippets."""
+
+import pytest
+
+from fugu_tpu.engine.dataset import Dataset
+from fugu_tpu.engine.highlight import highlight
+from fugu_tpu.records import ObjectRecord
+from tests.test_server import LiveServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    srv = LiveServer(tmp_path_factory.mktemp("apiext"))
+    docs = [
+        {"id": "h1", "text": "the quick brown fox jumps over the lazy dog"},
+        {"id": "h2", "text": "a fox " + "filler " * 40 + "fox den at the end"},
+        {"id": "h3", "text": "nothing relevant here"},
+    ]
+    status, _ = srv.post_json("/ingest", {"data": docs})
+    assert status == 200
+    yield srv
+    srv.stop()
+
+
+def test_bm25_knobs_change_scores(server):
+    _, base = server.post_json("/search/json", {"query": "fox", "text": True})
+    _, flat = server.post_json(
+        "/search/json", {"query": "fox", "text": True, "bm25_b": 0.0}
+    )
+    assert base["results"] and flat["results"]
+    # with b=0 length normalization is off -> scores differ
+    assert base["results"][0]["score"] != flat["results"][0]["score"]
+
+
+def test_min_score_threshold(server):
+    _, out = server.post_json(
+        "/search/json", {"query": "fox", "min_score_threshold": 1e9}
+    )
+    assert out["results"] == []
+
+
+def test_highlight_snippets(server):
+    _, out = server.post_json(
+        "/search/json", {"query": "fox", "text": True, "highlight_snippets": True}
+    )
+    snips = {r["id"]: r["snippet"] for r in out["results"]}
+    assert "<em>fox</em>" in snips["h1"]
+
+
+def test_highlight_function_windows():
+    text = "aaa bbb target ccc " + "x " * 200 + "target again"
+    snip = highlight(text, ["target"])
+    assert "<em>target</em>" in snip
+    assert len(snip) < len(text)
+    # no matches -> plain truncation
+    assert highlight("short text", ["absent"]) == "short text"
+
+
+def test_dataset_knobs_direct(tmp_path):
+    ds = Dataset("kn", tmp_path, use_device=False)
+    ds.ingest(
+        [
+            ObjectRecord(id="a", text="word short", namespace="kn"),
+            ObjectRecord(id="b", text="word " + "pad " * 50, namespace="kn"),
+        ]
+    )
+    default = ds.search("word", [], 0, 10)
+    no_norm = ds.search("word", [], 0, 10, b=0.0)
+    # b=0: doc length no longer matters -> equal scores
+    assert no_norm[0].score == pytest.approx(no_norm[1].score, rel=1e-6)
+    assert default[0].score != pytest.approx(default[1].score, rel=1e-6)

@@ -275,6 +275,7 @@ class Dataset:
                 query,
                 default_fields=("text", "name"),
                 known_fields=self._docs.schema.text_fields,
+                date_fields=self._docs.schema.date_fields,
             )
 
         facet_groups = build_facet_groups(non_wildcard_filters)

@@ -115,8 +115,7 @@ class NamedIndex:
                 i
                 for i in runnable
                 if self.use_device
-                and not plans[i].match_all
-                and not plans[i].has_phrase
+                and not plans[i].host_only
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
             ]
             res_map = {}

@@ -78,12 +78,62 @@ def _split_tokens(query: str) -> List[Tuple[str, Optional[str], int, float]]:
     return out
 
 
+_RANGE_RE = re.compile(
+    r"(?P<neg>-?)(?P<field>[A-Za-z_][A-Za-z0-9_]*):"
+    r"(?P<lb>[\[{])(?P<lo>[^\]}\s]+)\s+TO\s+(?P<hi>[^\]}\s]+)(?P<rb>[\]}])"
+)
+
+
+def _extract_ranges(query: str, date_fields: Sequence[str]):
+    """Pull `field:[A TO B]` / `{A TO B}` date ranges out of the query
+    string (Tantivy range syntax; `*` = unbounded)."""
+    from fugu_tpu.engine.documents import parse_rfc3339
+    from fugu_tpu.query import RangeClause
+
+    groups = []
+
+    def repl(m):
+        field = m.group("field")
+        if field not in date_fields:
+            raise ParseError(f"range query on non-date field {field!r}")
+
+        def bound(raw):
+            if raw == "*":
+                return None
+            micros = parse_rfc3339(raw)
+            if micros is None:
+                raise ParseError(f"invalid date bound {raw!r}")
+            return micros
+
+        occur = Occur.MUST_NOT if m.group("neg") else Occur.MUST
+        groups.append(
+            QueryGroup(
+                occur=occur,
+                ranges=(
+                    RangeClause(
+                        field=field,
+                        lo=bound(m.group("lo")),
+                        hi=bound(m.group("hi")),
+                        lo_inclusive=m.group("lb") == "[",
+                        hi_inclusive=m.group("rb") == "]",
+                    ),
+                ),
+            )
+        )
+        return ""
+
+    stripped = _RANGE_RE.sub(repl, query)
+    return stripped, tuple(groups)
+
+
 def parse_query(
     query: str,
     default_fields: Sequence[str],
     known_fields: Sequence[str],
+    date_fields: Sequence[str] = (),
 ) -> QueryPlan:
     """Parse into a QueryPlan; raises ParseError on invalid syntax."""
+    query, range_groups = _extract_ranges(query, date_fields)
     tokens = _split_tokens(query)
 
     # keyword pre-pass: AND upgrades default occur; NOT negates next token
@@ -161,17 +211,23 @@ def parse_query(
     if negate_next:
         raise ParseError("dangling NOT")
 
-    has_must = any(g.occur is Occur.MUST for g in groups)
-    return QueryPlan(groups=tuple(groups), require_should=not has_must)
+    all_groups = tuple(groups) + range_groups
+    has_must = any(
+        g.occur is Occur.MUST for g in groups
+    )  # ranges are constraints, not the should-satisfaction signal
+    return QueryPlan(groups=all_groups, require_should=not has_must and bool(groups))
 
 
 def parse_with_fallback(
     query: str,
     default_fields: Sequence[str],
     known_fields: Sequence[str],
+    date_fields: Sequence[str] = (),
 ) -> QueryPlan:
     """Parse; on failure strip specials and retry (search.rs:118-127)."""
     try:
-        return parse_query(query, default_fields, known_fields)
+        return parse_query(query, default_fields, known_fields, date_fields)
     except ParseError:
-        return parse_query(escape_query_string(query), default_fields, known_fields)
+        return parse_query(
+            escape_query_string(query), default_fields, known_fields, date_fields
+        )

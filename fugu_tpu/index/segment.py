@@ -430,6 +430,29 @@ class Segment:
     def live_mask(self) -> np.ndarray:
         return ~self.tombstones
 
+    #: sentinel for "no date value" in date_values arrays
+    DATE_MISSING = np.int64(np.iinfo(np.int64).min)
+
+    def date_values(self, field: str) -> np.ndarray:
+        """int64[N] micros-since-epoch for an indexed date field (lazily
+        parsed from the stored RFC3339 strings; DATE_MISSING when absent)."""
+        cache = getattr(self, "_date_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_date_cache", cache)
+        if field not in cache:
+            from fugu_tpu.engine.documents import parse_rfc3339
+
+            vals = np.full(self.doc_count, self.DATE_MISSING, dtype=np.int64)
+            for d, doc in enumerate(self.stored):
+                raw = doc.get(field)
+                if raw:
+                    micros = parse_rfc3339(raw)
+                    if micros is not None:
+                        vals[d] = micros
+            cache[field] = vals
+        return cache[field]
+
     # -- deletes -------------------------------------------------------------
 
     def delete_by_term(self, field: str, term: str) -> int:
@@ -443,9 +466,22 @@ class Segment:
         self.tombstones[docs] = True
         if fresh.any():
             self._device_pack = None  # device tombstone words are stale
+            object.__setattr__(self, "_device_tomb_flags", None)
         return int(fresh.sum())
 
     # -- device --------------------------------------------------------------
+
+    def device_tomb_flags(self):
+        """Per-doc tombstone flags (int32 0/1), padded to a block-aligned
+        pow2 length — the Pallas kernel DMAs whole doc blocks of these."""
+        if getattr(self, "_device_tomb_flags", None) is None:
+            import jax.numpy as jnp
+
+            size = _pow2_bucket(self.doc_count + 4096)
+            flags = np.zeros(size, dtype=np.int32)
+            flags[: self.doc_count] = self.tombstones.astype(np.int32)
+            object.__setattr__(self, "_device_tomb_flags", jnp.asarray(flags))
+        return self._device_tomb_flags
 
     def device_pack(self):
         """Upload (and cache) the entry pack + tombstone bitset to device.
@@ -458,7 +494,9 @@ class Segment:
         if self._device_pack is None:
             import jax.numpy as jnp
 
-            size = _pow2_bucket(len(self.e_doc))
+            # +4096 reserve: block-window DMAs (ops/pallas_scorer) read
+            # 1024-aligned 3072-lane windows past the last entry
+            size = _pow2_bucket(len(self.e_doc) + 4096)
             e_doc = np.full(size, DOC_SENTINEL, dtype=np.int32)
             e_doc[: len(self.e_doc)] = self.e_doc
             e_tf = np.zeros(size, dtype=np.int32)
@@ -466,7 +504,8 @@ class Segment:
             e_fid = np.zeros(size, dtype=np.int32)
             e_fid[: len(self.e_fid)] = self.e_fid
 
-            n_words = _pow2_bucket(max((self.doc_count + 31) // 32, 1))
+            # +64 reserve: per-block tombstone DMAs read whole 64-word rows
+            n_words = _pow2_bucket(max((self.doc_count + 31) // 32, 1) + 64)
             tomb_words = np.zeros(n_words, dtype=np.uint32)
             idx = np.nonzero(self.tombstones)[0]
             np.bitwise_or.at(tomb_words, idx >> 5, np.uint32(1) << (idx & 31))

@@ -140,6 +140,16 @@ def score_segment(
     for group in plan.groups:
         gm = np.zeros(n, dtype=bool)
         gs = np.zeros(n, dtype=np.float32)
+        for rc in group.ranges:
+            vals = segment.date_values(rc.field)
+            m = vals != Segment.DATE_MISSING
+            if rc.lo is not None:
+                m &= (vals >= rc.lo) if rc.lo_inclusive else (vals > rc.lo)
+            if rc.hi is not None:
+                m &= (vals <= rc.hi) if rc.hi_inclusive else (vals < rc.hi)
+            gm |= m
+            # Tantivy range queries are constant-score (1.0 * boost)
+            gs[m] += np.float32(rc.boost)
         for pc in group.phrases:
             docs, ptf = phrase_postings(segment, pc)
             if len(docs):

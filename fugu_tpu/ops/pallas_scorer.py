@@ -1,0 +1,430 @@
+"""Pallas TPU kernel: block-partitioned BM25 scoring + boolean + top-k.
+
+The flagship device kernel (BASELINE.json north star: "posting-list
+intersection/union, BM25 scoring, and top-k selection run as vectorized
+Pallas kernels instead of branchy pointer-chasing ... namespace filters
+compile to document bitset masks fused into the scoring kernel").
+
+Decomposition — doc space is cut into blocks of ``BLOCK`` docs; each
+clause's postings are sorted by doc id, so its entries for one block are
+a contiguous subrange of its posting window.  The host stages, per
+(query, block), the T subrange starts/counts (one vectorized
+``np.searchsorted`` per clause) and compacts the per-query list of
+nonempty blocks, so sparse queries touch only the blocks they hit.
+
+Kernel, per grid step (query b, block slot j):
+
+1. async-DMA the T entry subranges (doc/tf/fid, <= BLOCK entries each)
+   from the HBM posting pack into VMEM
+2. VPU: BM25 contribution per entry — w_t * tf / (tf + c1_t + c2_t *
+   smallfloat_decode(fid)) — with the branch-free fieldnorm decode
+3. MXU: scatter-as-matmul — one-hot(local doc id) against
+   [contrib, valid] gives dense per-doc block scores and per-clause
+   presence in one contraction; group-presence bits assemble by scalar
+   shifts (boolean MUST/MUST_NOT/SHOULD from a 32-bit mask)
+4. VPU: tombstone bitset mask fused in
+5. per-block top-K by iterative masked max (ties -> lowest doc id), all
+   vector ops; the tiny cross-block merge is one XLA top_k outside
+
+Correctness oracle: fugu_tpu.ops.oracle; parity tested in
+tests/test_pallas_scorer.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fugu_tpu import jax_setup
+from fugu_tpu.index.segment import Segment
+from fugu_tpu.ops import buckets
+from fugu_tpu.ops.scoring import NEG_INF, stage_clauses
+from fugu_tpu.query import Occur, QueryPlan
+
+jax_setup.configure()
+
+BLOCK = 2048          # docs per block (== max entries per clause-block)
+WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
+ENTRY_CHUNK = 512     # entries per one-hot matmul chunk
+NB_BUCKETS = (8, 64, 512, 4096)
+MAX_K = 64            # per-block extraction budget
+
+_INT_MAX = np.int32(2**31 - 1)
+
+
+def _decode_fid(fid):
+    j = fid - 24
+    bits = j & 0x07
+    shift = (j >> 3) - 1
+    f4 = jnp.where(shift < 0, bits, (bits | 0x08) << jnp.maximum(shift, 0))
+    return jnp.where(fid < 24, fid, 24 + f4)
+
+
+def _scorer_kernel(
+    # scalar prefetch (SMEM)
+    block_ids,    # int32[B, NB]
+    starts,       # int32[B, NB*T] (flattened: SMEM pads the last dim to
+    counts,       # int32[B, NB*T]  128 lanes, so keep it wide, not [.,T])
+    weights,      # f32[B, T]
+    c1,           # f32[B, T]
+    c2,           # f32[B, T]
+    gbits,        # int32[B, T]  group id per clause (-1 = inactive)
+    masks,        # int32[B, 3]  must / mustnot / should group masks
+    # tensor inputs (stay in HBM; manually DMA'd)
+    e_doc_hbm,
+    e_tf_hbm,
+    e_fid_hbm,
+    tomb_hbm,
+    # outputs (VMEM blocks)
+    out_scores,   # f32[1, NB, K_OUT]
+    out_docs,     # int32[1, NB, K_OUT]
+    # scratch: per-clause (1, WINDOW) doc/tf/fid buffers, then the
+    # (1, BLOCK) tombstone flags, then the DMA semaphores
+    *scratch,
+    t_pad: int,
+    k: int,
+):
+    doc_s = [scratch[3 * t] for t in range(t_pad)]
+    tf_s = [scratch[3 * t + 1] for t in range(t_pad)]
+    fid_s = [scratch[3 * t + 2] for t in range(t_pad)]
+    tomb_s = scratch[3 * t_pad]
+    sems = scratch[3 * t_pad + 1]
+    # scratch buffers are 1-D to match the 1-D HBM source tiling
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    bid = block_ids[b, j]
+    active = bid >= 0
+    safe_bid = jnp.maximum(bid, 0)
+    base = safe_bid * BLOCK
+
+    # HBM DMAs must start 1024-aligned: load WINDOW (= BLOCK + 1024) lanes
+    # from the aligned floor and mask by exact global entry position.
+    def start_of(t):
+        return starts[b, j * t_pad + t]
+
+    def count_of(t):
+        return counts[b, j * t_pad + t]
+
+    def aligned_start(t):
+        s = start_of(t)
+        return pl.multiple_of((s >> 10) << 10, 1024)
+
+    def dmas(t):
+        a = aligned_start(t)
+        return (
+            pltpu.make_async_copy(
+                e_doc_hbm.at[pl.ds(a, WINDOW)], doc_s[t], sems.at[t * 3]
+            ),
+            pltpu.make_async_copy(
+                e_tf_hbm.at[pl.ds(a, WINDOW)], tf_s[t], sems.at[t * 3 + 1]
+            ),
+            pltpu.make_async_copy(
+                e_fid_hbm.at[pl.ds(a, WINDOW)], fid_s[t], sems.at[t * 3 + 2]
+            ),
+        )
+
+    for t in range(t_pad):
+        for dma in dmas(t):
+            dma.start()
+    tomb_base = pl.multiple_of(safe_bid * BLOCK, 1024)
+    tomb_dma = pltpu.make_async_copy(
+        tomb_hbm.at[pl.ds(tomb_base, BLOCK)], tomb_s, sems.at[t_pad * 3]
+    )
+    tomb_dma.start()
+    for t in range(t_pad):
+        for dma in dmas(t):
+            dma.wait()
+    tomb_dma.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+    wlane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, BLOCK), 1)
+
+    scores = jnp.zeros((1, BLOCK), jnp.float32)
+    present_bits = jnp.zeros((1, BLOCK), jnp.int32)
+
+    for t in range(t_pad):
+        s = start_of(t)
+        cnt = count_of(t)
+        a = (s >> 10) << 10
+        gpos = a + wlane
+        valid = (gpos >= s) & (gpos < s + cnt)
+        row_doc = doc_s[t][:].reshape(1, WINDOW)
+        row_tf = tf_s[t][:].reshape(1, WINDOW).astype(jnp.float32)
+        row_fid = fid_s[t][:].reshape(1, WINDOW)
+        denom = row_tf + c1[b, t] + c2[b, t] * _decode_fid(row_fid).astype(
+            jnp.float32
+        )
+        contrib = jnp.where(valid, weights[b, t] * row_tf / denom, 0.0)
+        local = jnp.where(valid, row_doc - base, -1)
+
+        presence_t = jnp.zeros((1, BLOCK), jnp.float32)
+        for c in range(WINDOW // ENTRY_CHUNK):
+            le = local[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]  # [1, C]
+            ce = contrib[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
+            ve = jnp.where(le >= 0, 1.0, 0.0)
+            le_col = le.reshape(ENTRY_CHUNK, 1)
+            onehot = (le_col == slot_iota).astype(jnp.float32)  # [C, BLOCK]
+            vals = jnp.concatenate(
+                [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
+                axis=1,
+            )  # [C, 2]
+            acc = jax.lax.dot_general(
+                vals,
+                onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [2, BLOCK]
+            scores = scores + acc[0:1, :]
+            presence_t = presence_t + acc[1:2, :]
+
+        g = gbits[b, t]
+        gbit = jnp.where(g >= 0, jnp.int32(1) << jnp.maximum(g, 0), 0)
+        present_bits = present_bits | jnp.where(
+            presence_t > 0.0, gbit, 0
+        )
+
+    must = masks[b, 0]
+    mustnot = masks[b, 1]
+    should = masks[b, 2]
+    matched = (present_bits & (must | should)) != 0
+    matched &= (present_bits & must) == must
+    matched &= (present_bits & mustnot) == 0
+    matched &= ((present_bits & should) != 0) | (should == 0)
+
+    # tombstones: per-doc int32 flags, DMA'd block-aligned
+    matched &= tomb_s[:].reshape(1, BLOCK) == 0
+    matched &= active
+
+    masked = jnp.where(matched, scores, NEG_INF)
+    ids = base + lane
+
+    row_s = jnp.full((1, K_OUT), NEG_INF, jnp.float32)
+    row_d = jnp.full((1, K_OUT), _INT_MAX, jnp.int32)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K_OUT), 1)
+    cur = masked
+    for i in range(k):
+        m = jnp.max(cur)
+        sel = jnp.min(jnp.where((cur == m) & (m > NEG_INF), ids, _INT_MAX))
+        row_s = jnp.where(k_iota == i, m, row_s)
+        row_d = jnp.where(
+            k_iota == i, jnp.where(m > NEG_INF, sel, _INT_MAX), row_d
+        )
+        cur = jnp.where(ids == sel, NEG_INF, cur)
+    out_scores[0, pl.ds(j, 1), :] = row_s
+    out_docs[0, pl.ds(j, 1), :] = row_d
+
+
+K_OUT = 128  # lane-aligned output tile
+
+
+def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = False):
+    kernel = functools.partial(_scorer_kernel, t_pad=t_pad, k=k)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
+        grid=(b_pad, nb_pad),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nb_pad, K_OUT), lambda b, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, nb_pad, K_OUT), lambda b, j, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW,), jnp.int32) for _ in range(3 * t_pad)
+        ]
+        + [
+            pltpu.VMEM((BLOCK,), jnp.int32),
+            pltpu.SemaphoreType.DMA((t_pad * 3 + 1,)),
+        ],
+    )
+
+    def call(block_ids, starts, counts, weights, c1, c2, gbits, masks,
+             e_doc, e_tf, e_fid, tomb):
+        out_shapes = [
+            jax.ShapeDtypeStruct((b_pad, nb_pad, K_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nb_pad, K_OUT), jnp.int32),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(block_ids, starts, counts, weights, c1, c2, gbits, masks,
+          e_doc, e_tf, e_fid, tomb)
+
+    return jax.jit(call)
+
+
+_SCORER_CACHE: dict = {}
+
+
+def _get_scorer(t_pad, nb_pad, k, b_pad, interpret):
+    key = (t_pad, nb_pad, k, b_pad, interpret)
+    if key not in _SCORER_CACHE:
+        _SCORER_CACHE[key] = build_scorer(t_pad, nb_pad, k, b_pad, interpret)
+    return _SCORER_CACHE[key]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _merge_blocks(scores, docs, *, k):
+    """[B, NB, K_OUT] -> global top-k per query (ties: lowest doc id —
+    block slots are doc-ordered per query and top_k keeps input order)."""
+    b = scores.shape[0]
+    top_s, idx = jax.lax.top_k(scores.reshape(b, -1), k)
+    top_d = jnp.take_along_axis(docs.reshape(b, -1), idx, axis=1)
+    return top_s, top_d
+
+
+def nb_bucket(n: int) -> int:
+    for v in NB_BUCKETS:
+        if n <= v:
+            return v
+    return NB_BUCKETS[-1]
+
+
+def pallas_search_batch(
+    segment: Segment,
+    plans: Sequence[QueryPlan],
+    stats,
+    limit: int,
+    interpret: bool = False,
+) -> List[Optional[List[Tuple[float, int]]]]:
+    """Pallas-engine equivalent of ops.scoring.device_search_batch.
+
+    Returns a result list aligned with `plans`; None entries mean the
+    caller must use another path (oracle or the XLA kernel).
+    """
+    results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
+    if limit > MAX_K:
+        return results
+    k = min(buckets.k_bucket(limit), MAX_K)
+
+    n_blocks = max((segment.doc_count + BLOCK - 1) // BLOCK, 1)
+    staged = []
+    for i, plan in enumerate(plans):
+        if plan.host_only:
+            continue
+        n_clauses = sum(len(g.clauses) for g in plan.groups)
+        t_pad = buckets.t_bucket(max(n_clauses, 1))
+        if t_pad > 16 or len(plan.groups) > 32:
+            continue
+        args, must, mustnot, should, need_bits = stage_clauses(
+            segment, plan, stats, t_pad
+        )
+        if args is None:
+            has_constraints = any(g.occur is not Occur.SHOULD for g in plan.groups)
+            if not (has_constraints and len(plan.groups) > 32):
+                results[i] = []
+            continue
+        staged.append((i, t_pad, args, must, mustnot, should))
+
+    if not staged:
+        return results
+
+    by_t: dict = {}
+    for item in staged:
+        by_t.setdefault(item[1], []).append(item)
+
+    e_docd, e_tfd, e_fidd, _ = segment.device_pack()
+    tombd = segment.device_tomb_flags()
+    edge = np.arange(n_blocks + 1, dtype=np.int64) * BLOCK
+    e_doc_np = segment.e_doc
+
+    for t_pad, items in by_t.items():
+        rows = []
+        for (i, _t, args, must, mustnot, should) in items:
+            st = np.zeros((n_blocks, t_pad), dtype=np.int64)
+            ct = np.zeros((n_blocks, t_pad), dtype=np.int64)
+            for t in range(t_pad):
+                s0, ln = int(args.starts[t]), int(args.lens[t])
+                if ln == 0:
+                    continue
+                window = e_doc_np[s0 : s0 + ln]
+                offs = np.searchsorted(window, edge)
+                st[:, t] = s0 + offs[:-1]
+                ct[:, t] = offs[1:] - offs[:-1]
+            nonempty = np.nonzero(ct.sum(axis=1) > 0)[0]
+            rows.append((i, args, must, mustnot, should, st, ct, nonempty))
+
+        feasible = [r for r in rows if len(r[7]) <= NB_BUCKETS[-1]]
+        for r in rows:
+            if len(r[7]) > NB_BUCKETS[-1]:
+                pass  # stays None -> fallback
+        rows = feasible
+        if not rows:
+            continue
+        nb_pad = nb_bucket(max(max(len(r[7]) for r in rows), 1))
+
+        pos = 0
+        while pos < len(rows):
+            # SMEM budget: the prefetched starts/counts tables live in
+            # scalar memory (~1MB total, with internal replication) —
+            # keep B*NB*T small enough to fit
+            smem_cap = max(1, 4096 // (nb_pad * t_pad))
+            b_allowed = max([x for x in buckets.B_BUCKETS if x <= smem_cap] or [1])
+            # fixed b_pad per signature: the tail chunk pads with inactive
+            # queries rather than compiling a second program
+            b_pad = b_allowed
+            chunk = rows[pos : pos + b_pad]
+            pos += len(chunk)
+
+            block_ids = np.full((b_pad, nb_pad), -1, dtype=np.int32)
+            starts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
+            counts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
+            # (flattened to [B, NB*T] just before the call)
+            weights = np.zeros((b_pad, t_pad), dtype=np.float32)
+            c1 = np.ones((b_pad, t_pad), dtype=np.float32)
+            c2 = np.zeros((b_pad, t_pad), dtype=np.float32)
+            gbits = np.full((b_pad, t_pad), -1, dtype=np.int32)
+            masks = np.zeros((b_pad, 3), dtype=np.int32)
+
+            for bi, (i, args, must, mustnot, should, st, ct, nonempty) in enumerate(
+                chunk
+            ):
+                nb = len(nonempty)
+                block_ids[bi, :nb] = nonempty
+                starts[bi, :nb] = st[nonempty]
+                counts[bi, :nb] = ct[nonempty]
+                weights[bi] = args.weights
+                c1[bi] = args.c1
+                c2[bi] = args.c2
+                for t in range(t_pad):
+                    bits = int(args.gbits[t])
+                    gbits[bi, t] = bits.bit_length() - 1 if bits else -1
+                masks[bi] = (must, mustnot, should)
+
+            scorer = _get_scorer(t_pad, nb_pad, k, b_pad, interpret)
+            s_out, d_out = scorer(
+                jnp.asarray(block_ids),
+                jnp.asarray(starts.reshape(b_pad, nb_pad * t_pad)),
+                jnp.asarray(counts.reshape(b_pad, nb_pad * t_pad)),
+                jnp.asarray(weights),
+                jnp.asarray(c1),
+                jnp.asarray(c2),
+                jnp.asarray(gbits),
+                jnp.asarray(masks),
+                e_docd,
+                e_tfd,
+                e_fidd,
+                tombd,
+            )
+            top_s, top_d = _merge_blocks(s_out, d_out, k=k)
+            top_s = np.asarray(top_s)
+            top_d = np.asarray(top_d)
+            for bi, (i, *_rest) in enumerate(chunk):
+                keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
+                results[i] = [
+                    (float(s), int(d))
+                    for s, d in zip(top_s[bi][keep], top_d[bi][keep])
+                ][:limit]
+    return results

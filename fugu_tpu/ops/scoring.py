@@ -306,7 +306,7 @@ def stage_clauses(
     args is None when the plan cannot run on device (phrases, >32 groups
     with constraints, match_all) — callers fall back to the oracle.
     """
-    if plan.match_all or plan.has_phrase:
+    if plan.host_only:
         return None, 0, 0, 0, False
 
     starts: List[int] = []
@@ -452,7 +452,7 @@ def device_search_batch(
     k = buckets.k_bucket(limit)
     groups: dict = {}
     for i, plan in enumerate(plans):
-        if plan.match_all or plan.has_phrase:
+        if plan.host_only:
             continue
         n_clauses = sum(len(g.clauses) for g in plan.groups)
         t_pad = buckets.t_bucket(max(n_clauses, 1))

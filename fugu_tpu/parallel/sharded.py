@@ -117,7 +117,7 @@ class ShardedPack:
 
     def stage(self, plan: QueryPlan, stats, t_pad: int):
         """Per-shard clause operands [D, T] + global masks, or None."""
-        if plan.match_all or plan.has_phrase:
+        if plan.host_only:
             return None
         d = self.n_shards
         starts = np.zeros((d, t_pad), dtype=np.int32)

@@ -52,12 +52,26 @@ class PhraseClause:
 
 
 @dataclasses.dataclass(frozen=True)
+class RangeClause:
+    """Inclusive/exclusive range over an indexed date field (micros since
+    epoch; None = unbounded).  Tantivy range queries are constant-score."""
+
+    field: str
+    lo: Optional[int] = None
+    hi: Optional[int] = None
+    lo_inclusive: bool = True
+    hi_inclusive: bool = True
+    boost: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class QueryGroup:
     occur: Occur
     clauses: Tuple[TermClause, ...] = ()
     #: phrase alternatives OR-combined with `clauses` inside the group
     #: (a multi-token query word over several default fields)
     phrases: Tuple[PhraseClause, ...] = ()
+    ranges: Tuple[RangeClause, ...] = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +103,15 @@ class QueryPlan:
     @property
     def has_phrase(self) -> bool:
         return any(g.phrases for g in self.groups)
+
+    @property
+    def has_range(self) -> bool:
+        return any(g.ranges for g in self.groups)
+
+    @property
+    def host_only(self) -> bool:
+        """Plans the device pipelines hand to the oracle."""
+        return self.match_all or self.has_phrase or self.has_range
 
     @property
     def is_empty(self) -> bool:

@@ -39,6 +39,34 @@ DEVICE_MIN_ENTRIES = 4096
 MAX_SEGMENTS = 8
 
 
+def _device_engine():
+    """Select the device execution engine.
+
+    FUGU_ENGINE=pallas -> the Pallas block scorer (ops/pallas_scorer);
+    anything else -> the XLA merge-network kernel (ops/scoring).  The
+    Pallas path itself falls back per-plan (returning None entries), so
+    wrap it to fill those from the XLA engine.
+    """
+    import os
+
+    if os.environ.get("FUGU_ENGINE", "xla").lower() == "pallas":
+        from fugu_tpu.ops.pallas_scorer import pallas_search_batch
+
+        def hybrid(seg, plans, stats, limit):
+            res = pallas_search_batch(seg, plans, stats, limit)
+            missing = [i for i, r in enumerate(res) if r is None]
+            if missing:
+                fill = scoring.device_search_batch(
+                    seg, [plans[i] for i in missing], stats, limit
+                )
+                for i, r in zip(missing, fill):
+                    res[i] = r
+            return res
+
+        return hybrid
+    return scoring.device_search_batch
+
+
 class NamedIndex:
     def __init__(
         self,
@@ -121,7 +149,7 @@ class NamedIndex:
             res_map = {}
             if device_idx:
                 try:
-                    batch_res = scoring.device_search_batch(
+                    batch_res = _device_engine()(
                         seg, [plans[i] for i in device_idx], stats, limit
                     )
                     res_map = dict(zip(device_idx, batch_res))

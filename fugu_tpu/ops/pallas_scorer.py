@@ -68,6 +68,7 @@ def _decode_fid(fid):
 
 def _scorer_kernel(
     # scalar prefetch (SMEM)
+    nblocks,      # int32[B]     number of active block slots per query
     block_ids,    # int32[B, NB]
     starts,       # int32[B, NB*T] (flattened: SMEM pads the last dim to
     counts,       # int32[B, NB*T]  128 lanes, so keep it wide, not [.,T])
@@ -81,11 +82,11 @@ def _scorer_kernel(
     e_tf_hbm,
     e_fid_hbm,
     tomb_hbm,
-    # outputs (VMEM blocks)
-    out_scores,   # f32[1, NB, K_OUT]
-    out_docs,     # int32[1, NB, K_OUT]
-    # scratch: per-clause (1, WINDOW) doc/tf/fid buffers, then the
-    # (1, BLOCK) tombstone flags, then the DMA semaphores
+    # outputs (VMEM blocks, one row per query)
+    out_scores,   # f32[1, 1, K_OUT]
+    out_docs,     # int32[1, 1, K_OUT]
+    # scratch: per-clause 1-D doc/tf/fid buffers (match the 1-D HBM
+    # tiling), the per-doc tombstone flags, then the DMA semaphores
     *scratch,
     t_pad: int,
     k: int,
@@ -95,130 +96,135 @@ def _scorer_kernel(
     fid_s = [scratch[3 * t + 2] for t in range(t_pad)]
     tomb_s = scratch[3 * t_pad]
     sems = scratch[3 * t_pad + 1]
-    # scratch buffers are 1-D to match the 1-D HBM source tiling
     b = pl.program_id(0)
-    j = pl.program_id(1)
-    bid = block_ids[b, j]
-    active = bid >= 0
-    safe_bid = jnp.maximum(bid, 0)
-    base = safe_bid * BLOCK
-
-    # HBM DMAs must start 1024-aligned: load WINDOW (= BLOCK + 1024) lanes
-    # from the aligned floor and mask by exact global entry position.
-    def start_of(t):
-        return starts[b, j * t_pad + t]
-
-    def count_of(t):
-        return counts[b, j * t_pad + t]
-
-    def aligned_start(t):
-        s = start_of(t)
-        return pl.multiple_of((s >> 10) << 10, 1024)
-
-    def dmas(t):
-        a = aligned_start(t)
-        return (
-            pltpu.make_async_copy(
-                e_doc_hbm.at[pl.ds(a, WINDOW)], doc_s[t], sems.at[t * 3]
-            ),
-            pltpu.make_async_copy(
-                e_tf_hbm.at[pl.ds(a, WINDOW)], tf_s[t], sems.at[t * 3 + 1]
-            ),
-            pltpu.make_async_copy(
-                e_fid_hbm.at[pl.ds(a, WINDOW)], fid_s[t], sems.at[t * 3 + 2]
-            ),
-        )
-
-    for t in range(t_pad):
-        for dma in dmas(t):
-            dma.start()
-    tomb_base = pl.multiple_of(safe_bid * BLOCK, 1024)
-    tomb_dma = pltpu.make_async_copy(
-        tomb_hbm.at[pl.ds(tomb_base, BLOCK)], tomb_s, sems.at[t_pad * 3]
-    )
-    tomb_dma.start()
-    for t in range(t_pad):
-        for dma in dmas(t):
-            dma.wait()
-    tomb_dma.wait()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, BLOCK), 1)
-
-    scores = jnp.zeros((1, BLOCK), jnp.float32)
-    present_bits = jnp.zeros((1, BLOCK), jnp.int32)
-
-    for t in range(t_pad):
-        s = start_of(t)
-        cnt = count_of(t)
-        a = (s >> 10) << 10
-        gpos = a + wlane
-        valid = (gpos >= s) & (gpos < s + cnt)
-        row_doc = doc_s[t][:].reshape(1, WINDOW)
-        row_tf = tf_s[t][:].reshape(1, WINDOW).astype(jnp.float32)
-        row_fid = fid_s[t][:].reshape(1, WINDOW)
-        denom = row_tf + c1[b, t] + c2[b, t] * _decode_fid(row_fid).astype(
-            jnp.float32
-        )
-        contrib = jnp.where(valid, weights[b, t] * row_tf / denom, 0.0)
-        local = jnp.where(valid, row_doc - base, -1)
-
-        presence_t = jnp.zeros((1, BLOCK), jnp.float32)
-        for c in range(WINDOW // ENTRY_CHUNK):
-            le = local[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]  # [1, C]
-            ce = contrib[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
-            ve = jnp.where(le >= 0, 1.0, 0.0)
-            le_col = le.reshape(ENTRY_CHUNK, 1)
-            onehot = (le_col == slot_iota).astype(jnp.float32)  # [C, BLOCK]
-            vals = jnp.concatenate(
-                [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
-                axis=1,
-            )  # [C, 2]
-            acc = jax.lax.dot_general(
-                vals,
-                onehot,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [2, BLOCK]
-            scores = scores + acc[0:1, :]
-            presence_t = presence_t + acc[1:2, :]
-
-        g = gbits[b, t]
-        gbit = jnp.where(g >= 0, jnp.int32(1) << jnp.maximum(g, 0), 0)
-        present_bits = present_bits | jnp.where(
-            presence_t > 0.0, gbit, 0
-        )
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K_OUT), 1)
 
     must = masks[b, 0]
     mustnot = masks[b, 1]
     should = masks[b, 2]
-    matched = (present_bits & (must | should)) != 0
-    matched &= (present_bits & must) == must
-    matched &= (present_bits & mustnot) == 0
-    matched &= ((present_bits & should) != 0) | (should == 0)
 
-    # tombstones: per-doc int32 flags, DMA'd block-aligned
-    matched &= tomb_s[:].reshape(1, BLOCK) == 0
-    matched &= active
+    def block_step(jj, carry):
+        run_s, run_d = carry
+        bid = block_ids[b, jj]
+        base = bid * BLOCK
 
-    masked = jnp.where(matched, scores, NEG_INF)
-    ids = base + lane
+        def start_of(t):
+            return starts[b, jj * t_pad + t]
 
-    row_s = jnp.full((1, K_OUT), NEG_INF, jnp.float32)
-    row_d = jnp.full((1, K_OUT), _INT_MAX, jnp.int32)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K_OUT), 1)
-    cur = masked
-    for i in range(k):
-        m = jnp.max(cur)
-        sel = jnp.min(jnp.where((cur == m) & (m > NEG_INF), ids, _INT_MAX))
-        row_s = jnp.where(k_iota == i, m, row_s)
-        row_d = jnp.where(
-            k_iota == i, jnp.where(m > NEG_INF, sel, _INT_MAX), row_d
+        def dmas(t):
+            a = pl.multiple_of((start_of(t) >> 10) << 10, 1024)
+            return (
+                pltpu.make_async_copy(
+                    e_doc_hbm.at[pl.ds(a, WINDOW)], doc_s[t], sems.at[t * 3]
+                ),
+                pltpu.make_async_copy(
+                    e_tf_hbm.at[pl.ds(a, WINDOW)], tf_s[t], sems.at[t * 3 + 1]
+                ),
+                pltpu.make_async_copy(
+                    e_fid_hbm.at[pl.ds(a, WINDOW)], fid_s[t], sems.at[t * 3 + 2]
+                ),
+            )
+
+        for t in range(t_pad):
+            for dma in dmas(t):
+                dma.start()
+        tomb_base = pl.multiple_of(bid * BLOCK, 1024)
+        tomb_dma = pltpu.make_async_copy(
+            tomb_hbm.at[pl.ds(tomb_base, BLOCK)], tomb_s, sems.at[t_pad * 3]
         )
-        cur = jnp.where(ids == sel, NEG_INF, cur)
-    out_scores[0, pl.ds(j, 1), :] = row_s
-    out_docs[0, pl.ds(j, 1), :] = row_d
+        tomb_dma.start()
+        for t in range(t_pad):
+            for dma in dmas(t):
+                dma.wait()
+        tomb_dma.wait()
+
+        scores = jnp.zeros((1, BLOCK), jnp.float32)
+        present_bits = jnp.zeros((1, BLOCK), jnp.int32)
+
+        for t in range(t_pad):
+            st = start_of(t)
+            cnt = counts[b, jj * t_pad + t]
+            a = (st >> 10) << 10
+            gpos = a + wlane
+            valid = (gpos >= st) & (gpos < st + cnt)
+            row_doc = doc_s[t][:].reshape(1, WINDOW)
+            row_tf = tf_s[t][:].reshape(1, WINDOW).astype(jnp.float32)
+            row_fid = fid_s[t][:].reshape(1, WINDOW)
+            denom = row_tf + c1[b, t] + c2[b, t] * _decode_fid(row_fid).astype(
+                jnp.float32
+            )
+            contrib = jnp.where(valid, weights[b, t] * row_tf / denom, 0.0)
+            local = jnp.where(valid, row_doc - base, -1)
+
+            presence_t = jnp.zeros((1, BLOCK), jnp.float32)
+            for c in range(WINDOW // ENTRY_CHUNK):
+                le = local[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
+                ce = contrib[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
+                ve = jnp.where(le >= 0, 1.0, 0.0)
+                le_col = le.reshape(ENTRY_CHUNK, 1)
+                onehot = (le_col == slot_iota).astype(jnp.float32)
+                vals = jnp.concatenate(
+                    [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
+                    axis=1,
+                )
+                acc = jax.lax.dot_general(
+                    vals,
+                    onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                scores = scores + acc[0:1, :]
+                presence_t = presence_t + acc[1:2, :]
+
+            g = gbits[b, t]
+            gbit = jnp.where(g >= 0, jnp.int32(1) << jnp.maximum(g, 0), 0)
+            present_bits = present_bits | jnp.where(presence_t > 0.0, gbit, 0)
+
+        matched = (present_bits & (must | should)) != 0
+        matched &= (present_bits & must) == must
+        matched &= (present_bits & mustnot) == 0
+        matched &= ((present_bits & should) != 0) | (should == 0)
+        matched &= tomb_s[:].reshape(1, BLOCK) == 0
+
+        masked = jnp.where(matched, scores, NEG_INF)
+        ids = base + lane
+
+        # merge running top-K with this block by joint iterative
+        # (max score, min id) extraction over BOTH arrays — no
+        # concatenation (Mosaic layout constraint); blocks partition doc
+        # space and are visited in ascending order, so this is exactly
+        # the global (score desc, doc asc) order
+        cur_b = masked
+        cur_r = run_s
+        ids_r = run_d
+        new_s = jnp.full((1, K_OUT), NEG_INF, jnp.float32)
+        new_d = jnp.full((1, K_OUT), _INT_MAX, jnp.int32)
+        for i in range(k):
+            m = jnp.maximum(jnp.max(cur_b), jnp.max(cur_r))
+            selb = jnp.min(jnp.where((cur_b == m) & (m > NEG_INF), ids, _INT_MAX))
+            selr = jnp.min(
+                jnp.where((cur_r == m) & (m > NEG_INF), ids_r, _INT_MAX)
+            )
+            sel = jnp.minimum(selb, selr)
+            new_s = jnp.where(k_iota == i, m, new_s)
+            new_d = jnp.where(
+                k_iota == i, jnp.where(m > NEG_INF, sel, _INT_MAX), new_d
+            )
+            cur_b = jnp.where(ids == sel, NEG_INF, cur_b)
+            cur_r = jnp.where(ids_r == sel, NEG_INF, cur_r)
+        return new_s, new_d
+
+    init = (
+        jnp.full((1, K_OUT), NEG_INF, jnp.float32),
+        jnp.full((1, K_OUT), _INT_MAX, jnp.int32),
+    )
+    run_s, run_d = jax.lax.fori_loop(0, nblocks[b], block_step, init)
+    out_scores[0, 0:1, :] = run_s
+    out_docs[0, 0:1, :] = run_d
 
 
 K_OUT = 128  # lane-aligned output tile
@@ -227,8 +233,8 @@ K_OUT = 128  # lane-aligned output tile
 def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = False):
     kernel = functools.partial(_scorer_kernel, t_pad=t_pad, k=k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
-        grid=(b_pad, nb_pad),
+        num_scalar_prefetch=9,
+        grid=(b_pad,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -236,8 +242,8 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = 
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, nb_pad, K_OUT), lambda b, j, *_: (b, 0, 0)),
-            pl.BlockSpec((1, nb_pad, K_OUT), lambda b, j, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, K_OUT), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, 1, K_OUT), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((WINDOW,), jnp.int32) for _ in range(3 * t_pad)
@@ -248,19 +254,19 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = 
         ],
     )
 
-    def call(block_ids, starts, counts, weights, c1, c2, gbits, masks,
-             e_doc, e_tf, e_fid, tomb):
+    def call(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
+             masks, e_doc, e_tf, e_fid, tomb):
         out_shapes = [
-            jax.ShapeDtypeStruct((b_pad, nb_pad, K_OUT), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, nb_pad, K_OUT), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, 1, K_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, 1, K_OUT), jnp.int32),
         ]
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=out_shapes,
             interpret=interpret,
-        )(block_ids, starts, counts, weights, c1, c2, gbits, masks,
-          e_doc, e_tf, e_fid, tomb)
+        )(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
+          masks, e_doc, e_tf, e_fid, tomb)
 
     return jax.jit(call)
 
@@ -273,16 +279,6 @@ def _get_scorer(t_pad, nb_pad, k, b_pad, interpret):
     if key not in _SCORER_CACHE:
         _SCORER_CACHE[key] = build_scorer(t_pad, nb_pad, k, b_pad, interpret)
     return _SCORER_CACHE[key]
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def _merge_blocks(scores, docs, *, k):
-    """[B, NB, K_OUT] -> global top-k per query (ties: lowest doc id —
-    block slots are doc-ordered per query and top_k keeps input order)."""
-    b = scores.shape[0]
-    top_s, idx = jax.lax.top_k(scores.reshape(b, -1), k)
-    top_d = jnp.take_along_axis(docs.reshape(b, -1), idx, axis=1)
-    return top_s, top_d
 
 
 def nb_bucket(n: int) -> int:
@@ -378,10 +374,10 @@ def pallas_search_batch(
             chunk = rows[pos : pos + b_pad]
             pos += len(chunk)
 
-            block_ids = np.full((b_pad, nb_pad), -1, dtype=np.int32)
+            block_ids = np.zeros((b_pad, nb_pad), dtype=np.int32)
+            nblocks = np.zeros(b_pad, dtype=np.int32)
             starts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
             counts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
-            # (flattened to [B, NB*T] just before the call)
             weights = np.zeros((b_pad, t_pad), dtype=np.float32)
             c1 = np.ones((b_pad, t_pad), dtype=np.float32)
             c2 = np.zeros((b_pad, t_pad), dtype=np.float32)
@@ -392,6 +388,7 @@ def pallas_search_batch(
                 chunk
             ):
                 nb = len(nonempty)
+                nblocks[bi] = nb
                 block_ids[bi, :nb] = nonempty
                 starts[bi, :nb] = st[nonempty]
                 counts[bi, :nb] = ct[nonempty]
@@ -404,7 +401,8 @@ def pallas_search_batch(
                 masks[bi] = (must, mustnot, should)
 
             scorer = _get_scorer(t_pad, nb_pad, k, b_pad, interpret)
-            s_out, d_out = scorer(
+            top_s, top_d = scorer(
+                jnp.asarray(nblocks),
                 jnp.asarray(block_ids),
                 jnp.asarray(starts.reshape(b_pad, nb_pad * t_pad)),
                 jnp.asarray(counts.reshape(b_pad, nb_pad * t_pad)),
@@ -418,9 +416,8 @@ def pallas_search_batch(
                 e_fidd,
                 tombd,
             )
-            top_s, top_d = _merge_blocks(s_out, d_out, k=k)
-            top_s = np.asarray(top_s)
-            top_d = np.asarray(top_d)
+            top_s = np.asarray(top_s)[:, 0, :]
+            top_d = np.asarray(top_d)[:, 0, :]
             for bi, (i, *_rest) in enumerate(chunk):
                 keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
                 results[i] = [

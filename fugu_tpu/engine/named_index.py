@@ -92,6 +92,8 @@ class NamedIndex:
                     continue  # cold segment: stays remote until restore()
                 self.segments.append(load_segment(self.path, seg_id, self.schema))
         self._stats: Optional[oracle_ops.IndexStats] = None
+        self._mesh = None
+        self._sharded_packs: Dict[str, Any] = {}
 
     # -- reader side ---------------------------------------------------------
 
@@ -123,6 +125,22 @@ class NamedIndex:
             info[f] = "DATE | INDEXED | STORED"
         return info
 
+    def enable_sharding(self, mesh) -> None:
+        """Route searches through doc-range-sharded packs on `mesh`
+        (parallel/sharded.py); packs build lazily per segment and are
+        dropped when the segment set changes."""
+        self._mesh = mesh
+        self._sharded_packs = {}
+
+    def _sharded_pack(self, segment: Segment):
+        from fugu_tpu.parallel.sharded import ShardedPack
+
+        pack = self._sharded_packs.get(segment.segment_id)
+        if pack is None or pack.segment is not segment:
+            pack = ShardedPack(segment, self._mesh)
+            self._sharded_packs[segment.segment_id] = pack
+        return pack
+
     def search_topk(self, plan: QueryPlan, limit: int) -> List[oracle_ops.Hit]:
         """Top-k across segments: device pipeline with oracle fallback."""
         return self.search_topk_batch([plan], limit)[0]
@@ -149,9 +167,18 @@ class NamedIndex:
             res_map = {}
             if device_idx:
                 try:
-                    batch_res = _device_engine()(
-                        seg, [plans[i] for i in device_idx], stats, limit
-                    )
+                    if self._mesh is not None:
+                        from fugu_tpu.parallel.sharded import sharded_search
+
+                        pack = self._sharded_pack(seg)
+                        batch_res = [
+                            sharded_search(pack, plans[i], stats, limit)
+                            for i in device_idx
+                        ]
+                    else:
+                        batch_res = _device_engine()(
+                            seg, [plans[i] for i in device_idx], stats, limit
+                        )
                     res_map = dict(zip(device_idx, batch_res))
                 except RuntimeError as e:
                     # device backend unavailable (e.g. misconfigured

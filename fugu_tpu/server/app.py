@@ -297,6 +297,7 @@ async def query_json_post(request: web.Request) -> web.Response:
             out["developer_message"] = developer_message
         out["includes_data_objects"] = include_data
         out["targeting_conversations_or_organizations"] = targeting
+        out["total_hits"] = out["total"]  # API.md:108-115 naming alias
         return _json(out)
 
 

@@ -118,12 +118,39 @@ def main() -> None:
     scoring.device_search_batch(seg, plans, stats, 10)
     log(f"warmup done in {time.time() - t0:.1f}s")
 
-    # measured batched-throughput pass (the serving path)
+    # measured batched-throughput pass, XLA merge-network engine
     t0 = time.time()
     device_hits = scoring.device_search_batch(seg, plans, stats, 10)
     device_s = time.time() - t0
     qps = len(plans) / device_s
-    log(f"device batched: {qps:.1f} QPS, {device_s / len(plans) * 1000:.2f} ms/query amortized")
+    log(f"device batched (xla): {qps:.1f} QPS, {device_s / len(plans) * 1000:.2f} ms/query amortized")
+
+    # Pallas block-scorer engine (compiles once per signature; cached)
+    try:
+        from fugu_tpu.ops.pallas_scorer import pallas_search_batch
+
+        log("pallas warmup/compile...")
+        t0 = time.time()
+        pallas_hits = pallas_search_batch(seg, plans, stats, 10)
+        log(f"pallas warmup done in {time.time() - t0:.1f}s")
+        n_handled = sum(1 for r in pallas_hits if r is not None)
+        t0 = time.time()
+        pallas_hits = pallas_search_batch(seg, plans, stats, 10)
+        pallas_s = time.time() - t0
+        pallas_qps = len(plans) / pallas_s
+        log(
+            f"device batched (pallas): {pallas_qps:.1f} QPS "
+            f"({n_handled}/{len(plans)} handled), "
+            f"{pallas_s / len(plans) * 1000:.2f} ms/query amortized"
+        )
+        if pallas_qps > qps and n_handled == len(plans):
+            qps = pallas_qps
+            device_hits = pallas_hits
+            log("headline engine: pallas")
+        else:
+            log("headline engine: xla")
+    except Exception as e:  # pallas path is best-effort in the bench
+        log(f"pallas engine skipped: {e}")
 
     # single-stream latency (p50/p99)
     lat_samples = []

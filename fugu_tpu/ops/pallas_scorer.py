@@ -171,10 +171,21 @@ def _scorer_kernel(
                     [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
                     axis=1,
                 )
+                # exact f32 via manual hi/lo bf16 split: the one-hot is
+                # exactly representable in bf16, so two native MXU passes
+                # accumulate the full f32 contribution (the default
+                # single-pass bf16 rounds contribs to 8 mantissa bits and
+                # reorders near-ties vs the oracle; Precision.HIGHEST
+                # blows the VMEM budget with operand copies)
+                oh16 = onehot.astype(jnp.bfloat16)
+                v_hi = vals.astype(jnp.bfloat16)
+                v_lo = (vals - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                dn = (((0,), (0,)), ((), ()))
                 acc = jax.lax.dot_general(
-                    vals,
-                    onehot,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    v_hi, oh16, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    v_lo, oh16, dimension_numbers=dn,
                     preferred_element_type=jnp.float32,
                 )
                 scores = scores + acc[0:1, :]
@@ -197,25 +208,42 @@ def _scorer_kernel(
         # (max score, min id) extraction over BOTH arrays — no
         # concatenation (Mosaic layout constraint); blocks partition doc
         # space and are visited in ascending order, so this is exactly
-        # the global (score desc, doc asc) order
-        cur_b = masked
-        cur_r = run_s
-        ids_r = run_d
-        new_s = jnp.full((1, K_OUT), NEG_INF, jnp.float32)
-        new_d = jnp.full((1, K_OUT), _INT_MAX, jnp.int32)
-        for i in range(k):
-            m = jnp.maximum(jnp.max(cur_b), jnp.max(cur_r))
-            selb = jnp.min(jnp.where((cur_b == m) & (m > NEG_INF), ids, _INT_MAX))
-            selr = jnp.min(
-                jnp.where((cur_r == m) & (m > NEG_INF), ids_r, _INT_MAX)
-            )
-            sel = jnp.minimum(selb, selr)
-            new_s = jnp.where(k_iota == i, m, new_s)
-            new_d = jnp.where(
-                k_iota == i, jnp.where(m > NEG_INF, sel, _INT_MAX), new_d
-            )
-            cur_b = jnp.where(ids == sel, NEG_INF, cur_b)
-            cur_r = jnp.where(ids_r == sel, NEG_INF, cur_r)
+        # the global (score desc, doc asc) order.  Skip the whole
+        # extraction when this block cannot beat the current kth score —
+        # after the first few blocks almost every block short-circuits.
+        block_best = jnp.max(masked)
+        kth = jnp.min(run_s)
+
+        def do_merge(args):
+            run_s, run_d, masked = args
+            cur_b = masked
+            cur_r = run_s
+            ids_r = run_d
+            new_s = jnp.full((1, K_OUT), NEG_INF, jnp.float32)
+            new_d = jnp.full((1, K_OUT), _INT_MAX, jnp.int32)
+            for i in range(k):
+                m = jnp.maximum(jnp.max(cur_b), jnp.max(cur_r))
+                selb = jnp.min(
+                    jnp.where((cur_b == m) & (m > NEG_INF), ids, _INT_MAX)
+                )
+                selr = jnp.min(
+                    jnp.where((cur_r == m) & (m > NEG_INF), ids_r, _INT_MAX)
+                )
+                sel = jnp.minimum(selb, selr)
+                new_s = jnp.where(k_iota == i, m, new_s)
+                new_d = jnp.where(
+                    k_iota == i, jnp.where(m > NEG_INF, sel, _INT_MAX), new_d
+                )
+                cur_b = jnp.where(ids == sel, NEG_INF, cur_b)
+                cur_r = jnp.where(ids_r == sel, NEG_INF, cur_r)
+            return new_s, new_d
+
+        new_s, new_d = jax.lax.cond(
+            block_best > kth,
+            do_merge,
+            lambda args: (args[0], args[1]),
+            (run_s, run_d, masked),
+        )
         return new_s, new_d
 
     init = (
@@ -366,7 +394,7 @@ def pallas_search_batch(
             # SMEM budget: the prefetched starts/counts tables live in
             # scalar memory (~1MB total, with internal replication) —
             # keep B*NB*T small enough to fit
-            smem_cap = max(1, 4096 // (nb_pad * t_pad))
+            smem_cap = max(1, 16384 // (nb_pad * t_pad))
             b_allowed = max([x for x in buckets.B_BUCKETS if x <= smem_cap] or [1])
             # fixed b_pad per signature: the tail chunk pads with inactive
             # queries rather than compiling a second program

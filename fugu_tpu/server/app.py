@@ -90,11 +90,13 @@ def _search_response(results, query, page, per_page, took_ms) -> dict:
 async def _perform_search(state, namespace, query, filters, page, per_page):
     """perform_search parity (handlers/search.rs:350-402), executed through
     the micro-batcher so concurrent requests share device dispatches."""
+    from fugu_tpu.server.metrics import timed
+
     ds = state.db.get_dataset(namespace)
     if ds is None:
         raise KeyError(f"Namespace '{namespace}' not found")
     per_page = _clamp_per_page(per_page)
-    with telemetry.Timer() as t:
+    with telemetry.Timer() as t, timed("fugu_search", namespace=namespace):
         results = await state.batcher.search(ds, query, filters, page, per_page)
     return _search_response(results, query, page, per_page, t.took_ms)
 
@@ -425,8 +427,12 @@ async def ingest_objects(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
+        from fugu_tpu.server.metrics import REGISTRY, timed
+
         try:
-            await state.run_sync(ds.ingest, records)
+            with timed("fugu_ingest"):
+                await state.run_sync(ds.ingest, records)
+            REGISTRY.inc("fugu_ingested_documents_total", len(records))
         except Exception as e:
             return _err(f"Failed to ingest objects: {e}")
         return _json(
@@ -731,6 +737,14 @@ async def suggest(request: web.Request) -> web.Response:
 # -- app assembly ------------------------------------------------------------
 
 
+async def metrics_endpoint(request: web.Request) -> web.Response:
+    from fugu_tpu.server.metrics import REGISTRY
+
+    return web.Response(
+        text=REGISTRY.render(), content_type="text/plain", charset="utf-8"
+    )
+
+
 async def openapi_json(request: web.Request) -> web.Response:
     return _json(build_openapi(__version__))
 
@@ -780,6 +794,8 @@ def create_app(db: DatasetManager) -> web.Application:
     r.add_get("/facets/tree", get_facet_tree)
     # suggestions
     r.add_get("/suggest", suggest)
+    # observability
+    r.add_get("/metrics", metrics_endpoint)
     # docs
     r.add_get("/api.json", openapi_json)
     r.add_get("/swagger", swagger_ui)

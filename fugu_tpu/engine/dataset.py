@@ -196,11 +196,12 @@ class Dataset:
         offset = page * per_page
         search_limit = (offset + per_page) * 10 if has_wildcard else offset + per_page
 
-        hits = self._docs.search_topk(plan, search_limit)
+        segs = self._docs.searcher_segments()
+        hits = self._docs.search_topk_batch([plan], search_limit, segments=segs)[0]
 
         results: List[FuguSearchResult] = []
         for hit in hits:
-            result = self._convert_hit(hit)
+            result = self._convert_hit(hit, segs)
             if has_wildcard:
                 if result.facets and any(
                     pat in facet.lower()
@@ -244,11 +245,12 @@ class Dataset:
             for patterns in metas
         ]
         max_limit = max(limits) if limits else per_page
-        batch_hits = self._docs.search_topk_batch(plans, max_limit)
+        segs = self._docs.searcher_segments()
+        batch_hits = self._docs.search_topk_batch(plans, max_limit, segments=segs)
         for hits, patterns, limit in zip(batch_hits, metas, limits):
             results: List[FuguSearchResult] = []
             for hit in hits[:limit]:
-                result = self._convert_hit(hit)
+                result = self._convert_hit(hit, segs)
                 if patterns:
                     if result.facets and any(
                         pat in facet.lower()
@@ -295,8 +297,11 @@ class Dataset:
         # no facet filters: empty text means AllQuery (even with wildcard)
         return text_plan
 
-    def _convert_hit(self, hit) -> FuguSearchResult:
-        stored = self._docs.stored_doc(hit.segment_ord, hit.doc)
+    def _convert_hit(self, hit, segments=None) -> FuguSearchResult:
+        if segments is not None:
+            stored = segments[hit.segment_ord].stored[hit.doc]
+        else:
+            stored = self._docs.stored_doc(hit.segment_ord, hit.doc)
         return FuguSearchResult(
             id=stored.get("id", "unknown"),
             score=hit.score,
@@ -313,8 +318,9 @@ class Dataset:
             )
         except queryparser.ParseError:
             return []
-        hits = self._docs.search_topk(plan, 1)
-        return [self._docs.stored_doc(h.segment_ord, h.doc) for h in hits[:1]]
+        segs = self._docs.searcher_segments()
+        hits = self._docs.search_topk_batch([plan], 1, segments=segs)[0]
+        return [segs[h.segment_ord].stored[h.doc] for h in hits[:1]]
 
     # -- facets (facet.rs) ----------------------------------------------------
 
@@ -432,10 +438,11 @@ class Dataset:
         plan = queryparser.parse_with_fallback(
             prefix, default_fields=("text",), known_fields=("text",)
         )
-        hits = self._query_index.search_topk(plan, limit)
+        segs = self._query_index.searcher_segments()
+        hits = self._query_index.search_topk_batch([plan], limit, segments=segs)[0]
         out = []
         for h in hits:
-            text = self._query_index.stored_doc(h.segment_ord, h.doc).get("text", "")
+            text = segs[h.segment_ord].stored[h.doc].get("text", "")
             if text and text not in out:
                 out.append(text)
         return out[:limit]

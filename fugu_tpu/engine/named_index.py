@@ -145,10 +145,21 @@ class NamedIndex:
         """Top-k across segments: device pipeline with oracle fallback."""
         return self.search_topk_batch([plan], limit)[0]
 
+    def searcher_segments(self) -> List[Segment]:
+        """A consistent segment snapshot (the searcher-snapshot semantics
+        of core.rs:290-297) — pass it back to search_topk_batch and use it
+        to resolve hit ordinals to stored docs."""
+        return list(self.segments)
+
     def search_topk_batch(
-        self, plans: Sequence[QueryPlan], limit: int
+        self,
+        plans: Sequence[QueryPlan],
+        limit: int,
+        segments: Optional[List[Segment]] = None,
     ) -> List[List[oracle_ops.Hit]]:
         """Top-k for many queries, batching device dispatches per segment."""
+        if segments is None:
+            segments = self.searcher_segments()
         stats = self.stats()
         all_hits: List[List[oracle_ops.Hit]] = [[] for _ in plans]
         runnable = [
@@ -156,7 +167,7 @@ class NamedIndex:
             for i, p in enumerate(plans)
             if not p.is_empty and limit > 0
         ]
-        for ord_, seg in enumerate(self.segments):
+        for ord_, seg in enumerate(segments):
             device_idx = [
                 i
                 for i in runnable

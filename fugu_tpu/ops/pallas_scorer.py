@@ -179,14 +179,23 @@ def _scorer_kernel(
                 # blows the VMEM budget with operand copies)
                 oh16 = onehot.astype(jnp.bfloat16)
                 v_hi = vals.astype(jnp.bfloat16)
-                v_lo = (vals - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                r1 = vals - v_hi.astype(jnp.float32)
+                v_mid = r1.astype(jnp.bfloat16)
+                v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
                 dn = (((0,), (0,)), ((), ()))
-                acc = jax.lax.dot_general(
-                    v_hi, oh16, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    v_lo, oh16, dimension_numbers=dn,
-                    preferred_element_type=jnp.float32,
+                acc = (
+                    jax.lax.dot_general(
+                        v_hi, oh16, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        v_mid, oh16, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        v_lo, oh16, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
                 )
                 scores = scores + acc[0:1, :]
                 presence_t = presence_t + acc[1:2, :]

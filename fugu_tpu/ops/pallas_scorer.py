@@ -49,7 +49,7 @@ from fugu_tpu.query import Occur, QueryPlan
 
 jax_setup.configure()
 
-BLOCK = 2048          # docs per block (== max entries per clause-block)
+BLOCK = 4096          # docs per block (== max entries per clause-block)
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
 ENTRY_CHUNK = 512     # entries per one-hot matmul chunk
 NB_BUCKETS = (8, 64, 512, 4096)
@@ -79,8 +79,7 @@ def _scorer_kernel(
     masks,        # int32[B, 3]  must / mustnot / should group masks
     # tensor inputs (stay in HBM; manually DMA'd)
     e_doc_hbm,
-    e_tf_hbm,
-    e_fid_hbm,
+    e_tffid_hbm,
     tomb_hbm,
     # outputs (VMEM blocks, one row per query)
     out_scores,   # f32[1, 1, K_OUT]
@@ -91,11 +90,10 @@ def _scorer_kernel(
     t_pad: int,
     k: int,
 ):
-    doc_s = [scratch[3 * t] for t in range(t_pad)]
-    tf_s = [scratch[3 * t + 1] for t in range(t_pad)]
-    fid_s = [scratch[3 * t + 2] for t in range(t_pad)]
-    tomb_s = scratch[3 * t_pad]
-    sems = scratch[3 * t_pad + 1]
+    doc_s = [scratch[2 * t] for t in range(t_pad)]
+    pk_s = [scratch[2 * t + 1] for t in range(t_pad)]
+    tomb_s = scratch[2 * t_pad]
+    sems = scratch[2 * t_pad + 1]
     b = pl.program_id(0)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
@@ -119,13 +117,10 @@ def _scorer_kernel(
             a = pl.multiple_of((start_of(t) >> 10) << 10, 1024)
             return (
                 pltpu.make_async_copy(
-                    e_doc_hbm.at[pl.ds(a, WINDOW)], doc_s[t], sems.at[t * 3]
+                    e_doc_hbm.at[pl.ds(a, WINDOW)], doc_s[t], sems.at[t * 2]
                 ),
                 pltpu.make_async_copy(
-                    e_tf_hbm.at[pl.ds(a, WINDOW)], tf_s[t], sems.at[t * 3 + 1]
-                ),
-                pltpu.make_async_copy(
-                    e_fid_hbm.at[pl.ds(a, WINDOW)], fid_s[t], sems.at[t * 3 + 2]
+                    e_tffid_hbm.at[pl.ds(a, WINDOW)], pk_s[t], sems.at[t * 2 + 1]
                 ),
             )
 
@@ -134,7 +129,7 @@ def _scorer_kernel(
                 dma.start()
         tomb_base = pl.multiple_of(bid * BLOCK, 1024)
         tomb_dma = pltpu.make_async_copy(
-            tomb_hbm.at[pl.ds(tomb_base, BLOCK)], tomb_s, sems.at[t_pad * 3]
+            tomb_hbm.at[pl.ds(tomb_base, BLOCK)], tomb_s, sems.at[t_pad * 2]
         )
         tomb_dma.start()
         for t in range(t_pad):
@@ -152,8 +147,9 @@ def _scorer_kernel(
             gpos = a + wlane
             valid = (gpos >= st) & (gpos < st + cnt)
             row_doc = doc_s[t][:].reshape(1, WINDOW)
-            row_tf = tf_s[t][:].reshape(1, WINDOW).astype(jnp.float32)
-            row_fid = fid_s[t][:].reshape(1, WINDOW)
+            packed = pk_s[t][:].reshape(1, WINDOW)
+            row_tf = (packed & 0xFFFFFF).astype(jnp.float32)
+            row_fid = (packed >> 24) & 0xFF
             denom = row_tf + c1[b, t] + c2[b, t] * _decode_fid(row_fid).astype(
                 jnp.float32
             )
@@ -276,23 +272,22 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = 
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, K_OUT), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec((1, 1, K_OUT), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WINDOW,), jnp.int32) for _ in range(3 * t_pad)
+            pltpu.VMEM((WINDOW,), jnp.int32) for _ in range(2 * t_pad)
         ]
         + [
             pltpu.VMEM((BLOCK,), jnp.int32),
-            pltpu.SemaphoreType.DMA((t_pad * 3 + 1,)),
+            pltpu.SemaphoreType.DMA((t_pad * 2 + 1,)),
         ],
     )
 
     def call(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
-             masks, e_doc, e_tf, e_fid, tomb):
+             masks, e_doc, e_tffid, tomb):
         out_shapes = [
             jax.ShapeDtypeStruct((b_pad, 1, K_OUT), jnp.float32),
             jax.ShapeDtypeStruct((b_pad, 1, K_OUT), jnp.int32),
@@ -303,7 +298,7 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = 
             out_shape=out_shapes,
             interpret=interpret,
         )(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
-          masks, e_doc, e_tf, e_fid, tomb)
+          masks, e_doc, e_tffid, tomb)
 
     return jax.jit(call)
 
@@ -368,7 +363,7 @@ def pallas_search_batch(
     for item in staged:
         by_t.setdefault(item[1], []).append(item)
 
-    e_docd, e_tfd, e_fidd, _ = segment.device_pack()
+    e_docd, e_tffidd, _ = segment.device_pack()
     tombd = segment.device_tomb_flags()
     edge = np.arange(n_blocks + 1, dtype=np.int64) * BLOCK
     e_doc_np = segment.e_doc
@@ -449,8 +444,7 @@ def pallas_search_batch(
                 jnp.asarray(gbits),
                 jnp.asarray(masks),
                 e_docd,
-                e_tfd,
-                e_fidd,
+                e_tffidd,
                 tombd,
             )
             top_s = np.asarray(top_s)[:, 0, :]

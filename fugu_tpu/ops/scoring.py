@@ -108,8 +108,7 @@ class ClauseArgs(NamedTuple):
 
 def segment_topk_impl(
     e_doc: jax.Array,
-    e_tf: jax.Array,
-    e_fid: jax.Array,
+    e_tffid: jax.Array,
     tomb_words: jax.Array,
     starts: jax.Array,
     lens: jax.Array,
@@ -134,8 +133,9 @@ def segment_topk_impl(
     def clause_window(t: int):
         s = starts[t]
         docs = jax.lax.dynamic_slice(e_doc, (s,), (l_pad,))
-        tfs = jax.lax.dynamic_slice(e_tf, (s,), (l_pad,))
-        fids = jax.lax.dynamic_slice(e_fid, (s,), (l_pad,))
+        packed = jax.lax.dynamic_slice(e_tffid, (s,), (l_pad,))
+        tfs = packed & 0xFFFFFF
+        fids = (packed >> 24) & 0xFF
         valid = lane < lens[t]
         tff = tfs.astype(jnp.float32)
         denom = tff + c1[t] + c2[t] * _decode_fid(fids).astype(jnp.float32)
@@ -219,8 +219,7 @@ segment_topk = jax.jit(
 
 def segment_topk_merge_impl(
     e_doc,
-    e_tf,
-    e_fid,
+    e_tffid,
     tomb_words,
     starts,
     lens,
@@ -251,8 +250,9 @@ def segment_topk_merge_impl(
     for t in range(t_pad):
         s = starts[t]
         docs = jax.lax.dynamic_slice(e_doc, (s,), (l_pad,))
-        tfs = jax.lax.dynamic_slice(e_tf, (s,), (l_pad,))
-        fids = jax.lax.dynamic_slice(e_fid, (s,), (l_pad,))
+        packed = jax.lax.dynamic_slice(e_tffid, (s,), (l_pad,))
+        tfs = packed & 0xFFFFFF
+        fids = (packed >> 24) & 0xFF
         valid = lane < lens[t]
         tff = tfs.astype(jnp.float32)
         denom = tff + c1[t] + c2[t] * _decode_fid(fids).astype(jnp.float32)
@@ -395,8 +395,7 @@ def stage_clauses(
 )
 def segment_topk_batch(
     e_doc,
-    e_tf,
-    e_fid,
+    e_tffid,
     tomb_words,
     starts,     # int32[B, T]
     lens,
@@ -422,7 +421,7 @@ def segment_topk_batch(
 
     def one(s, l, w, a1, a2, g, m, mn, sh):
         return segment_topk_merge_impl(
-            e_doc, e_tf, e_fid, tomb_words, s, l, w, a1, a2, g, m, mn, sh,
+            e_doc, e_tffid, tomb_words, s, l, w, a1, a2, g, m, mn, sh,
             t_pad=t_pad, l_pad=l_pad, k=k, need_bits=need_bits,
         )
 
@@ -475,7 +474,7 @@ def device_search_batch(
         groups.setdefault(sig, []).append((i, args, must, mustnot, should))
 
     for (t_pad, l_pad, need_bits), items in groups.items():
-        e_docd, e_tfd, e_fidd, tombd = segment.device_pack()
+        e_docd, e_tffidd, tombd = segment.device_pack()
         b_cap = max(1, MAX_BATCH_LANES // (t_pad * l_pad))
         b_allowed = max([b for b in buckets.B_BUCKETS if b <= b_cap] or [1])
         pos = 0
@@ -499,8 +498,7 @@ def device_search_batch(
                 must[j], mustnot[j], should[j] = m, mn, sh
             scores, docs = segment_topk_batch(
                 e_docd,
-                e_tfd,
-                e_fidd,
+                e_tffidd,
                 tombd,
                 jnp.asarray(starts),
                 jnp.asarray(lens),

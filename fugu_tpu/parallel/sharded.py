@@ -70,8 +70,7 @@ class ShardedPack:
         for s in range(d):
             sel = shard_sel[s]
             sdoc = (real[sel] - bounds[s]).astype(np.int32)
-            stf = tf[sel]
-            sfid = fid[sel]
+            spk = (tf[sel] | (fid[sel] << 24)).astype(np.int32)
             # rebuild the term table for this shard
             table: Dict[str, Dict[str, Tuple[int, int]]] = {}
             csel = np.cumsum(sel)  # entries kept up to (and incl.) index i
@@ -86,7 +85,7 @@ class ShardedPack:
                         max_posting = max(max_posting, kept)
                 table[field] = ftab
             self._term_tables.append(table)
-            packs.append((sdoc, stf, sfid))
+            packs.append((sdoc, spk))
 
         from fugu_tpu.index.segment import _pow2_bucket
 
@@ -94,22 +93,19 @@ class ShardedPack:
         e_max = _pow2_bucket(max(len(p[0]) for p in packs) + pad)
         self.e_max = e_max
         stacked_doc = np.full((d, e_max), DOC_SENTINEL, dtype=np.int32)
-        stacked_tf = np.zeros((d, e_max), dtype=np.int32)
-        stacked_fid = np.zeros((d, e_max), dtype=np.int32)
+        stacked_pk = np.zeros((d, e_max), dtype=np.int32)
         n_words = max((n + 31) // 32, 1)
         tomb = np.zeros((d, n_words), dtype=np.uint32)
         dead = np.nonzero(segment.tombstones)[0]
-        for s, (sdoc, stf, sfid) in enumerate(packs):
+        for s, (sdoc, spk) in enumerate(packs):
             stacked_doc[s, : len(sdoc)] = sdoc
-            stacked_tf[s, : len(stf)] = stf
-            stacked_fid[s, : len(sfid)] = sfid
+            stacked_pk[s, : len(spk)] = spk
             local = dead[(dead >= bounds[s]) & (dead < bounds[s + 1])] - bounds[s]
             np.bitwise_or.at(tomb[s], local >> 5, np.uint32(1) << (local & 31))
 
         shard_spec = NamedSharding(mesh, P("d", None))
         self.d_doc = jax.device_put(stacked_doc, shard_spec)
-        self.d_tf = jax.device_put(stacked_tf, shard_spec)
-        self.d_fid = jax.device_put(stacked_fid, shard_spec)
+        self.d_pk = jax.device_put(stacked_pk, shard_spec)
         self.d_tomb = jax.device_put(tomb, shard_spec)
         self.d_offsets = jax.device_put(
             self.shard_starts.reshape(d, 1), NamedSharding(mesh, P("d", None))
@@ -181,8 +177,7 @@ class ShardedPack:
 )
 def _sharded_topk(
     e_doc,
-    e_tf,
-    e_fid,
+    e_tffid,
     tomb,
     offsets,
     starts,
@@ -201,11 +196,11 @@ def _sharded_topk(
     k,
     need_bits,
 ):
-    def local(e_doc, e_tf, e_fid, tomb, offsets, starts, lens):
+    def local(e_doc, e_tffid, tomb, offsets, starts, lens):
         from fugu_tpu.ops.scoring import segment_topk_merge_impl
 
         top, docs = segment_topk_merge_impl(
-            e_doc[0], e_tf[0], e_fid[0], tomb[0],
+            e_doc[0], e_tffid[0], tomb[0],
             starts[0], lens[0], weights, c1, c2, gbits,
             must, mustnot, should,
             t_pad=t_pad, l_pad=l_pad, k=k, need_bits=need_bits,
@@ -224,10 +219,10 @@ def _sharded_topk(
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec, spec),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
-    )(e_doc, e_tf, e_fid, tomb, offsets, starts, lens)
+    )(e_doc, e_tffid, tomb, offsets, starts, lens)
 
 
 def sharded_search(
@@ -251,8 +246,7 @@ def sharded_search(
     shard_spec = NamedSharding(pack.mesh, P("d", None))
     scores, docs = _sharded_topk(
         pack.d_doc,
-        pack.d_tf,
-        pack.d_fid,
+        pack.d_pk,
         pack.d_tomb,
         pack.d_offsets,
         jax.device_put(starts, shard_spec),

@@ -84,6 +84,10 @@ def test_delete_by_term_and_live_mask():
 def test_device_pack_tomb_words():
     seg = build_tiny()
     seg.delete_by_term("text", "peace")
-    _, _, _, tomb = seg.device_pack()
+    e_doc, e_tffid, tomb = seg.device_pack()
     words = np.asarray(tomb)
     assert words[0] == (1 << 1)
+    # tf/fid pack round-trips
+    packed = np.asarray(e_tffid)[: seg.n_entries]
+    assert np.array_equal(packed & 0xFFFFFF, seg.e_tf[: seg.n_entries])
+    assert np.array_equal((packed >> 24) & 0xFF, seg.e_fid[: seg.n_entries])

@@ -6,19 +6,23 @@ per-segment postings traversal, BM25 scoring and heap top-k
 fully vectorized, TPU-friendly pipeline:
 
 1. **Window gather** — each clause's postings are a contiguous range of the
-   segment's entry pack; ``dynamic_slice`` windows (bucket-padded) read
-   them without host round-trips.
+   segment's (doc, tf|fid) entry pack; ``dynamic_slice`` windows
+   (bucket-padded) read them without host round-trips.
 2. **BM25 contribution** — ``w_t * tf / (tf + c1_t + c2_t * decode(fid))``
    with the Lucene-SmallFloat fieldnorm decode done arithmetically on the
    VPU (no table gather).  Facet filter clauses use c2=0 so they score a
    constant idf — filter fusion without a separate bitset pass.
-3. **Concat + sort by doc id** — clause windows are packed tightly via
-   forward overlapping ``dynamic_update_slice`` writes, then sorted.
-4. **Segmented reduce** — one ``associative_scan`` computes, per doc run,
-   the score sum and the OR of clause-group bit masks (boolean algebra:
-   MUST/ MUST_NOT / SHOULD evaluated from a 32-bit group mask).
+3. **Bitonic merge network** — the stacked (already sorted) clause windows
+   merge in ~log T * log L compare-exchange passes (see merge_sorted_rows).
+4. **Run aggregation** — runs are <= T long, so per-doc score sums and the
+   OR of clause-group bit masks are T-1 static shifted adds (boolean
+   algebra: MUST / MUST_NOT / SHOULD evaluated from a 32-bit group mask).
 5. **Tombstone mask + top-k** — run-end entries are scored, dead docs and
    failed boolean constraints get -inf, and ``lax.top_k`` selects.
+
+The Pallas block scorer (ops/pallas_scorer.py) is the faster engine for
+large corpora; this XLA pipeline remains the second engine (smaller
+compile footprint, used for small/medium segments and as the fallback).
 
 Ties: runs are emitted in ascending doc order and ``lax.top_k`` keeps the
 earliest index on equal scores, so ordering is score desc then doc asc —
@@ -106,117 +110,6 @@ class ClauseArgs(NamedTuple):
     gbits: np.ndarray    # uint32[T] 1 << group_id
 
 
-def segment_topk_impl(
-    e_doc: jax.Array,
-    e_tffid: jax.Array,
-    tomb_words: jax.Array,
-    starts: jax.Array,
-    lens: jax.Array,
-    weights: jax.Array,
-    c1: jax.Array,
-    c2: jax.Array,
-    gbits: jax.Array,
-    must_mask: jax.Array,      # uint32 scalar
-    mustnot_mask: jax.Array,   # uint32 scalar
-    should_mask: jax.Array,    # uint32 scalar
-    *,
-    t_pad: int,
-    l_pad: int,
-    e_pad: int,
-    k: int,
-    need_bits: bool,
-    single_clause: bool,
-) -> Tuple[jax.Array, jax.Array]:
-    """Top-k (scores, local doc ids) for one query over one segment."""
-    lane = jnp.arange(l_pad, dtype=jnp.int32)
-
-    def clause_window(t: int):
-        s = starts[t]
-        docs = jax.lax.dynamic_slice(e_doc, (s,), (l_pad,))
-        packed = jax.lax.dynamic_slice(e_tffid, (s,), (l_pad,))
-        tfs = packed & 0xFFFFFF
-        fids = (packed >> 24) & 0xFF
-        valid = lane < lens[t]
-        tff = tfs.astype(jnp.float32)
-        denom = tff + c1[t] + c2[t] * _decode_fid(fids).astype(jnp.float32)
-        contrib = jnp.where(valid, weights[t] * tff / denom, 0.0)
-        docs = jnp.where(valid, docs, jnp.int32(DOC_SENTINEL))
-        bits = jnp.where(valid, gbits[t], jnp.uint32(0))
-        return docs, contrib, bits
-
-    if single_clause:
-        # One clause: postings are already unique + sorted by doc.
-        doc, score, _ = clause_window(0)
-        ok = doc != jnp.int32(DOC_SENTINEL)
-        word = tomb_words[jnp.clip(doc >> 5, 0, tomb_words.shape[0] - 1)]
-        dead = (word >> (doc & 31).astype(jnp.uint32)) & 1
-        ok &= dead == 0
-        score = jnp.where(ok, score, NEG_INF)
-        kk = min(k, l_pad)
-        top_scores, idx = jax.lax.top_k(score, kk)
-        return top_scores, doc[idx]
-
-    # Pack clause windows tightly: forward overlapping writes — clause t+1's
-    # real data overwrites clause t's sentinel tail.
-    cum = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(lens)])
-    doc_buf = jnp.full(e_pad + l_pad, DOC_SENTINEL, dtype=jnp.int32)
-    con_buf = jnp.zeros(e_pad + l_pad, dtype=jnp.float32)
-    bit_buf = jnp.zeros(e_pad + l_pad, dtype=jnp.uint32)
-    for t in range(t_pad):
-        d, c, bts = clause_window(t)
-        doc_buf = jax.lax.dynamic_update_slice(doc_buf, d, (cum[t],))
-        con_buf = jax.lax.dynamic_update_slice(con_buf, c, (cum[t],))
-        bit_buf = jax.lax.dynamic_update_slice(bit_buf, bts, (cum[t],))
-
-    doc_buf = doc_buf[: e_pad]
-    con_buf = con_buf[: e_pad]
-    bit_buf = bit_buf[: e_pad]
-
-    # sort by doc id (stable keeps clause order within a run)
-    doc_s, con_s, bit_s = jax.lax.sort(
-        (doc_buf, con_buf, bit_buf), num_keys=1, is_stable=True
-    )
-
-    # segmented inclusive scan: per-run score sum and group-bit OR
-    start_flag = jnp.concatenate(
-        [jnp.ones(1, dtype=bool), doc_s[1:] != doc_s[:-1]]
-    )
-
-    def combine(a, b):
-        sa, ba, fa = a
-        sb, bb, fb = b
-        return (
-            jnp.where(fb, sb, sa + sb),
-            jnp.where(fb, bb, ba | bb),
-            fa | fb,
-        )
-
-    run_sum, run_bits, _ = jax.lax.associative_scan(
-        combine, (con_s, bit_s, start_flag)
-    )
-
-    end_flag = jnp.concatenate([doc_s[1:] != doc_s[:-1], jnp.ones(1, dtype=bool)])
-    ok = end_flag & (doc_s != jnp.int32(DOC_SENTINEL))
-    if need_bits:
-        ok &= (run_bits & must_mask) == must_mask
-        ok &= (run_bits & mustnot_mask) == 0
-        ok &= ((run_bits & should_mask) != 0) | (should_mask == 0)
-    word = tomb_words[jnp.clip(doc_s >> 5, 0, tomb_words.shape[0] - 1)]
-    dead = (word >> (doc_s & 31).astype(jnp.uint32)) & 1
-    ok &= dead == 0
-
-    score = jnp.where(ok, run_sum, NEG_INF)
-    kk = min(k, e_pad)
-    top_scores, idx = jax.lax.top_k(score, kk)
-    return top_scores, doc_s[idx]
-
-
-segment_topk = jax.jit(
-    segment_topk_impl,
-    static_argnames=("t_pad", "l_pad", "e_pad", "k", "need_bits", "single_clause"),
-)
-
-
 def segment_topk_merge_impl(
     e_doc,
     e_tffid,
@@ -238,8 +131,8 @@ def segment_topk_merge_impl(
 ):
     """Merge-network scoring kernel (the fast path).
 
-    vs segment_topk_impl: clause windows stay stacked [T, L] (no packed
-    scatter), the T-way bitonic merge replaces the full sort, and —
+    Clause windows stay stacked [T, L] (no packed scatter), a T-way
+    bitonic merge network replaces a full sort, and —
     because each clause contributes a doc at most once, so runs have
     length <= T — per-doc aggregation is T-1 static shifted adds instead
     of a log-N segmented scan.  Compile signature loses the E dimension.

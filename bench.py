@@ -160,11 +160,16 @@ def main() -> None:
         raise SystemExit("no device engine produced results")
 
     # single-stream latency (p50/p99) via the headline engine
-    single = (
-        (lambda p: pallas_search_batch(seg, [p], stats, 10)[0])
-        if "pallas_search_batch" in dir()
-        else (lambda p: scoring.device_search_segment(seg, p, stats, 10))
-    )
+    try:
+        from fugu_tpu.ops.pallas_scorer import pallas_search_batch as _psb
+
+        def single(p):
+            return _psb(seg, [p], stats, 10)[0]
+
+    except ImportError:  # pragma: no cover
+
+        def single(p):
+            return scoring.device_search_segment(seg, p, stats, 10)
     lat_samples = []
     for plan in plans[:40]:
         t1 = time.time()

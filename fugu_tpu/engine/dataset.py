@@ -438,6 +438,20 @@ class Dataset:
         plan = queryparser.parse_with_fallback(
             prefix, default_fields=("text",), known_fields=("text",)
         )
+        # autocomplete semantics: the last token also matches by prefix
+        # (term-dictionary range scan), e.g. "laz" suggests "lazy dogs"
+        from fugu_tpu import analysis
+
+        terms = analysis.tokenize_terms(prefix)
+        if terms:
+            expansions = self._query_index.terms_with_prefix("text", terms[-1])
+            extra = tuple(
+                QueryGroup(Occur.SHOULD, (TermClause("text", t),))
+                for t in expansions
+                if t != terms[-1]
+            )
+            if extra:
+                plan = dataclasses.replace(plan, groups=plan.groups + extra)
         segs = self._query_index.searcher_segments()
         hits = self._query_index.search_topk_batch([plan], limit, segments=segs)[0]
         out = []

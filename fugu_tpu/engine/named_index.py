@@ -225,6 +225,24 @@ class NamedIndex:
     def stored_doc(self, segment_ord: int, doc: int) -> Dict[str, Any]:
         return self.segments[segment_ord].stored[doc]
 
+    def terms_with_prefix(self, field: str, prefix: str, limit: int = 16) -> List[str]:
+        """Terms starting with `prefix`, via the sorted term dictionaries."""
+        import bisect
+
+        out: List[str] = []
+        seen = set()
+        for seg in self.segments:
+            keys = list(seg.terms.get(field, {}).keys())
+            i = bisect.bisect_left(keys, prefix)
+            while i < len(keys) and keys[i].startswith(prefix):
+                if keys[i] not in seen:
+                    seen.add(keys[i])
+                    out.append(keys[i])
+                    if len(out) >= limit:
+                        return sorted(out)
+                i += 1
+        return sorted(out)
+
     # -- writer side ---------------------------------------------------------
 
     def upsert(self, records: Sequence[ObjectRecord]) -> None:

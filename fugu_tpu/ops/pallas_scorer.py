@@ -49,7 +49,9 @@ from fugu_tpu.query import Occur, QueryPlan
 
 jax_setup.configure()
 
-BLOCK = 4096          # docs per block (== max entries per clause-block)
+BLOCK = 1024          # docs per block (== max entries per clause-block):
+                      # one-hot scatter work is O(entries * BLOCK), so
+                      # smaller blocks beat DMA overhead up to ~1k
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
 ENTRY_CHUNK = 512     # entries per one-hot matmul chunk
 NB_BUCKETS = (8, 64, 512, 4096)
@@ -157,44 +159,57 @@ def _scorer_kernel(
             local = jnp.where(valid, row_doc - base, -1)
 
             presence_t = jnp.zeros((1, BLOCK), jnp.float32)
+            lo = st - a
+            hi = lo + cnt
             for c in range(WINDOW // ENTRY_CHUNK):
-                le = local[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
-                ce = contrib[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
-                ve = jnp.where(le >= 0, 1.0, 0.0)
-                le_col = le.reshape(ENTRY_CHUNK, 1)
-                onehot = (le_col == slot_iota).astype(jnp.float32)
-                vals = jnp.concatenate(
-                    [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
-                    axis=1,
+                # skip chunks with no live entries (sorted windows mean a
+                # clause's entries occupy one contiguous lane range)
+                chunk_active = (c * ENTRY_CHUNK < hi) & ((c + 1) * ENTRY_CHUNK > lo)
+
+                def chunk_add(args, c=c):
+                    scores, presence_t = args
+                    le = local[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
+                    ce = contrib[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
+                    ve = jnp.where(le >= 0, 1.0, 0.0)
+                    le_col = le.reshape(ENTRY_CHUNK, 1)
+                    onehot = (le_col == slot_iota).astype(jnp.float32)
+                    vals = jnp.concatenate(
+                        [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
+                        axis=1,
+                    )
+                    # exact f32 via manual hi/mid/lo bf16 split: the
+                    # one-hot is exactly representable in bf16, so three
+                    # native MXU passes accumulate the full f32
+                    # contribution (single-pass bf16 reorders near-ties
+                    # vs the oracle; Precision.HIGHEST blows VMEM)
+                    oh16 = onehot.astype(jnp.bfloat16)
+                    v_hi = vals.astype(jnp.bfloat16)
+                    r1 = vals - v_hi.astype(jnp.float32)
+                    v_mid = r1.astype(jnp.bfloat16)
+                    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dn = (((0,), (0,)), ((), ()))
+                    acc = (
+                        jax.lax.dot_general(
+                            v_hi, oh16, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            v_mid, oh16, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            v_lo, oh16, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                    return scores + acc[0:1, :], presence_t + acc[1:2, :]
+
+                scores, presence_t = jax.lax.cond(
+                    chunk_active,
+                    chunk_add,
+                    lambda args: args,
+                    (scores, presence_t),
                 )
-                # exact f32 via manual hi/lo bf16 split: the one-hot is
-                # exactly representable in bf16, so two native MXU passes
-                # accumulate the full f32 contribution (the default
-                # single-pass bf16 rounds contribs to 8 mantissa bits and
-                # reorders near-ties vs the oracle; Precision.HIGHEST
-                # blows the VMEM budget with operand copies)
-                oh16 = onehot.astype(jnp.bfloat16)
-                v_hi = vals.astype(jnp.bfloat16)
-                r1 = vals - v_hi.astype(jnp.float32)
-                v_mid = r1.astype(jnp.bfloat16)
-                v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                dn = (((0,), (0,)), ((), ()))
-                acc = (
-                    jax.lax.dot_general(
-                        v_hi, oh16, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        v_mid, oh16, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        v_lo, oh16, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                )
-                scores = scores + acc[0:1, :]
-                presence_t = presence_t + acc[1:2, :]
 
             g = gbits[b, t]
             gbit = jnp.where(g >= 0, jnp.int32(1) << jnp.maximum(g, 0), 0)

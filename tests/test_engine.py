@@ -272,3 +272,16 @@ def test_manager_filter_value_routing(tmp_path):
     )
     vals = mgr.get_filter_values_at_path("/namespace/routed/data")
     assert vals == ["csv"]
+
+
+def test_suggest_prefix_autocomplete(ds):
+    seed(ds)
+    out = ds.suggest("laz")
+    assert any("lazy" in s for s in out), out
+
+
+def test_terms_with_prefix(ds):
+    seed(ds)
+    terms = ds.docs().terms_with_prefix("text", "qu")
+    assert "quick" in terms
+    assert all(t.startswith("qu") for t in terms)

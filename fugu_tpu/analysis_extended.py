@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import re
-from typing import Dict, Iterable, Iterator, List, Tuple
+from typing import Dict, Iterable, Iterator, List
 
 
 class TokenType(enum.Enum):

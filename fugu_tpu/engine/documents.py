@@ -20,7 +20,7 @@ yields just ``/metadata/details``.  We replicate that observable behavior.
 from __future__ import annotations
 
 import datetime
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 from fugu_tpu.metadata import create_metadata_facets_hashmap
 from fugu_tpu.records import ObjectRecord

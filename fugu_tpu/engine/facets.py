@@ -17,8 +17,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Tuple
 
-import numpy as np
-
 from fugu_tpu.engine.named_index import NamedIndex
 from fugu_tpu.index.segment import FACET_FIELD_KEY
 

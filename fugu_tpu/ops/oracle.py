@@ -27,8 +27,6 @@ import numpy as np
 
 from fugu_tpu.index.segment import FACET_FIELD_KEY, Segment
 from fugu_tpu.query import (
-    B,
-    K1,
     Occur,
     PhraseClause,
     QueryPlan,

@@ -49,9 +49,10 @@ from fugu_tpu.query import Occur, QueryPlan
 
 jax_setup.configure()
 
-BLOCK = 1024          # docs per block (== max entries per clause-block):
-                      # one-hot scatter work is O(entries * BLOCK), so
-                      # smaller blocks beat DMA overhead up to ~1k
+BLOCK = 4096          # docs per block (== max entries per clause-block):
+                      # one-hot scatter work is O(entries * BLOCK), but
+                      # per-block DMA stalls dominate below ~4k even with
+                      # prefetch (measured 1024 -> 2.3x slower at 1M docs)
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
 ENTRY_CHUNK = 512     # entries per one-hot matmul chunk
 NB_BUCKETS = (8, 64, 512, 4096)
@@ -92,11 +93,12 @@ def _scorer_kernel(
     t_pad: int,
     k: int,
 ):
-    doc_s = [scratch[2 * t] for t in range(t_pad)]
-    pk_s = [scratch[2 * t + 1] for t in range(t_pad)]
-    tomb_s = scratch[2 * t_pad]
-    sems = scratch[2 * t_pad + 1]
+    doc_s = [scratch[2 * t] for t in range(t_pad)]       # (2*WINDOW,)
+    pk_s = [scratch[2 * t + 1] for t in range(t_pad)]    # (2*WINDOW,)
+    tomb_s = scratch[2 * t_pad]                          # (2*BLOCK,)
+    sems = scratch[2 * t_pad + 1]                        # (2*NSEM,)
     b = pl.program_id(0)
+    NSEM = 2 * t_pad + 1
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
@@ -107,37 +109,68 @@ def _scorer_kernel(
     mustnot = masks[b, 1]
     should = masks[b, 2]
 
+    def dma_set(jj, slot):
+        """DMA descriptors loading block-slot jj's windows into buffer
+        `slot` (0/1).  slot may be traced; offsets stay 1024-aligned
+        because WINDOW and BLOCK are multiples of 1024."""
+        descs = []
+        woff = pl.multiple_of(slot * WINDOW, 1024)
+        for t in range(t_pad):
+            a = pl.multiple_of(((starts[b, jj * t_pad + t]) >> 10) << 10, 1024)
+            descs.append(
+                pltpu.make_async_copy(
+                    e_doc_hbm.at[pl.ds(a, WINDOW)],
+                    doc_s[t].at[pl.ds(woff, WINDOW)],
+                    sems.at[slot * NSEM + 2 * t],
+                )
+            )
+            descs.append(
+                pltpu.make_async_copy(
+                    e_tffid_hbm.at[pl.ds(a, WINDOW)],
+                    pk_s[t].at[pl.ds(woff, WINDOW)],
+                    sems.at[slot * NSEM + 2 * t + 1],
+                )
+            )
+        bid = block_ids[b, jj]
+        tomb_base = pl.multiple_of(jnp.maximum(bid, 0) * BLOCK, 1024)
+        boff = pl.multiple_of(slot * BLOCK, 1024)
+        descs.append(
+            pltpu.make_async_copy(
+                tomb_hbm.at[pl.ds(tomb_base, BLOCK)],
+                tomb_s.at[pl.ds(boff, BLOCK)],
+                sems.at[slot * NSEM + 2 * t_pad],
+            )
+        )
+        return descs
+
+    nb = nblocks[b]
+
+    # warm up: start block 0 into slot 0
+    @pl.when(nb > 0)
+    def _():
+        for d in dma_set(0, 0):
+            d.start()
+
     def block_step(jj, carry):
         run_s, run_d = carry
+        slot = jj % 2
         bid = block_ids[b, jj]
         base = bid * BLOCK
+        woff = pl.multiple_of(slot * WINDOW, 1024)
+        boff = pl.multiple_of(slot * BLOCK, 1024)
+
+        # prefetch the next block into the other slot
+        @pl.when(jj + 1 < nb)
+        def _():
+            for d in dma_set(jj + 1, 1 - slot):
+                d.start()
+
+        # wait for this block's windows
+        for d in dma_set(jj, slot):
+            d.wait()
 
         def start_of(t):
             return starts[b, jj * t_pad + t]
-
-        def dmas(t):
-            a = pl.multiple_of((start_of(t) >> 10) << 10, 1024)
-            return (
-                pltpu.make_async_copy(
-                    e_doc_hbm.at[pl.ds(a, WINDOW)], doc_s[t], sems.at[t * 2]
-                ),
-                pltpu.make_async_copy(
-                    e_tffid_hbm.at[pl.ds(a, WINDOW)], pk_s[t], sems.at[t * 2 + 1]
-                ),
-            )
-
-        for t in range(t_pad):
-            for dma in dmas(t):
-                dma.start()
-        tomb_base = pl.multiple_of(bid * BLOCK, 1024)
-        tomb_dma = pltpu.make_async_copy(
-            tomb_hbm.at[pl.ds(tomb_base, BLOCK)], tomb_s, sems.at[t_pad * 2]
-        )
-        tomb_dma.start()
-        for t in range(t_pad):
-            for dma in dmas(t):
-                dma.wait()
-        tomb_dma.wait()
 
         scores = jnp.zeros((1, BLOCK), jnp.float32)
         present_bits = jnp.zeros((1, BLOCK), jnp.int32)
@@ -148,8 +181,8 @@ def _scorer_kernel(
             a = (st >> 10) << 10
             gpos = a + wlane
             valid = (gpos >= st) & (gpos < st + cnt)
-            row_doc = doc_s[t][:].reshape(1, WINDOW)
-            packed = pk_s[t][:].reshape(1, WINDOW)
+            row_doc = doc_s[t][pl.ds(woff, WINDOW)].reshape(1, WINDOW)
+            packed = pk_s[t][pl.ds(woff, WINDOW)].reshape(1, WINDOW)
             row_tf = (packed & 0xFFFFFF).astype(jnp.float32)
             row_fid = (packed >> 24) & 0xFF
             denom = row_tf + c1[b, t] + c2[b, t] * _decode_fid(row_fid).astype(
@@ -219,7 +252,7 @@ def _scorer_kernel(
         matched &= (present_bits & must) == must
         matched &= (present_bits & mustnot) == 0
         matched &= ((present_bits & should) != 0) | (should == 0)
-        matched &= tomb_s[:].reshape(1, BLOCK) == 0
+        matched &= tomb_s[pl.ds(boff, BLOCK)].reshape(1, BLOCK) == 0
 
         masked = jnp.where(matched, scores, NEG_INF)
         ids = base + lane
@@ -270,7 +303,7 @@ def _scorer_kernel(
         jnp.full((1, K_OUT), NEG_INF, jnp.float32),
         jnp.full((1, K_OUT), _INT_MAX, jnp.int32),
     )
-    run_s, run_d = jax.lax.fori_loop(0, nblocks[b], block_step, init)
+    run_s, run_d = jax.lax.fori_loop(0, nb, block_step, init)
     out_scores[0, 0:1, :] = run_s
     out_docs[0, 0:1, :] = run_d
 
@@ -293,11 +326,11 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = 
             pl.BlockSpec((1, 1, K_OUT), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((WINDOW,), jnp.int32) for _ in range(2 * t_pad)
+            pltpu.VMEM((2 * WINDOW,), jnp.int32) for _ in range(2 * t_pad)
         ]
         + [
-            pltpu.VMEM((BLOCK,), jnp.int32),
-            pltpu.SemaphoreType.DMA((t_pad * 2 + 1,)),
+            pltpu.VMEM((2 * BLOCK,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * (t_pad * 2 + 1),)),
         ],
     )
 

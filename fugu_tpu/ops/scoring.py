@@ -44,8 +44,6 @@ from fugu_tpu.index.segment import DOC_SENTINEL, FACET_FIELD_KEY, Segment
 jax_setup.configure()
 from fugu_tpu.ops import buckets
 from fugu_tpu.query import (
-    B,
-    K1,
     Occur,
     QueryPlan,
     bm25_weight,

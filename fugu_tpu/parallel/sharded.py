@@ -33,8 +33,8 @@ from jax import shard_map
 
 from fugu_tpu.index.segment import DOC_SENTINEL, FACET_FIELD_KEY, Segment
 from fugu_tpu.ops import buckets
-from fugu_tpu.ops.scoring import NEG_INF, _decode_fid
-from fugu_tpu.query import Occur, QueryPlan, bm25_weight, idf, K1, B
+from fugu_tpu.ops.scoring import NEG_INF
+from fugu_tpu.query import Occur, QueryPlan, bm25_weight, idf
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -23,7 +23,7 @@ import json
 import logging
 import signal
 import urllib.parse
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
 from aiohttp import web
 

@@ -188,7 +188,9 @@ def _scorer_kernel(
             denom = row_tf + c1[b, t] + c2[b, t] * _decode_fid(row_fid).astype(
                 jnp.float32
             )
-            contrib = jnp.where(valid, weights[b, t] * row_tf / denom, 0.0)
+            # Tantivy associates as weight * (tf / denom) — match it so
+            # exact ties stay exact ties
+            contrib = jnp.where(valid, weights[b, t] * (row_tf / denom), 0.0)
             local = jnp.where(valid, row_doc - base, -1)
 
             presence_t = jnp.zeros((1, BLOCK), jnp.float32)

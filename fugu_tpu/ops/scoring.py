@@ -147,7 +147,7 @@ def segment_topk_merge_impl(
         valid = lane < lens[t]
         tff = tfs.astype(jnp.float32)
         denom = tff + c1[t] + c2[t] * _decode_fid(fids).astype(jnp.float32)
-        con_rows.append(jnp.where(valid, weights[t] * tff / denom, 0.0))
+        con_rows.append(jnp.where(valid, weights[t] * (tff / denom), 0.0))
         doc_rows.append(jnp.where(valid, docs, jnp.int32(DOC_SENTINEL)))
         bit_rows.append(jnp.where(valid, gbits[t], jnp.uint32(0)))
 

@@ -27,8 +27,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent))
 
-N_DOCS = int(os.environ.get("BENCH_DOCS", 100_000))
-N_QUERIES = int(os.environ.get("BENCH_QUERIES", 200))
+N_DOCS = int(os.environ.get("BENCH_DOCS", 1_000_000))
+N_QUERIES = int(os.environ.get("BENCH_QUERIES", 256))
 VOCAB_SIZE = 30_000
 MEAN_DOC_LEN = 55
 SEED = 7
@@ -189,15 +189,26 @@ def main() -> None:
     oracle_qps = len(plans) / oracle_s
     log(f"oracle baseline: {oracle_qps:.1f} QPS (scaled from {n_base} queries)")
 
-    # recall parity spot check
+    # recall parity spot check: identical docs, or — when boundary docs
+    # differ — identical score lists (equal-score tie picks are both
+    # legitimate orderings; f32 summation-order ulp means each engine
+    # breaks exact ties by its own last bit)
     mismatches = 0
-    for plan, hits in list(zip(plans, device_hits))[:20]:
+    checked = min(20, len(plans))
+    for plan, hits in list(zip(plans, device_hits))[:checked]:
         exp = oracle.search([seg], plan, 10, stats)
-        got_docs = {d for _, d in (hits or [])}
-        exp_docs = {h.doc for h in exp}
-        if len(got_docs & exp_docs) < len(exp_docs) - 1:  # ulp-tie slack
-            mismatches += 1
-    log(f"recall@10 parity: {20 - mismatches}/20 queries agree")
+        got_docs = [d for _, d in (hits or [])]
+        exp_docs = [h.doc for h in exp]
+        if got_docs == exp_docs:
+            continue
+        got_scores = np.array([s for s, _ in (hits or [])], dtype=np.float64)
+        exp_scores = np.array([h.score for h in exp], dtype=np.float64)
+        if len(got_scores) == len(exp_scores) and np.allclose(
+            got_scores, exp_scores, rtol=1e-5
+        ):
+            continue  # same ranking function, tie-pick difference only
+        mismatches += 1
+    log(f"recall@10 parity: {checked - mismatches}/{checked} queries agree")
 
     log(f"total bench time {time.time() - t_start:.0f}s")
     print(

@@ -49,12 +49,13 @@ from fugu_tpu.query import Occur, QueryPlan
 
 jax_setup.configure()
 
-BLOCK = 4096          # docs per block (== max entries per clause-block):
-                      # one-hot scatter work is O(entries * BLOCK), but
-                      # per-block DMA stalls dominate below ~4k even with
-                      # prefetch (measured 1024 -> 2.3x slower at 1M docs)
+BLOCK = 2048          # docs per block (== max entries per clause-block):
+                      # one-hot scatter work is O(entries * BLOCK); with
+                      # double-buffered DMA hiding block latency, smaller
+                      # blocks cut compute linearly
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
-ENTRY_CHUNK = 512     # entries per one-hot matmul chunk
+ENTRY_CHUNK = 256     # entries per one-hot matmul chunk (finer skip
+                      # granularity for sparse windows)
 NB_BUCKETS = (8, 64, 512, 4096)
 MAX_K = 64            # per-block extraction budget
 
@@ -92,6 +93,7 @@ def _scorer_kernel(
     *scratch,
     t_pad: int,
     k: int,
+    need_bits: bool,
 ):
     doc_s = [scratch[2 * t] for t in range(t_pad)]       # (2*WINDOW,)
     pk_s = [scratch[2 * t + 1] for t in range(t_pad)]    # (2*WINDOW,)
@@ -205,19 +207,22 @@ def _scorer_kernel(
                     scores, presence_t = args
                     le = local[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
                     ce = contrib[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
-                    ve = jnp.where(le >= 0, 1.0, 0.0)
                     le_col = le.reshape(ENTRY_CHUNK, 1)
-                    onehot = (le_col == slot_iota).astype(jnp.float32)
-                    vals = jnp.concatenate(
-                        [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
-                        axis=1,
-                    )
-                    # exact f32 via manual hi/mid/lo bf16 split: the
-                    # one-hot is exactly representable in bf16, so three
+                    # (16-bit compares are unsupported on this target;
+                    # int32 equality straight to bf16 one-hot)
+                    oh16 = (le_col == slot_iota).astype(jnp.bfloat16)
+                    # exact f32 via manual hi/mid/lo bf16 split — three
                     # native MXU passes accumulate the full f32
                     # contribution (single-pass bf16 reorders near-ties
                     # vs the oracle; Precision.HIGHEST blows VMEM)
-                    oh16 = onehot.astype(jnp.bfloat16)
+                    if need_bits:
+                        ve = jnp.where(le >= 0, 1.0, 0.0)
+                        vals = jnp.concatenate(
+                            [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
+                            axis=1,
+                        )
+                    else:
+                        vals = ce.reshape(ENTRY_CHUNK, 1)
                     v_hi = vals.astype(jnp.bfloat16)
                     r1 = vals - v_hi.astype(jnp.float32)
                     v_mid = r1.astype(jnp.bfloat16)
@@ -237,7 +242,9 @@ def _scorer_kernel(
                             preferred_element_type=jnp.float32,
                         )
                     )
-                    return scores + acc[0:1, :], presence_t + acc[1:2, :]
+                    if need_bits:
+                        return scores + acc[0:1, :], presence_t + acc[1:2, :]
+                    return scores + acc[0:1, :], presence_t
 
                 scores, presence_t = jax.lax.cond(
                     chunk_active,
@@ -246,14 +253,19 @@ def _scorer_kernel(
                     (scores, presence_t),
                 )
 
-            g = gbits[b, t]
-            gbit = jnp.where(g >= 0, jnp.int32(1) << jnp.maximum(g, 0), 0)
-            present_bits = present_bits | jnp.where(presence_t > 0.0, gbit, 0)
+            if need_bits:
+                g = gbits[b, t]
+                gbit = jnp.where(g >= 0, jnp.int32(1) << jnp.maximum(g, 0), 0)
+                present_bits = present_bits | jnp.where(presence_t > 0.0, gbit, 0)
 
-        matched = (present_bits & (must | should)) != 0
-        matched &= (present_bits & must) == must
-        matched &= (present_bits & mustnot) == 0
-        matched &= ((present_bits & should) != 0) | (should == 0)
+        if need_bits:
+            matched = (present_bits & (must | should)) != 0
+            matched &= (present_bits & must) == must
+            matched &= (present_bits & mustnot) == 0
+            matched &= ((present_bits & should) != 0) | (should == 0)
+        else:
+            # pure-should: every scored doc matches (weights are > 0)
+            matched = scores > 0.0
         matched &= tomb_s[pl.ds(boff, BLOCK)].reshape(1, BLOCK) == 0
 
         masked = jnp.where(matched, scores, NEG_INF)
@@ -313,8 +325,11 @@ def _scorer_kernel(
 K_OUT = 128  # lane-aligned output tile
 
 
-def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = False):
-    kernel = functools.partial(_scorer_kernel, t_pad=t_pad, k=k)
+def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
+                 need_bits: bool, interpret: bool = False):
+    kernel = functools.partial(
+        _scorer_kernel, t_pad=t_pad, k=k, need_bits=need_bits
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(b_pad,),
@@ -356,10 +371,12 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int, interpret: bool = 
 _SCORER_CACHE: dict = {}
 
 
-def _get_scorer(t_pad, nb_pad, k, b_pad, interpret):
-    key = (t_pad, nb_pad, k, b_pad, interpret)
+def _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret):
+    key = (t_pad, nb_pad, k, b_pad, need_bits, interpret)
     if key not in _SCORER_CACHE:
-        _SCORER_CACHE[key] = build_scorer(t_pad, nb_pad, k, b_pad, interpret)
+        _SCORER_CACHE[key] = build_scorer(
+            t_pad, nb_pad, k, b_pad, need_bits, interpret
+        )
     return _SCORER_CACHE[key]
 
 
@@ -404,23 +421,23 @@ def pallas_search_batch(
             if not (has_constraints and len(plan.groups) > 32):
                 results[i] = []
             continue
-        staged.append((i, t_pad, args, must, mustnot, should))
+        staged.append((i, t_pad, args, must, mustnot, should, need_bits))
 
     if not staged:
         return results
 
     by_t: dict = {}
     for item in staged:
-        by_t.setdefault(item[1], []).append(item)
+        by_t.setdefault((item[1], item[6]), []).append(item)
 
     e_docd, e_tffidd, _ = segment.device_pack()
     tombd = segment.device_tomb_flags()
     edge = np.arange(n_blocks + 1, dtype=np.int64) * BLOCK
     e_doc_np = segment.e_doc
 
-    for t_pad, items in by_t.items():
+    for (t_pad, need_bits), items in by_t.items():
         rows = []
-        for (i, _t, args, must, mustnot, should) in items:
+        for (i, _t, args, must, mustnot, should, _nb) in items:
             st = np.zeros((n_blocks, t_pad), dtype=np.int64)
             ct = np.zeros((n_blocks, t_pad), dtype=np.int64)
             for t in range(t_pad):
@@ -431,7 +448,22 @@ def pallas_search_batch(
                 offs = np.searchsorted(window, edge)
                 st[:, t] = s0 + offs[:-1]
                 ct[:, t] = offs[1:] - offs[:-1]
-            nonempty = np.nonzero(ct.sum(axis=1) > 0)[0]
+            keep = ct.sum(axis=1) > 0
+            # conjunctive pruning: a block missing every clause of some
+            # MUST group cannot match — skip it entirely (the posting-
+            # intersection analog of BASELINE config #2, done at staging)
+            if must:
+                for g in range(32):
+                    if not (must >> g) & 1:
+                        continue
+                    cols = [
+                        t
+                        for t in range(t_pad)
+                        if int(args.gbits[t]) == (1 << g)
+                    ]
+                    if cols:
+                        keep &= ct[:, cols].sum(axis=1) > 0
+            nonempty = np.nonzero(keep)[0]
             rows.append((i, args, must, mustnot, should, st, ct, nonempty))
 
         feasible = [r for r in rows if len(r[7]) <= NB_BUCKETS[-1]]
@@ -482,7 +514,7 @@ def pallas_search_batch(
                     gbits[bi, t] = bits.bit_length() - 1 if bits else -1
                 masks[bi] = (must, mustnot, should)
 
-            scorer = _get_scorer(t_pad, nb_pad, k, b_pad, interpret)
+            scorer = _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret)
             top_s, top_d = scorer(
                 jnp.asarray(nblocks),
                 jnp.asarray(block_ids),

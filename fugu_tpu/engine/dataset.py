@@ -417,6 +417,20 @@ class Dataset:
     def schema_info(self) -> Dict[str, Dict[str, str]]:
         return {idx.name: idx.schema_info() for idx in self.all_indexes()}
 
+    # -- compaction ------------------------------------------------------------
+
+    def compact(self) -> Dict[str, int]:
+        """Force-merge every index to a single segment (the explicit
+        compactor endpoint the reference README promises but never ships,
+        README.md:71; segment-count reduction also collapses device
+        dispatches per query)."""
+        out = {}
+        for idx in self.all_indexes():
+            before = len(idx.segments)
+            idx.maybe_merge(force=True)
+            out[idx.name] = before
+        return out
+
     # -- spill / restore (BASELINE config #5: cold-namespace S3 spill) -------
 
     def spill(self, remote_prefix: str) -> None:

@@ -410,7 +410,10 @@ def pallas_search_batch(
         if plan.host_only:
             continue
         n_clauses = sum(len(g.clauses) for g in plan.groups)
-        t_pad = buckets.t_bucket(max(n_clauses, 1))
+        # floor at 4: 1-term and 4-term queries share one compiled
+        # signature and one dispatch per batch; inactive clause slots
+        # cost nothing (their blocks/chunks are pruned or skipped)
+        t_pad = max(buckets.t_bucket(max(n_clauses, 1)), 4)
         if t_pad > 16 or len(plan.groups) > 32:
             continue
         args, must, mustnot, should, need_bits = stage_clauses(

@@ -737,6 +737,30 @@ async def suggest(request: web.Request) -> web.Response:
 # -- app assembly ------------------------------------------------------------
 
 
+async def compact_endpoint(request: web.Request) -> web.Response:
+    """POST /compact[/{namespace}] — force-merge segments (the explicit
+    compactor; README.md:71 promises one, tracing_utils.rs:190 reserves
+    its span name, but the reference never implements it)."""
+    state = _state(request)
+    namespace = request.match_info.get(
+        "namespace", state.db.config.default_namespace
+    )
+    with telemetry.compactor_span(namespace):
+        ds = state.db.get_dataset(namespace)
+        if ds is None:
+            return _err(f"Namespace '{namespace}' not found", 404)
+        with telemetry.Timer() as t:
+            merged = await state.run_sync(ds.compact)
+        return _json(
+            {
+                "status": "success",
+                "namespace": namespace,
+                "segments_before": merged,
+                "took_ms": t.took_ms,
+            }
+        )
+
+
 async def metrics_endpoint(request: web.Request) -> web.Response:
     from fugu_tpu.server.metrics import REGISTRY
 
@@ -794,6 +818,9 @@ def create_app(db: DatasetManager) -> web.Application:
     r.add_get("/facets/tree", get_facet_tree)
     # suggestions
     r.add_get("/suggest", suggest)
+    # maintenance
+    r.add_post("/compact", compact_endpoint)
+    r.add_post("/compact/{namespace}", compact_endpoint)
     # observability
     r.add_get("/metrics", metrics_endpoint)
     # docs

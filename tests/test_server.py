@@ -348,3 +348,19 @@ def test_invalid_json_400(server):
     status, raw = server.request("POST", "/ingest", None)
     # no body at all -> error envelope
     assert status in (400, 500)
+
+
+def test_compact_endpoint(server):
+    # several ingest batches -> several segments; compaction merges them
+    for i in range(3):
+        server.post_json(
+            "/ingest", {"data": [{"id": f"cpt{i}", "text": f"compact doc {i}"}]}
+        )
+    assert len(server.db.get_dataset("default").docs().segments) > 1
+    status, out = server.post_json("/compact", {})
+    assert status == 200 and out["status"] == "success"
+    assert len(server.db.get_dataset("default").docs().segments) == 1
+    _, res = server.get_json("/search?q=compact")
+    assert res["total"] == 3
+    status, _ = server.post_json("/compact/missing_ns", {})
+    assert status == 404

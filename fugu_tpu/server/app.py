@@ -845,6 +845,18 @@ def start_http_server(
             stats.filter_count,
             stats.query_count,
         )
+    import os as _os
+
+    if _os.environ.get("FUGU_WARMUP") == "1":
+        # pre-trigger engine compiles so first queries don't stall on the
+        # (persistently cached) XLA/Mosaic compilation
+        for ns, ds in db.datasets.items():
+            if ds.stats().docs_count:
+                logger.info("warming up engine for namespace %s ...", ns)
+                try:
+                    ds.search("warmup query terms here", [], 0, 10)
+                except Exception as e:  # warmup is best-effort
+                    logger.warning("warmup for %s failed: %s", ns, e)
     app = create_app(db)
 
     async def _run():

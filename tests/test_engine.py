@@ -285,3 +285,26 @@ def test_terms_with_prefix(ds):
     terms = ds.docs().terms_with_prefix("text", "qu")
     assert "quick" in terms
     assert all(t.startswith("qu") for t in terms)
+
+
+def test_search_many_batched(ds):
+    seed(ds)
+    results = ds.search_many(
+        [("quick fox", []), ("lazy", []), ("", ["/namespace/testns/data/metal"])],
+        0,
+        10,
+    )
+    assert len(results) == 3
+    assert results[0] and results[0][0].id in ("doc1", "doc3")
+    assert [r.id for r in results[1]] == ["doc2"]
+    assert [r.id for r in results[2]] == ["doc3"]
+
+
+def test_compact_dataset(ds):
+    for i in range(3):
+        ds.ingest([rec(50 + i, f"extra doc {i}")])
+    assert len(ds.docs().segments) > 1
+    before = ds.compact()
+    assert before["docs"] > 1
+    assert len(ds.docs().segments) == 1
+    assert len(ds.search("extra", [], 0, 10)) == 3

@@ -139,6 +139,9 @@ def main() -> None:
         pallas_hits = pallas_search_batch(seg, plans, stats, 10)
         log(f"pallas warmup done in {time.time() - t0:.1f}s")
         n_handled = sum(1 for r in pallas_hits if r is not None)
+        from fugu_tpu.ops import pallas_scorer as _ps
+
+        _ps.PROFILE.update(stage_s=0.0, device_s=0.0, dispatches=0)
         t0 = time.time()
         pallas_hits = pallas_search_batch(seg, plans, stats, 10)
         pallas_s = time.time() - t0
@@ -148,6 +151,13 @@ def main() -> None:
             f"({n_handled}/{len(plans)} handled), "
             f"{pallas_s / len(plans) * 1000:.2f} ms/query amortized"
         )
+        prof = dict(_ps.PROFILE)
+        if prof["stage_s"] + prof["device_s"] > 0:
+            log(
+                f"pallas time split (timed run): host staging "
+                f"{prof['stage_s']:.2f}s, device {prof['device_s']:.2f}s "
+                f"across {prof['dispatches']} dispatches"
+            )
         if pallas_qps > qps and n_handled == len(plans):
             qps = pallas_qps
             device_hits = pallas_hits

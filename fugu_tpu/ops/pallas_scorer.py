@@ -33,6 +33,7 @@ tests/test_pallas_scorer.py (interpret mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -370,6 +371,11 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
 
 _SCORER_CACHE: dict = {}
 
+# wall-time attribution for the last pallas_search_batch call (seconds):
+# host staging (searchsorted + table packing) vs device (dispatch +
+# result sync).  Read by bench.py's BENCH_PROFILE diagnostics.
+PROFILE = {"stage_s": 0.0, "device_s": 0.0, "dispatches": 0}
+
 
 def _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret):
     key = (t_pad, nb_pad, k, b_pad, need_bits, interpret)
@@ -402,6 +408,9 @@ def pallas_search_batch(
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
     if limit > MAX_K:
         return results
+    prof_t0 = time.perf_counter()
+    prof_device = 0.0
+    prof_dispatches = 0
     k = min(buckets.k_bucket(limit), MAX_K)
 
     n_blocks = max((segment.doc_count + BLOCK - 1) // BLOCK, 1)
@@ -469,11 +478,9 @@ def pallas_search_batch(
             nonempty = np.nonzero(keep)[0]
             rows.append((i, args, must, mustnot, should, st, ct, nonempty))
 
-        feasible = [r for r in rows if len(r[7]) <= NB_BUCKETS[-1]]
-        for r in rows:
-            if len(r[7]) > NB_BUCKETS[-1]:
-                pass  # stays None -> fallback
-        rows = feasible
+        # queries touching more blocks than the largest bucket stay None
+        # in `results` -> the caller routes them to another engine
+        rows = [r for r in rows if len(r[7]) <= NB_BUCKETS[-1]]
         if not rows:
             continue
         nb_pad = nb_bucket(max(max(len(r[7]) for r in rows), 1))
@@ -518,6 +525,7 @@ def pallas_search_batch(
                 masks[bi] = (must, mustnot, should)
 
             scorer = _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret)
+            dev_t0 = time.perf_counter()
             top_s, top_d = scorer(
                 jnp.asarray(nblocks),
                 jnp.asarray(block_ids),
@@ -534,10 +542,15 @@ def pallas_search_batch(
             )
             top_s = np.asarray(top_s)[:, 0, :]
             top_d = np.asarray(top_d)[:, 0, :]
+            prof_device += time.perf_counter() - dev_t0
+            prof_dispatches += 1
             for bi, (i, *_rest) in enumerate(chunk):
                 keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
                 results[i] = [
                     (float(s), int(d))
                     for s, d in zip(top_s[bi][keep], top_d[bi][keep])
                 ][:limit]
+    PROFILE["device_s"] += prof_device
+    PROFILE["stage_s"] += time.perf_counter() - prof_t0 - prof_device
+    PROFILE["dispatches"] += prof_dispatches
     return results

@@ -447,6 +447,11 @@ def pallas_search_batch(
     edge = np.arange(n_blocks + 1, dtype=np.int64) * BLOCK
     e_doc_np = segment.e_doc
 
+    # dispatches are queued async (jax dispatch returns immediately);
+    # results convert after ALL chunks are in flight so the per-dispatch
+    # relay round-trips overlap instead of serializing
+    pending: list = []
+
     for (t_pad, need_bits), items in by_t.items():
         rows = []
         for (i, _t, args, must, mustnot, should, _nb) in items:
@@ -540,16 +545,21 @@ def pallas_search_batch(
                 e_tffidd,
                 tombd,
             )
-            top_s = np.asarray(top_s)[:, 0, :]
-            top_d = np.asarray(top_d)[:, 0, :]
             prof_device += time.perf_counter() - dev_t0
             prof_dispatches += 1
-            for bi, (i, *_rest) in enumerate(chunk):
-                keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
-                results[i] = [
-                    (float(s), int(d))
-                    for s, d in zip(top_s[bi][keep], top_d[bi][keep])
-                ][:limit]
+            pending.append((chunk, top_s, top_d))
+
+    dev_t0 = time.perf_counter()
+    for chunk, top_s, top_d in pending:
+        top_s = np.asarray(top_s)[:, 0, :]
+        top_d = np.asarray(top_d)[:, 0, :]
+        for bi, (i, *_rest) in enumerate(chunk):
+            keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
+            results[i] = [
+                (float(s), int(d))
+                for s, d in zip(top_s[bi][keep], top_d[bi][keep])
+            ][:limit]
+    prof_device += time.perf_counter() - dev_t0
     PROFILE["device_s"] += prof_device
     PROFILE["stage_s"] += time.perf_counter() - prof_t0 - prof_device
     PROFILE["dispatches"] += prof_dispatches

@@ -196,63 +196,70 @@ def _scorer_kernel(
             contrib = jnp.where(valid, weights[b, t] * (row_tf / denom), 0.0)
             local = jnp.where(valid, row_doc - base, -1)
 
-            presence_t = jnp.zeros((1, BLOCK), jnp.float32)
+            # entries for this (clause, block) occupy one contiguous lane
+            # interval of the window — iterate only its chunks with a
+            # dynamic-bounds loop (the cond-per-chunk variant evaluated
+            # WINDOW/CHUNK scalar guards per clause per block, which
+            # dominated kernel time at 1M docs).  Mosaic can't do
+            # 256-aligned dynamic VMEM loads (1024 granularity), so each
+            # chunk is rotated to the front lanes instead of re-loaded.
             lo = st - a
             hi = lo + cnt
-            for c in range(WINDOW // ENTRY_CHUNK):
-                # skip chunks with no live entries (sorted windows mean a
-                # clause's entries occupy one contiguous lane range)
-                chunk_active = (c * ENTRY_CHUNK < hi) & ((c + 1) * ENTRY_CHUNK > lo)
+            c_lo = lo // ENTRY_CHUNK
+            c_hi = jnp.where(cnt > 0, (hi + ENTRY_CHUNK - 1) // ENTRY_CHUNK, c_lo)
 
-                def chunk_add(args, c=c):
-                    scores, presence_t = args
-                    le = local[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
-                    ce = contrib[:, c * ENTRY_CHUNK : (c + 1) * ENTRY_CHUNK]
-                    le_col = le.reshape(ENTRY_CHUNK, 1)
-                    # (16-bit compares are unsupported on this target;
-                    # int32 equality straight to bf16 one-hot)
-                    oh16 = (le_col == slot_iota).astype(jnp.bfloat16)
-                    # exact f32 via manual hi/mid/lo bf16 split — three
-                    # native MXU passes accumulate the full f32
-                    # contribution (single-pass bf16 reorders near-ties
-                    # vs the oracle; Precision.HIGHEST blows VMEM)
-                    if need_bits:
-                        ve = jnp.where(le >= 0, 1.0, 0.0)
-                        vals = jnp.concatenate(
-                            [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
-                            axis=1,
-                        )
-                    else:
-                        vals = ce.reshape(ENTRY_CHUNK, 1)
-                    v_hi = vals.astype(jnp.bfloat16)
-                    r1 = vals - v_hi.astype(jnp.float32)
-                    v_mid = r1.astype(jnp.bfloat16)
-                    v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-                    dn = (((0,), (0,)), ((), ()))
-                    acc = (
-                        jax.lax.dot_general(
-                            v_hi, oh16, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32,
-                        )
-                        + jax.lax.dot_general(
-                            v_mid, oh16, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32,
-                        )
-                        + jax.lax.dot_general(
-                            v_lo, oh16, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32,
-                        )
+            def chunk_add(c, args, local=local, contrib=contrib):
+                scores, presence_t = args
+                # pltpu.roll is a RIGHT rotation and requires a
+                # non-negative shift (a traced negative compiles but is
+                # silently wrong on hardware) — left-roll chunk c to the
+                # front lanes via the (W - s) % W equivalent
+                shift = (WINDOW - c * ENTRY_CHUNK) % WINDOW
+                le = pltpu.roll(local, shift, 1)[:, :ENTRY_CHUNK]
+                ce = pltpu.roll(contrib, shift, 1)[:, :ENTRY_CHUNK]
+                le_col = le.reshape(ENTRY_CHUNK, 1)
+                # (16-bit compares are unsupported on this target;
+                # int32 equality straight to bf16 one-hot)
+                oh16 = (le_col == slot_iota).astype(jnp.bfloat16)
+                # exact f32 via manual hi/mid/lo bf16 split — three
+                # native MXU passes accumulate the full f32
+                # contribution (single-pass bf16 reorders near-ties
+                # vs the oracle; Precision.HIGHEST blows VMEM)
+                if need_bits:
+                    ve = jnp.where(le >= 0, 1.0, 0.0)
+                    vals = jnp.concatenate(
+                        [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
+                        axis=1,
                     )
-                    if need_bits:
-                        return scores + acc[0:1, :], presence_t + acc[1:2, :]
-                    return scores + acc[0:1, :], presence_t
-
-                scores, presence_t = jax.lax.cond(
-                    chunk_active,
-                    chunk_add,
-                    lambda args: args,
-                    (scores, presence_t),
+                else:
+                    vals = ce.reshape(ENTRY_CHUNK, 1)
+                v_hi = vals.astype(jnp.bfloat16)
+                r1 = vals - v_hi.astype(jnp.float32)
+                v_mid = r1.astype(jnp.bfloat16)
+                v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+                dn = (((0,), (0,)), ((), ()))
+                acc = (
+                    jax.lax.dot_general(
+                        v_hi, oh16, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        v_mid, oh16, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    + jax.lax.dot_general(
+                        v_lo, oh16, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
                 )
+                if need_bits:
+                    return scores + acc[0:1, :], presence_t + acc[1:2, :]
+                return scores + acc[0:1, :], presence_t
+
+            presence_t = jnp.zeros((1, BLOCK), jnp.float32)
+            scores, presence_t = jax.lax.fori_loop(
+                c_lo, c_hi, chunk_add, (scores, presence_t)
+            )
 
             if need_bits:
                 g = gbits[b, t]

@@ -459,6 +459,11 @@ def pallas_search_batch(
     # relay round-trips overlap instead of serializing
     pending: list = []
 
+    # per-term block-offset tables are query-independent — cache them on
+    # the segment so repeated terms across a batch (Zipf query loads hit
+    # the same heavy terms constantly) skip the searchsorted
+    offs_cache = segment.__dict__.setdefault("_pallas_block_offsets", {})
+
     for (t_pad, need_bits), items in by_t.items():
         rows = []
         for (i, _t, args, must, mustnot, should, _nb) in items:
@@ -468,8 +473,11 @@ def pallas_search_batch(
                 s0, ln = int(args.starts[t]), int(args.lens[t])
                 if ln == 0:
                     continue
-                window = e_doc_np[s0 : s0 + ln]
-                offs = np.searchsorted(window, edge)
+                offs = offs_cache.get((s0, ln))
+                if offs is None:
+                    window = e_doc_np[s0 : s0 + ln]
+                    offs = np.searchsorted(window, edge)
+                    offs_cache[(s0, ln)] = offs
                 st[:, t] = s0 + offs[:-1]
                 ct[:, t] = offs[1:] - offs[:-1]
             keep = ct.sum(axis=1) > 0

@@ -57,7 +57,12 @@ BLOCK = 2048          # docs per block (== max entries per clause-block):
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
 ENTRY_CHUNK = 256     # entries per one-hot matmul chunk (finer skip
                       # granularity for sparse windows)
-NB_BUCKETS = (8, 64, 512, 4096)
+NB_BUCKETS = (8, 64, 512)
+NB_SPLIT = 512        # queries touching more blocks than this split into
+                      # multiple kernel rows (block slices partition doc
+                      # space, so per-slice top-k lists merge exactly);
+                      # keeps the SMEM starts/counts tables small enough
+                      # for b_pad=8 batching at any corpus size
 MAX_K = 64            # per-block extraction budget
 
 _INT_MAX = np.int32(2**31 - 1)
@@ -496,11 +501,13 @@ def pallas_search_batch(
                     if cols:
                         keep &= ct[:, cols].sum(axis=1) > 0
             nonempty = np.nonzero(keep)[0]
-            rows.append((i, args, must, mustnot, should, st, ct, nonempty))
-
-        # queries touching more blocks than the largest bucket stay None
-        # in `results` -> the caller routes them to another engine
-        rows = [r for r in rows if len(r[7]) <= NB_BUCKETS[-1]]
+            # block-heavy queries become several rows over block slices;
+            # result assembly merges the per-slice top-k lists
+            for s in range(0, max(len(nonempty), 1), NB_SPLIT):
+                rows.append(
+                    (i, args, must, mustnot, should, st, ct,
+                     nonempty[s : s + NB_SPLIT])
+                )
         if not rows:
             continue
         nb_pad = nb_bucket(max(max(len(r[7]) for r in rows), 1))
@@ -565,15 +572,21 @@ def pallas_search_batch(
             pending.append((chunk, top_s, top_d))
 
     dev_t0 = time.perf_counter()
+    partial: dict = {}
     for chunk, top_s, top_d in pending:
         top_s = np.asarray(top_s)[:, 0, :]
         top_d = np.asarray(top_d)[:, 0, :]
         for bi, (i, *_rest) in enumerate(chunk):
             keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
-            results[i] = [
+            partial.setdefault(i, []).extend(
                 (float(s), int(d))
                 for s, d in zip(top_s[bi][keep], top_d[bi][keep])
-            ][:limit]
+            )
+    for i, hits in partial.items():
+        # slices partition doc space, so concatenating per-slice top-k
+        # lists and re-ranking reproduces the global order exactly
+        hits.sort(key=lambda sd: (-sd[0], sd[1]))
+        results[i] = hits[:limit]
     prof_device += time.perf_counter() - dev_t0
     PROFILE["device_s"] += prof_device
     PROFILE["stage_s"] += time.perf_counter() - prof_t0 - prof_device

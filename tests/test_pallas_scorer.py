@@ -129,3 +129,14 @@ def test_empty_result():
     plan = plan_terms("zzz_absent")
     res = pallas_search_batch(seg, [plan], stats, 10, interpret=True)
     assert res[0] == []
+
+
+def test_block_slice_split(seg, monkeypatch):
+    """Block-heavy queries split into <=NB_SPLIT-block rows whose top-k
+    lists merge on the host; forcing NB_SPLIT=1 makes every block its
+    own row and must still reproduce the oracle exactly."""
+    from fugu_tpu.ops import pallas_scorer as ps
+
+    monkeypatch.setattr(ps, "NB_SPLIT", 1)
+    check(seg, plan_terms("w0", "w3"))
+    check(seg, plan_terms("w0", "w5", occur=Occur.MUST))

@@ -63,7 +63,9 @@ NB_SPLIT = 512        # queries touching more blocks than this split into
                       # space, so per-slice top-k lists merge exactly);
                       # keeps the SMEM starts/counts tables small enough
                       # for b_pad=8 batching at any corpus size
-MAX_K = 64            # per-block extraction budget
+MAX_K = 128           # per-block extraction budget (== K_OUT lanes); the
+                      # merge loop unrolls k iterations, so signatures
+                      # only pay for the k bucket they ask for
 
 _INT_MAX = np.int32(2**31 - 1)
 
@@ -423,7 +425,9 @@ def pallas_search_batch(
     prof_t0 = time.perf_counter()
     prof_device = 0.0
     prof_dispatches = 0
-    k = min(buckets.k_bucket(limit), MAX_K)
+    # finer k ladder than the global one: the per-block merge unrolls k
+    # extraction iterations, so k should track the requested limit
+    k = next(v for v in (16, 32, 64, MAX_K) if limit <= v)
 
     n_blocks = max((segment.doc_count + BLOCK - 1) // BLOCK, 1)
     staged = []

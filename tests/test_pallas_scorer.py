@@ -140,3 +140,15 @@ def test_block_slice_split(seg, monkeypatch):
     monkeypatch.setattr(ps, "NB_SPLIT", 1)
     check(seg, plan_terms("w0", "w3"))
     check(seg, plan_terms("w0", "w5", occur=Occur.MUST))
+
+
+def test_k_up_to_128(seg):
+    """limits in (64, 128] run on-device now (MAX_K == K_OUT == 128);
+    beyond that the engine returns None and the caller falls back."""
+    from fugu_tpu.ops import pallas_scorer as ps
+
+    check(seg, plan_terms("w1"), limit=100)
+    stats = oracle.IndexStats([seg])
+    out = ps.pallas_search_batch(seg, [plan_terms("w1")], stats, 129,
+                                 interpret=True)
+    assert out == [None]

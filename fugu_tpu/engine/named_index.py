@@ -55,7 +55,16 @@ def _device_engine():
         def hybrid(seg, plans, stats, limit):
             res = pallas_search_batch(seg, plans, stats, limit)
             missing = [i for i, r in enumerate(res) if r is None]
-            if missing:
+            if missing and seg.doc_count > 200_000:
+                # XLA merge windows pad to the posting-length bucket; on
+                # large segments that costs GBs per batch (bench gates it
+                # the same way) — the oracle is the safe exact fallback
+                for i in missing:
+                    res[i] = [
+                        (h.score, h.doc)
+                        for h in oracle_ops.search([seg], plans[i], limit, stats)
+                    ]
+            elif missing:
                 fill = scoring.device_search_batch(
                     seg, [plans[i] for i in missing], stats, limit
                 )

@@ -124,14 +124,17 @@ async def query_text_get(request: web.Request) -> web.Response:
         q = request.query.get("q")
         if q is None:
             return _json({"error": "missing query parameter `q`"}, status=400)
-        limit = int(request.query.get("limit", 20))
+        try:
+            limit = int(request.query.get("limit", 20))
+        except ValueError:
+            return _json({"error": "invalid `limit` parameter"}, status=400)
         include_text = request.query.get("text", "false").lower() == "true"
         namespace = request.query.get(
             "namespace", state.db.config.default_namespace
         )
         try:
             payload = await _perform_search(state, namespace, q, [], 0, limit)
-        except KeyError as e:
+        except Exception as e:  # parse/engine errors -> 500 envelope
             return _json({"error": f"Search failed: {e}"}, status=500)
         return _json(_strip_text(payload, include_text))
 
@@ -146,7 +149,7 @@ async def query_text_path(request: web.Request) -> web.Response:
         )
         try:
             payload = await _perform_search(state, namespace, query, [], 0, 20)
-        except KeyError as e:
+        except Exception as e:  # parse/engine errors -> 500 envelope
             return _json({"error": f"Search failed: {e}"}, status=500)
         return _json(_strip_text(payload, include_text))
 
@@ -283,7 +286,7 @@ async def query_json_post(request: web.Request) -> web.Response:
                         )
                     )
                 out = _search_response(results, payload["query"], page, pp, t.took_ms)
-        except KeyError as e:
+        except Exception as e:  # parse/engine errors -> 500 envelope
             return _json({"error": f"Search failed: {e}"}, status=500)
 
         if want_highlights:
@@ -608,7 +611,7 @@ async def get_namespace_facets(request: web.Request) -> web.Response:
             facets = await state.run_sync(
                 state.db.get_namespace_facets, namespace, "/"
             )
-        except KeyError as e:
+        except Exception as e:
             return _err(f"Failed to get namespace facets: {e}")
         return _json(
             {
@@ -629,7 +632,7 @@ def _namespace_values_handler(kind: str, key: str):
                 values = await state.run_sync(
                     state.db.get_filter_values_at_path, path
                 )
-            except KeyError as e:
+            except Exception as e:
                 return _err(f"Failed to get {key}: {e}")
             return _json({"status": "success", "namespace": namespace, key: values})
 

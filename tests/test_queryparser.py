@@ -99,3 +99,40 @@ def test_punctuation_only_token_dropped():
 def test_terms_lowercased_by_analyzer():
     plan = parse("HeLLo")
     assert plan.groups[0].clauses[0].term == "hello"
+
+
+def test_fuzz_never_crashes_after_escape_retry():
+    """The serving path parses untrusted strings with escape-and-retry
+    (search.rs's parse_query_lenient); arbitrary garbage must yield a
+    plan or a clean empty plan, never an unhandled exception."""
+    import random
+    import string
+
+    rng = random.Random(1234)
+    alphabet = string.printable + "é中文\U0001f600"
+    for _ in range(500):
+        q = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        plan = qp.parse_with_fallback(q, FIELDS, KNOWN)
+        assert plan is not None
+
+
+def test_fuzz_structured_operators():
+    """Random compositions of the grammar's operators parse, fall back
+    cleanly, or raise ParseError (which the HTTP layer maps to an error
+    envelope, search.rs's double-parse failure) — never anything else."""
+    import random
+
+    rng = random.Random(99)
+    pieces = ['"', "(", ")", "+", "-", "AND", "OR", "NOT", "text:", "name:",
+              "id:", "^2", "~1", "[a TO b]", "{a TO b}", "*", "word", "w2"]
+    parse_errors = 0
+    for _ in range(500):
+        q = " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 12)))
+        try:
+            plan = qp.parse_with_fallback(q, FIELDS, KNOWN)
+            assert plan is not None
+        except qp.ParseError:
+            # keyword operators (trailing NOT/AND) survive character
+            # escaping; Tantivy fails the same way on the retry
+            parse_errors += 1
+    assert parse_errors < 250  # most garbage still yields a plan

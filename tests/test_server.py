@@ -364,3 +364,20 @@ def test_compact_endpoint(server):
     assert res["total"] == 3
     status, _ = server.post_json("/compact/missing_ns", {})
     assert status == 404
+
+
+def test_unparseable_query_returns_error_envelope(server):
+    # trailing NOT survives character escaping, so both parse attempts
+    # fail (search.rs's lenient path) -> error envelope, not a crash
+    status, out = server.get_json("/search?q=fox%20NOT")
+    assert status == 500
+    assert "error" in out
+    # the server is still healthy afterwards
+    status, _ = server.get("/health")
+    assert status == 200
+
+
+def test_invalid_limit_param_400(server):
+    status, out = server.get_json("/search?q=fox&limit=abc")
+    assert status == 400
+    assert "limit" in out["error"]

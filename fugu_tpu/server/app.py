@@ -851,15 +851,29 @@ def start_http_server(
     import os as _os
 
     if _os.environ.get("FUGU_WARMUP") == "1":
-        # pre-trigger engine compiles so first queries don't stall on the
-        # (persistently cached) XLA/Mosaic compilation
+        # pre-trigger engine compiles + the device pack upload so first
+        # queries don't stall on (persistently cached) XLA/Mosaic
+        # compilation.  Real high-df terms matter: made-up terms stage
+        # zero posting blocks and compile the wrong block-count bucket.
         for ns, ds in db.datasets.items():
-            if ds.stats().docs_count:
-                logger.info("warming up engine for namespace %s ...", ns)
-                try:
-                    ds.search("warmup query terms here", [], 0, 10)
-                except Exception as e:  # warmup is best-effort
-                    logger.warning("warmup for %s failed: %s", ns, e)
+            if not ds.stats().docs_count:
+                continue
+            logger.info("warming up engine for namespace %s ...", ns)
+            terms = []
+            for seg in ds.docs().searcher_segments():
+                table = seg.terms.get("text", {})
+                terms.extend(
+                    sorted(table, key=lambda t: -table[t].doc_freq)[:2]
+                )
+            query = " ".join(list(dict.fromkeys(terms))[:2]) or "warmup"
+            try:
+                # serving default (per_page 20 -> k=32), the bench/API
+                # k=16 bucket, and the filtered boolean variant
+                ds.search(query, [], 0, 20)
+                ds.search(query, [], 0, 10)
+                ds.search(query, [f"/namespace/{ns}"], 0, 20)
+            except Exception as e:  # warmup is best-effort
+                logger.warning("warmup for %s failed: %s", ns, e)
     app = create_app(db)
 
     async def _run():

@@ -55,8 +55,10 @@ BLOCK = 2048          # docs per block (== max entries per clause-block):
                       # double-buffered DMA hiding block latency, smaller
                       # blocks cut compute linearly
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
-ENTRY_CHUNK = 256     # entries per one-hot matmul chunk (finer skip
-                      # granularity for sparse windows)
+ENTRY_CHUNK = 512     # entries per one-hot matmul chunk.  Swept at 1M
+                      # docs under the interval chunk loop: 256 -> 114
+                      # QPS, 512 -> 128, 1024 -> 106 (256 paid loop
+                      # overhead, 1024 pays ceil-waste on light clauses)
 NB_BUCKETS = (8, 64, 512)
 NB_SPLIT = 512        # queries touching more blocks than this split into
                       # multiple kernel rows (block slices partition doc

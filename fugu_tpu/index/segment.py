@@ -472,15 +472,18 @@ class Segment:
     # -- device --------------------------------------------------------------
 
     def device_tomb_flags(self):
-        """Per-doc tombstone flags (int32 0/1), padded to a block-aligned
-        pow2 length — the Pallas kernel DMAs whole doc blocks of these."""
+        """Per-doc tombstone flags (int32 0/1) as [doc//256, doc%256]
+        rows, padded to a block-aligned pow2 length — the Pallas kernel
+        DMAs whole doc blocks of these in its (hi, lo) block layout."""
         if getattr(self, "_device_tomb_flags", None) is None:
             import jax.numpy as jnp
 
             size = _pow2_bucket(self.doc_count + 4096)
             flags = np.zeros(size, dtype=np.int32)
             flags[: self.doc_count] = self.tombstones.astype(np.int32)
-            object.__setattr__(self, "_device_tomb_flags", jnp.asarray(flags))
+            object.__setattr__(
+                self, "_device_tomb_flags", jnp.asarray(flags.reshape(-1, 256))
+            )
         return self._device_tomb_flags
 
     def device_pack(self):

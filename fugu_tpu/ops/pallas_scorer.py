@@ -18,10 +18,12 @@ Kernel, per grid step (query b, block slot j):
    from the HBM posting pack into VMEM
 2. VPU: BM25 contribution per entry — w_t * tf / (tf + c1_t + c2_t *
    smallfloat_decode(fid)) — with the branch-free fieldnorm decode
-3. MXU: scatter-as-matmul — one-hot(local doc id) against
-   [contrib, valid] gives dense per-doc block scores and per-clause
-   presence in one contraction; group-presence bits assemble by scalar
-   shifts (boolean MUST/MUST_NOT/SHOULD from a 32-bit mask)
+3. MXU: factored scatter-as-matmul — local doc = hi*256 + lo, so
+   (onehot_hi * contrib)^T @ onehot_lo yields the dense (BLOCK/256, 256)
+   block scores in one contraction with one-hot construction cost
+   O(entries * (256 + BLOCK/256)) instead of O(entries * BLOCK); a
+   second 0/1 pass gives per-clause presence; group-presence bits
+   assemble by scalar shifts (boolean MUST/MUST_NOT/SHOULD masks)
 4. VPU: tombstone bitset mask fused in
 5. per-block top-K by iterative masked max (ties -> lowest doc id), all
    vector ops; the tiny cross-block merge is one XLA top_k outside
@@ -50,11 +52,13 @@ from fugu_tpu.query import Occur, QueryPlan
 
 jax_setup.configure()
 
-BLOCK = 2048          # docs per block (== max entries per clause-block):
-                      # one-hot scatter work is O(entries * BLOCK); with
-                      # double-buffered DMA hiding block latency, smaller
-                      # blocks cut compute linearly
+BLOCK = 2048          # docs per block (== max entries per clause-block).
+                      # With the factored (hi, lo) scatter, construction
+                      # is ~O(entries), so BLOCK mostly trades per-block
+                      # loop overhead vs extraction width: 4096 measured
+                      # neutral (128 vs 130 QPS at 1M), 2048 kept
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
+HI_ROWS = BLOCK // 256  # block doc space as (hi, lo): doc = hi*256 + lo
 ENTRY_CHUNK = 512     # entries per one-hot matmul chunk.  Swept at 1M
                       # docs under the interval chunk loop: 256 -> 114
                       # QPS, 512 -> 128, 1024 -> 106 (256 paid loop
@@ -107,14 +111,19 @@ def _scorer_kernel(
 ):
     doc_s = [scratch[2 * t] for t in range(t_pad)]       # (2*WINDOW,)
     pk_s = [scratch[2 * t + 1] for t in range(t_pad)]    # (2*WINDOW,)
-    tomb_s = scratch[2 * t_pad]                          # (2*BLOCK,)
+    tomb_s = scratch[2 * t_pad]                          # (2*HI_ROWS, 256)
     sems = scratch[2 * t_pad + 1]                        # (2*NSEM,)
     b = pl.program_id(0)
     NSEM = 2 * t_pad + 1
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
     wlane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, BLOCK), 1)
+    # block state lives in a (HI_ROWS, 256) layout: doc d of the block
+    # sits at [d >> 8, d & 255] — the factored scatter (below) produces
+    # exactly this shape from one small matmul
+    hi_sub = jax.lax.broadcasted_iota(jnp.int32, (HI_ROWS, 256), 0)
+    lo_lane = jax.lax.broadcasted_iota(jnp.int32, (HI_ROWS, 256), 1)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, 256), 1)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, HI_ROWS), 1)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K_OUT), 1)
 
     must = masks[b, 0]
@@ -144,12 +153,12 @@ def _scorer_kernel(
                 )
             )
         bid = block_ids[b, jj]
-        tomb_base = pl.multiple_of(jnp.maximum(bid, 0) * BLOCK, 1024)
-        boff = pl.multiple_of(slot * BLOCK, 1024)
+        tomb_row = pl.multiple_of(jnp.maximum(bid, 0) * HI_ROWS, HI_ROWS)
+        boff = pl.multiple_of(slot * HI_ROWS, HI_ROWS)
         descs.append(
             pltpu.make_async_copy(
-                tomb_hbm.at[pl.ds(tomb_base, BLOCK)],
-                tomb_s.at[pl.ds(boff, BLOCK)],
+                tomb_hbm.at[pl.ds(tomb_row, HI_ROWS), :],
+                tomb_s.at[pl.ds(boff, HI_ROWS), :],
                 sems.at[slot * NSEM + 2 * t_pad],
             )
         )
@@ -169,7 +178,7 @@ def _scorer_kernel(
         bid = block_ids[b, jj]
         base = bid * BLOCK
         woff = pl.multiple_of(slot * WINDOW, 1024)
-        boff = pl.multiple_of(slot * BLOCK, 1024)
+        boff = pl.multiple_of(slot * HI_ROWS, HI_ROWS)
 
         # prefetch the next block into the other slot
         @pl.when(jj + 1 < nb)
@@ -184,8 +193,8 @@ def _scorer_kernel(
         def start_of(t):
             return starts[b, jj * t_pad + t]
 
-        scores = jnp.zeros((1, BLOCK), jnp.float32)
-        present_bits = jnp.zeros((1, BLOCK), jnp.int32)
+        scores = jnp.zeros((HI_ROWS, 256), jnp.float32)
+        present_bits = jnp.zeros((HI_ROWS, 256), jnp.int32)
 
         for t in range(t_pad):
             st = start_of(t)
@@ -227,21 +236,22 @@ def _scorer_kernel(
                 le = pltpu.roll(local, shift, 1)[:, :ENTRY_CHUNK]
                 ce = pltpu.roll(contrib, shift, 1)[:, :ENTRY_CHUNK]
                 le_col = le.reshape(ENTRY_CHUNK, 1)
-                # (16-bit compares are unsupported on this target;
-                # int32 equality straight to bf16 one-hot)
-                oh16 = (le_col == slot_iota).astype(jnp.bfloat16)
+                ce_col = ce.reshape(ENTRY_CHUNK, 1)
+                # factored scatter: doc = hi*256 + lo, so the dense
+                # (HI_ROWS, 256) block scores are ONE contraction
+                # (onehot_hi * contrib)^T @ onehot_lo — one-hot
+                # construction costs CHUNK*(256+HI) compares instead of
+                # CHUNK*BLOCK.  Invalid lanes carry le = -1: hi = -1
+                # matches no row, zeroing the whole lhs row.  (16-bit
+                # compares are unsupported on this target; int32
+                # equality straight to bf16.)
+                oh_lo = ((le_col & 255) == lo_iota).astype(jnp.bfloat16)
+                oh_hi = ((le_col >> 8) == hi_iota).astype(jnp.float32)
                 # exact f32 via manual hi/mid/lo bf16 split — three
                 # native MXU passes accumulate the full f32
                 # contribution (single-pass bf16 reorders near-ties
                 # vs the oracle; Precision.HIGHEST blows VMEM)
-                if need_bits:
-                    ve = jnp.where(le >= 0, 1.0, 0.0)
-                    vals = jnp.concatenate(
-                        [ce.reshape(ENTRY_CHUNK, 1), ve.reshape(ENTRY_CHUNK, 1)],
-                        axis=1,
-                    )
-                else:
-                    vals = ce.reshape(ENTRY_CHUNK, 1)
+                vals = oh_hi * ce_col
                 v_hi = vals.astype(jnp.bfloat16)
                 r1 = vals - v_hi.astype(jnp.float32)
                 v_mid = r1.astype(jnp.bfloat16)
@@ -249,23 +259,29 @@ def _scorer_kernel(
                 dn = (((0,), (0,)), ((), ()))
                 acc = (
                     jax.lax.dot_general(
-                        v_hi, oh16, dimension_numbers=dn,
+                        v_hi, oh_lo, dimension_numbers=dn,
                         preferred_element_type=jnp.float32,
                     )
                     + jax.lax.dot_general(
-                        v_mid, oh16, dimension_numbers=dn,
+                        v_mid, oh_lo, dimension_numbers=dn,
                         preferred_element_type=jnp.float32,
                     )
                     + jax.lax.dot_general(
-                        v_lo, oh16, dimension_numbers=dn,
+                        v_lo, oh_lo, dimension_numbers=dn,
                         preferred_element_type=jnp.float32,
                     )
                 )
                 if need_bits:
-                    return scores + acc[0:1, :], presence_t + acc[1:2, :]
-                return scores + acc[0:1, :], presence_t
+                    # presence values are 0/1 — exact in a single bf16 pass
+                    p = jax.lax.dot_general(
+                        oh_hi.astype(jnp.bfloat16), oh_lo,
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return scores + acc, presence_t + p
+                return scores + acc, presence_t
 
-            presence_t = jnp.zeros((1, BLOCK), jnp.float32)
+            presence_t = jnp.zeros((HI_ROWS, 256), jnp.float32)
             scores, presence_t = jax.lax.fori_loop(
                 c_lo, c_hi, chunk_add, (scores, presence_t)
             )
@@ -283,10 +299,10 @@ def _scorer_kernel(
         else:
             # pure-should: every scored doc matches (weights are > 0)
             matched = scores > 0.0
-        matched &= tomb_s[pl.ds(boff, BLOCK)].reshape(1, BLOCK) == 0
+        matched &= tomb_s[pl.ds(boff, HI_ROWS), :] == 0
 
         masked = jnp.where(matched, scores, NEG_INF)
-        ids = base + lane
+        ids = base + hi_sub * 256 + lo_lane
 
         # merge running top-K with this block by joint iterative
         # (max score, min id) extraction over BOTH arrays — no
@@ -362,8 +378,8 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
         scratch_shapes=[
             pltpu.VMEM((2 * WINDOW,), jnp.int32) for _ in range(2 * t_pad)
         ]
-        + [
-            pltpu.VMEM((2 * BLOCK,), jnp.int32),
+        + [  # tombstone rows: 2 slots of the block's (HI_ROWS, 256) flags
+            pltpu.VMEM((2 * HI_ROWS, 256), jnp.int32),
             pltpu.SemaphoreType.DMA((2 * (t_pad * 2 + 1),)),
         ],
     )

@@ -46,6 +46,32 @@ class ConfigError(ValueError):
     pass
 
 
+def validate_namespace_name(name: str) -> None:
+    """Reject namespace names that are unsafe as filesystem path segments.
+
+    The reference validates config-declared names (config.rs:292-330) but
+    its HTTP layer never creates/deletes namespaces; ours does (SURVEY.md
+    §2d drift fix), so every name that reaches mkdir/rmtree must be a
+    plain single path component: no separators, no traversal, no
+    reserved characters, bounded length (object.rs:49-56 namespace rules).
+    """
+    if not name:
+        raise ConfigError("Namespace name cannot be empty")
+    if len(name) > 128:
+        raise ConfigError("Namespace name cannot exceed 128 characters")
+    bad = INVALID_NAMESPACE_CHARS & set(name)
+    if bad:
+        raise ConfigError(
+            f"Invalid characters in namespace name: {name!r} ({sorted(bad)})"
+        )
+    if any(c.isspace() for c in name):
+        raise ConfigError(f"Namespace name cannot contain whitespace: {name!r}")
+    if name.startswith("."):
+        raise ConfigError(f"Namespace name cannot start with '.': {name!r}")
+    if any(ord(c) < 0x20 for c in name):
+        raise ConfigError(f"Namespace name contains control characters: {name!r}")
+
+
 @dataclasses.dataclass
 class ValidationConfig:
     require_non_empty_id: bool = True
@@ -161,8 +187,7 @@ class ServerConfig:
         for ns in self.namespaces:
             if not ns.name:
                 raise ConfigError("Empty namespace name found in configuration")
-            if INVALID_NAMESPACE_CHARS & set(ns.name):
-                raise ConfigError(f"Invalid characters in namespace name: {ns.name}")
+            validate_namespace_name(ns.name)
         for ns in self.namespaces:
             if ns.name in seen:
                 raise ConfigError(f"Duplicate namespace name: {ns.name}")

@@ -194,13 +194,18 @@ class Dataset:
             )
 
         offset = page * per_page
-        search_limit = (offset + per_page) * 10 if has_wildcard else offset + per_page
+        overfetch = has_wildcard or min_score is not None
+        search_limit = (offset + per_page) * (10 if overfetch else 1)
 
         segs = self._docs.searcher_segments()
         hits = self._docs.search_topk_batch([plan], search_limit, segments=segs)[0]
 
         results: List[FuguSearchResult] = []
         for hit in hits:
+            # filter before the page-size break so excluded hits don't
+            # consume page slots and under-fill the page
+            if min_score is not None and hit.score < min_score:
+                continue
             result = self._convert_hit(hit, segs)
             if has_wildcard:
                 if result.facets and any(
@@ -213,8 +218,6 @@ class Dataset:
                 results.append(result)
             if len(results) >= offset + per_page:
                 break
-        if min_score is not None:
-            results = [r for r in results if r.score >= min_score]
         return results[offset : offset + per_page]
 
     def search_many(

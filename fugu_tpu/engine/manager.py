@@ -14,8 +14,26 @@ import threading
 from pathlib import Path
 from typing import Dict, List, Optional
 
-from fugu_tpu.config import ConfigError, NamespaceConfig, ServerConfig
+from fugu_tpu.config import (
+    ConfigError,
+    NamespaceConfig,
+    ServerConfig,
+    validate_namespace_name,
+)
 from fugu_tpu.engine.dataset import Dataset, DatasetStats
+
+
+def _contained_ns_dir(base_path: Path, namespace: str) -> Path:
+    """base_path/<namespace>, verified to stay inside base_path.
+
+    Names are validated upstream, but mkdir/rmtree on request-supplied
+    strings warrants a resolve-time containment assert too.
+    """
+    base = base_path.resolve()
+    ns_dir = (base_path / namespace).resolve()
+    if ns_dir == base or not ns_dir.is_relative_to(base):
+        raise ConfigError(f"Namespace path escapes data root: {namespace!r}")
+    return ns_dir
 
 
 class DatasetManager:
@@ -63,6 +81,7 @@ class DatasetManager:
                 self._create(ns_cfg.name, ns_cfg)
 
     def _create(self, namespace: str, ns_cfg: Optional[NamespaceConfig]) -> Dataset:
+        validate_namespace_name(namespace)
         base_path = Path(
             (ns_cfg.data_path if ns_cfg and ns_cfg.data_path else self.config.data_path)
         )
@@ -70,6 +89,7 @@ class DatasetManager:
             base_path.mkdir(parents=True, exist_ok=True)
         elif not base_path.exists():
             raise ConfigError(f"Data path {base_path} does not exist")
+        _contained_ns_dir(base_path, namespace)
         ds = Dataset(
             namespace,
             base_path,
@@ -101,7 +121,8 @@ class DatasetManager:
             if ds is None:
                 return False
             if remove_files:
-                ns_dir = ds.base_path / namespace
+                validate_namespace_name(namespace)
+                ns_dir = _contained_ns_dir(ds.base_path, namespace)
                 if ns_dir.exists():
                     shutil.rmtree(ns_dir)
             return True

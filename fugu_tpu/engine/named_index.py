@@ -95,10 +95,17 @@ class NamedIndex:
         self.path.mkdir(parents=True, exist_ok=True)
         self.manifest = Manifest(self.path)
         self.segments: List[Segment] = []
+        #: manifest entries for spilled (cold) segments — they have no
+        #: in-memory Segment but must survive every manifest commit, or a
+        #: write to a spilled namespace would orphan them permanently
+        self.cold_segments: Dict[str, Dict[str, Any]] = {}
         if self.manifest.load():  # open_or_create (core.rs:238-245)
-            for seg_id in self.manifest.segment_ids:
+            for entry in self.manifest.entries:
+                seg_id = entry["id"]
                 if (self.path / f"seg-{seg_id}.spilled").exists():
-                    continue  # cold segment: stays remote until restore()
+                    # cold segment: stays remote until restore()
+                    self.cold_segments[seg_id] = dict(entry)
+                    continue
                 self.segments.append(load_segment(self.path, seg_id, self.schema))
         self._stats: Optional[oracle_ops.IndexStats] = None
         self._mesh = None
@@ -301,8 +308,14 @@ class NamedIndex:
             if touched:
                 for seg in self.segments:
                     save_tombstones(seg, self.path)
-                self.manifest.commit(self.segments)
+                self._manifest_commit()
                 self._invalidate()
+
+    def _manifest_commit(self) -> None:
+        """Commit live segments, always carrying cold (spilled) entries."""
+        self.manifest.commit(
+            self.segments, cold_entries=list(self.cold_segments.values())
+        )
 
     def _build_docs(self, record: ObjectRecord) -> List[docbuild.DocSpec]:
         if self.index_type is IndexType.DOCS:
@@ -326,7 +339,7 @@ class NamedIndex:
         if touched_committed:
             for seg in self.segments:
                 save_tombstones(seg, self.path)
-        self.manifest.commit(self.segments)
+        self._manifest_commit()
         self._invalidate()
         self.maybe_merge()
 
@@ -340,8 +353,8 @@ class NamedIndex:
             merged = merge_segments(self.segments, self.schema)
             save_segment(merged, self.path)
             self.segments = [merged]
-            self.manifest.commit(self.segments)
-            self.manifest.gc([merged.segment_id])
+            self._manifest_commit()
+            self.manifest.gc([merged.segment_id] + list(self.cold_segments))
             self._invalidate()
             return True
 
@@ -353,6 +366,10 @@ class NamedIndex:
         with self._lock:
             for seg in self.segments:
                 spiller.spill(self.path, seg.segment_id)
+                self.cold_segments[seg.segment_id] = {
+                    "id": seg.segment_id,
+                    "doc_count": seg.doc_count,
+                }
             self.segments = []
             self._invalidate()
 
@@ -365,6 +382,7 @@ class NamedIndex:
             for sid in self.manifest.segment_ids:
                 if spiller.is_spilled(self.path, sid):
                     spiller.restore(self.path, sid)
+                self.cold_segments.pop(sid, None)
                 segs.append(load_segment(self.path, sid, self.schema))
             self.segments = segs
             self._invalidate()

@@ -170,6 +170,7 @@ class Manifest:
         self.dir_path = Path(dir_path)
         self.generation = 0
         self.segment_ids: List[str] = []
+        self.entries: List[Dict[str, Any]] = []
 
     @property
     def path(self) -> Path:
@@ -180,18 +181,27 @@ class Manifest:
             return False
         data = json.loads(self.path.read_text())
         self.generation = data.get("generation", 0)
-        self.segment_ids = [s["id"] for s in data.get("segments", [])]
+        self.entries = list(data.get("segments", []))
+        self.segment_ids = [s["id"] for s in self.entries]
         return True
 
-    def commit(self, segments: List[Segment]) -> None:
+    def commit(
+        self,
+        segments: List[Segment],
+        cold_entries: List[Dict[str, Any]] = (),
+    ) -> None:
+        """Publish the live segment list plus any cold (spilled) entries.
+
+        Spilled segments live only in the manifest + the remote tier, so
+        a commit that dropped them would permanently orphan their data;
+        callers must thread their manifest entries through every commit.
+        """
         self.generation += 1
-        self.segment_ids = [s.segment_id for s in segments]
-        data = {
-            "generation": self.generation,
-            "segments": [
-                {"id": s.segment_id, "doc_count": s.doc_count} for s in segments
-            ],
-        }
+        self.entries = [
+            {"id": s.segment_id, "doc_count": s.doc_count} for s in segments
+        ] + [dict(e) for e in cold_entries]
+        self.segment_ids = [e["id"] for e in self.entries]
+        data = {"generation": self.generation, "segments": self.entries}
         _atomic_write(self.path, json.dumps(data, indent=2).encode("utf-8"))
 
     def gc(self, live_ids: List[str]) -> None:

@@ -53,6 +53,20 @@ def build_library() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any native source is newer than the built library —
+    a stale .so would silently serve outdated tokenization."""
+    try:
+        lib_mtime = LIB_PATH.stat().st_mtime
+    except OSError:
+        return True
+    for src in ("fugu_native.cc", "unicode_tables.h", "gen_unicode_tables.py"):
+        p = NATIVE_DIR / src
+        if p.exists() and p.stat().st_mtime > lib_mtime:
+            return True
+    return False
+
+
 def load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
@@ -60,8 +74,8 @@ def load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("FUGU_NO_NATIVE"):
         return None
-    if not LIB_PATH.exists():
-        if not build_library():
+    if not LIB_PATH.exists() or _stale():
+        if not build_library() and not LIB_PATH.exists():
             return None
     try:
         lib = ctypes.CDLL(str(LIB_PATH))

@@ -28,6 +28,7 @@ from typing import Any, List, Optional
 from aiohttp import web
 
 from fugu_tpu import telemetry
+from fugu_tpu.config import ConfigError
 from fugu_tpu.engine.manager import DatasetManager
 from fugu_tpu.records import ObjectRecord, ValidationError
 from fugu_tpu.server.openapi import build_openapi, SWAGGER_HTML
@@ -587,6 +588,8 @@ async def create_namespace(request: web.Request) -> web.Response:
             return _err("`name` is required", 400)
         try:
             await state.run_sync(state.db.create_namespace, name)
+        except ConfigError as e:
+            return _err(f"Invalid namespace name: {e}", 400)
         except Exception as e:
             return _err(f"Failed to create namespace: {e}")
         return _json({"status": "success", "namespace": name})

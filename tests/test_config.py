@@ -84,3 +84,41 @@ def test_validate_missing_path_without_autocreate(tmp_path):
     cfg.auto_create_directories = False
     with pytest.raises(ConfigError):
         cfg.validate()
+
+
+def test_namespace_name_validation_rejects_traversal():
+    import pytest
+
+    from fugu_tpu.config import ConfigError, validate_namespace_name
+
+    for bad in ("../victim", "/etc", "a/b", "a\\b", "..", ".hidden",
+                "name with space", "x" * 129, "", "a\x00b", 'we"ird'):
+        with pytest.raises(ConfigError):
+            validate_namespace_name(bad)
+    for ok in ("default", "fugu_db", "ns-1", "A.b", "x" * 128):
+        validate_namespace_name(ok)
+
+
+def test_manager_rejects_unsafe_namespace_paths(tmp_path):
+    import pytest
+
+    from fugu_tpu.config import ConfigError, ServerConfig
+    from fugu_tpu.engine.manager import DatasetManager
+
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    (victim / "keep.txt").write_text("precious")
+
+    data_root = tmp_path / "data"
+    mgr = DatasetManager(
+        ServerConfig.with_defaults(str(data_root), "default"), use_device=False
+    )
+    for bad in ("../victim", "/etc", "a/../../victim", ".."):
+        with pytest.raises(ConfigError):
+            mgr.create_namespace(bad)
+    # nothing outside the data root was created, victim untouched
+    assert (victim / "keep.txt").read_text() == "precious"
+    assert not (tmp_path / "etc").exists()
+    # deleting an unknown/unsafe name is a no-op, not an rmtree
+    assert mgr.delete_namespace("../victim") is False
+    assert victim.exists()

@@ -100,3 +100,47 @@ def test_spilled_namespace_reopens_after_restart(tmp_path):
     # segments are spilled: not loadable until restore
     ds2.restore(str(remote))
     assert [r.id for r in ds2.search("alpha", [], 0, 10)] == ["a"]
+
+def test_write_to_spilled_index_preserves_cold_segments(tmp_path):
+    """Commits while segments are cold must keep their manifest entries
+    (an upsert used to rewrite meta.json from in-memory segments only,
+    permanently orphaning the spilled data)."""
+    data_dir = tmp_path / "data"
+    remote = tmp_path / "remote"
+    ds = Dataset("ns", data_dir, use_device=False)
+    ds.ingest([ObjectRecord(id="old", text="archived alpha", namespace="ns")])
+    ds.spill(str(remote))
+
+    # reopen cold, then WRITE without restoring first
+    ds2 = Dataset("ns", data_dir, use_device=False)
+    ds2.ingest([ObjectRecord(id="new", text="fresh beta", namespace="ns")])
+    # the cold segment id must still be in the manifest
+    manifest_ids = set(ds2.docs().manifest.segment_ids)
+    assert set(ds2.docs().cold_segments) <= manifest_ids
+    assert len(ds2.docs().cold_segments) == 1
+
+    # restore brings the old doc back alongside the new one
+    ds2.restore(str(remote))
+    ids = {r.id for r in ds2.search("alpha beta archived fresh", [], 0, 10)}
+    assert ids == {"old", "new"}
+
+
+def test_delete_and_merge_preserve_cold_segments(tmp_path):
+    data_dir = tmp_path / "data"
+    remote = tmp_path / "remote"
+    ds = Dataset("ns", data_dir, use_device=False)
+    ds.ingest([ObjectRecord(id="old", text="cold gamma", namespace="ns")])
+    ds.spill(str(remote))
+
+    ds2 = Dataset("ns", data_dir, use_device=False)
+    cold_id = next(iter(ds2.docs().cold_segments))
+    ds2.ingest([ObjectRecord(id="h1", text="hot one", namespace="ns")])
+    ds2.ingest([ObjectRecord(id="h2", text="hot two", namespace="ns")])
+    ds2.delete_document("h1")
+    ds2.docs().maybe_merge(force=True)
+    assert cold_id in ds2.docs().manifest.segment_ids
+    # the spilled marker must survive merge gc
+    assert (data_dir / "ns" / "docs" / f"seg-{cold_id}.spilled").exists()
+    ds2.restore(str(remote))
+    ids = {r.id for r in ds2.search("cold hot gamma one two", [], 0, 10)}
+    assert ids == {"old", "h2"}

@@ -187,6 +187,18 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("serve", help="run the HTTP server")
     p.add_argument("--port", type=int, default=3301)
     p.add_argument("--config")
+    p.add_argument(
+        "--shard-devices",
+        type=int,
+        default=None,
+        help="serve over an N-device mesh (doc-range sharding; 0 = single chip)",
+    )
+    p.add_argument(
+        "--shard-slices",
+        type=int,
+        default=None,
+        help="outer (DCN) mesh axis size for multi-slice serving",
+    )
     return parser
 
 
@@ -195,9 +207,17 @@ def run_cli(argv: Optional[list] = None) -> int:
     telemetry.init_tracing(log_file=None)
     try:
         if args.command == "serve" or args.command is None:
+            import os
+
+            from fugu_tpu import config as cfgmod
             from fugu_tpu.engine.manager import DatasetManager
             from fugu_tpu.server.app import start_http_server
 
+            # flags win over env which wins over config-file values
+            if getattr(args, "shard_devices", None) is not None:
+                os.environ[cfgmod.ENV_SHARD_DEVICES] = str(args.shard_devices)
+            if getattr(args, "shard_slices", None) is not None:
+                os.environ[cfgmod.ENV_SHARD_SLICES] = str(args.shard_slices)
             if getattr(args, "config", None):
                 db = DatasetManager.from_config_file(args.config)
             else:

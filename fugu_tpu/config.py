@@ -38,6 +38,10 @@ CONFIG_PROBE_PATHS = [
 
 ENV_DATA_PATH = "FUGU_DATA_PATH"
 ENV_DEFAULT_NAMESPACE = "FUGU_DEFAULT_NAMESPACE"
+#: multi-chip serving: number of mesh devices (0/unset = single-chip)
+ENV_SHARD_DEVICES = "FUGU_SHARD_DEVICES"
+#: multi-slice meshes: outer (DCN) axis size; devices must divide evenly
+ENV_SHARD_SLICES = "FUGU_SHARD_SLICES"
 
 INVALID_NAMESPACE_CHARS = set('/\\:*?"<>|')
 
@@ -116,6 +120,10 @@ class ServerConfig:
     writer_memory_budget: Optional[int] = 50_000_000
     auto_create_directories: bool = True
     validation: ValidationConfig = dataclasses.field(default_factory=ValidationConfig)
+    #: doc-range sharding over a device mesh (parallel/sharded.py);
+    #: 0 = single-chip.  shard_slices > 1 builds a 2-D (DCN x ICI) mesh.
+    shard_devices: int = 0
+    shard_slices: int = 1
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ServerConfig":
@@ -132,7 +140,27 @@ class ServerConfig:
             cfg.auto_create_directories = bool(d["auto_create_directories"])
         if "validation" in d and d["validation"] is not None:
             cfg.validation = ValidationConfig.from_dict(d["validation"])
+        if "shard_devices" in d:
+            cfg.shard_devices = int(d["shard_devices"] or 0)
+        if "shard_slices" in d:
+            cfg.shard_slices = max(int(d["shard_slices"] or 1), 1)
+        cfg._apply_shard_env()
         return cfg
+
+    def _apply_shard_env(self) -> None:
+        """Env overrides win over file values (main.rs:118-121 pattern)."""
+        env_dev = os.environ.get(ENV_SHARD_DEVICES)
+        if env_dev is not None:
+            try:
+                self.shard_devices = int(env_dev)
+            except ValueError:
+                raise ConfigError(f"{ENV_SHARD_DEVICES} must be an int: {env_dev!r}")
+        env_slices = os.environ.get(ENV_SHARD_SLICES)
+        if env_slices is not None:
+            try:
+                self.shard_slices = max(int(env_slices), 1)
+            except ValueError:
+                raise ConfigError(f"{ENV_SHARD_SLICES} must be an int: {env_slices!r}")
 
     @classmethod
     def from_file(cls, path: str | Path) -> "ServerConfig":
@@ -159,6 +187,7 @@ class ServerConfig:
         cfg.data_path = data_path
         cfg.default_namespace = default_namespace
         cfg.namespaces = [NamespaceConfig(name=default_namespace)]
+        cfg._apply_shard_env()
         return cfg
 
     @classmethod
@@ -201,4 +230,6 @@ class ServerConfig:
             "writer_memory_budget": self.writer_memory_budget,
             "auto_create_directories": self.auto_create_directories,
             "validation": dataclasses.asdict(self.validation),
+            "shard_devices": self.shard_devices,
+            "shard_slices": self.shard_slices,
         }

@@ -42,7 +42,33 @@ class DatasetManager:
         self.use_device = use_device
         self._lock = threading.RLock()
         self.datasets: Dict[str, Dataset] = {}
+        self._mesh = None
+        if use_device and getattr(config, "shard_devices", 0):
+            self._mesh = self._build_mesh(config.shard_devices, config.shard_slices)
         self._initialize_configured_namespaces()
+
+    @staticmethod
+    def _build_mesh(n_devices: int, n_slices: int = 1):
+        """Device mesh for multi-chip serving, or None (logged) when the
+        backend can't supply the devices — the server still comes up
+        single-chip rather than failing startup."""
+        try:
+            import jax
+
+            from fugu_tpu.parallel.sharded import make_mesh
+
+            if len(jax.devices()) < n_devices:
+                raise RuntimeError(
+                    f"need {n_devices} devices, have {len(jax.devices())}"
+                )
+            return make_mesh(n_devices, n_slices=n_slices)
+        except Exception as e:
+            import logging
+
+            logging.getLogger("fugu_tpu").warning(
+                "sharding disabled (%s); serving single-chip", e
+            )
+            return None
 
     # -- constructors (config.rs:96-159) --------------------------------------
 
@@ -97,6 +123,10 @@ class DatasetManager:
             use_device=self.use_device,
         )
         ds.validate_all_schemas()
+        if self._mesh is not None:
+            # multi-chip serving reachable from config/env alone: searches
+            # on the docs index route through the sharded Pallas engine
+            ds.docs().enable_sharding(self._mesh)
         self.datasets[namespace] = ds
         return ds
 

@@ -38,27 +38,42 @@ DEVICE_MIN_ENTRIES = 4096
 #: merge when the segment count exceeds this (Tantivy LogMergePolicy analog)
 MAX_SEGMENTS = 8
 
+#: above this many docs the XLA merge network's bucket-padded posting
+#: windows cost GBs per batch — auto-select the Pallas block scorer
+AUTO_PALLAS_MIN_DOCS = 200_000
 
-def _device_engine():
-    """Select the device execution engine.
 
-    FUGU_ENGINE=pallas -> the Pallas block scorer (ops/pallas_scorer);
-    anything else -> the XLA merge-network kernel (ops/scoring).  The
-    Pallas path itself falls back per-plan (returning None entries), so
-    wrap it to fill those from the XLA engine.
+def _engine_name(segment: Segment) -> str:
+    """pallas|xla for this segment: FUGU_ENGINE overrides, else by size.
+
+    The old default (always xla) was unsafe at scale: a default-config
+    server on a 1M-doc namespace hit multi-GB padded windows.  Engine
+    choice is per segment; the env var remains an explicit override.
     """
     import os
 
-    if os.environ.get("FUGU_ENGINE", "xla").lower() == "pallas":
+    choice = os.environ.get("FUGU_ENGINE", "auto").lower()
+    if choice in ("pallas", "xla"):
+        return choice
+    return "pallas" if segment.doc_count > AUTO_PALLAS_MIN_DOCS else "xla"
+
+
+def _device_engine(segment: Segment):
+    """Select the device execution engine for one segment.
+
+    pallas -> the Pallas block scorer (ops/pallas_scorer); xla -> the XLA
+    merge-network kernel (ops/scoring).  The Pallas path falls back
+    per-plan (returning None entries), so wrap it to fill those from the
+    XLA engine (small segments) or the oracle (large ones, where the XLA
+    windows would blow memory).
+    """
+    if _engine_name(segment) == "pallas":
         from fugu_tpu.ops.pallas_scorer import pallas_search_batch
 
         def hybrid(seg, plans, stats, limit):
             res = pallas_search_batch(seg, plans, stats, limit)
             missing = [i for i, r in enumerate(res) if r is None]
-            if missing and seg.doc_count > 200_000:
-                # XLA merge windows pad to the posting-length bucket; on
-                # large segments that costs GBs per batch (bench gates it
-                # the same way) — the oracle is the safe exact fallback
+            if missing and seg.doc_count > AUTO_PALLAS_MIN_DOCS:
                 for i in missing:
                     res[i] = [
                         (h.score, h.doc)
@@ -149,13 +164,34 @@ class NamedIndex:
         self._sharded_packs = {}
 
     def _sharded_pack(self, segment: Segment):
-        from fugu_tpu.parallel.sharded import ShardedPack
+        from fugu_tpu.parallel.pallas_sharded import PallasShardedPack
 
         pack = self._sharded_packs.get(segment.segment_id)
         if pack is None or pack.segment is not segment:
-            pack = ShardedPack(segment, self._mesh)
+            # PallasShardedPack subclasses ShardedPack, so both the
+            # batched Pallas path and the per-plan XLA path can use it
+            pack = PallasShardedPack(segment, self._mesh)
             self._sharded_packs[segment.segment_id] = pack
         return pack
+
+    def _sharded_search_batch(self, seg, plans_idx, plans, stats, limit):
+        """Batched mesh search: the flagship Pallas kernel under
+        shard_map for the whole query batch, per-plan XLA sharded
+        fallback for what it can't run (VERDICT r1 #2: the sharded path
+        must not abandon query batching)."""
+        from fugu_tpu.parallel.pallas_sharded import pallas_sharded_search_batch
+        from fugu_tpu.parallel.sharded import sharded_search
+
+        pack = self._sharded_pack(seg)
+        sub_plans = [plans[i] for i in plans_idx]
+        if _engine_name(seg) == "pallas":
+            batch_res = pallas_sharded_search_batch(pack, sub_plans, stats, limit)
+        else:
+            batch_res = [None] * len(sub_plans)
+        for j, r in enumerate(batch_res):
+            if r is None:
+                batch_res[j] = sharded_search(pack, sub_plans[j], stats, limit)
+        return batch_res
 
     def search_topk(self, plan: QueryPlan, limit: int) -> List[oracle_ops.Hit]:
         """Top-k across segments: device pipeline with oracle fallback."""
@@ -195,15 +231,11 @@ class NamedIndex:
             if device_idx:
                 try:
                     if self._mesh is not None:
-                        from fugu_tpu.parallel.sharded import sharded_search
-
-                        pack = self._sharded_pack(seg)
-                        batch_res = [
-                            sharded_search(pack, plans[i], stats, limit)
-                            for i in device_idx
-                        ]
+                        batch_res = self._sharded_search_batch(
+                            seg, device_idx, plans, stats, limit
+                        )
                     else:
-                        batch_res = _device_engine()(
+                        batch_res = _device_engine(seg)(
                             seg, [plans[i] for i in device_idx], stats, limit
                         )
                     res_map = dict(zip(device_idx, batch_res))

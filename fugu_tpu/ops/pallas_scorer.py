@@ -358,8 +358,10 @@ def _scorer_kernel(
 K_OUT = 128  # lane-aligned output tile
 
 
-def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
-                 need_bits: bool, interpret: bool = False):
+def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
+                      need_bits: bool, interpret: bool = False):
+    """The raw (unjitted) pallas_call wrapper — callers jit it directly
+    (build_scorer) or trace it inside shard_map (parallel.pallas_sharded)."""
     kernel = functools.partial(
         _scorer_kernel, t_pad=t_pad, k=k, need_bits=need_bits
     )
@@ -398,7 +400,14 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
         )(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
           masks, e_doc, e_tffid, tomb)
 
-    return jax.jit(call)
+    return call
+
+
+def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
+                 need_bits: bool, interpret: bool = False):
+    return jax.jit(
+        build_scorer_call(t_pad, nb_pad, k, b_pad, need_bits, interpret)
+    )
 
 
 _SCORER_CACHE: dict = {}
@@ -423,6 +432,41 @@ def nb_bucket(n: int) -> int:
         if n <= v:
             return v
     return NB_BUCKETS[-1]
+
+
+def plan_block_tables(e_doc_host, args, t_pad, n_blocks, must, offs_cache):
+    """Per-block clause subranges for one staged plan.
+
+    Returns (st[int64 n_blocks,T], ct, nonempty block ids) — one
+    vectorized searchsorted per clause over the doc-sorted posting window,
+    with conjunctive pruning (a block missing every clause of some MUST
+    group cannot match).  offs_cache memoizes per (start, len) — the
+    tables are query-independent, so Zipf-heavy repeated terms skip the
+    searchsorted entirely.
+    """
+    edge = np.arange(n_blocks + 1, dtype=np.int64) * BLOCK
+    st = np.zeros((n_blocks, t_pad), dtype=np.int64)
+    ct = np.zeros((n_blocks, t_pad), dtype=np.int64)
+    for t in range(t_pad):
+        s0, ln = int(args.starts[t]), int(args.lens[t])
+        if ln == 0:
+            continue
+        offs = offs_cache.get((s0, ln))
+        if offs is None:
+            window = e_doc_host[s0 : s0 + ln]
+            offs = np.searchsorted(window, edge)
+            offs_cache[(s0, ln)] = offs
+        st[:, t] = s0 + offs[:-1]
+        ct[:, t] = offs[1:] - offs[:-1]
+    keep = ct.sum(axis=1) > 0
+    if must:
+        for g in range(32):
+            if not (must >> g) & 1:
+                continue
+            cols = [t for t in range(t_pad) if int(args.gbits[t]) == (1 << g)]
+            if cols:
+                keep &= ct[:, cols].sum(axis=1) > 0
+    return st, ct, np.nonzero(keep)[0]
 
 
 def pallas_search_batch(
@@ -478,7 +522,6 @@ def pallas_search_batch(
 
     e_docd, e_tffidd, _ = segment.device_pack()
     tombd = segment.device_tomb_flags()
-    edge = np.arange(n_blocks + 1, dtype=np.int64) * BLOCK
     e_doc_np = segment.e_doc
 
     # dispatches are queued async (jax dispatch returns immediately);
@@ -494,35 +537,9 @@ def pallas_search_batch(
     for (t_pad, need_bits), items in by_t.items():
         rows = []
         for (i, _t, args, must, mustnot, should, _nb) in items:
-            st = np.zeros((n_blocks, t_pad), dtype=np.int64)
-            ct = np.zeros((n_blocks, t_pad), dtype=np.int64)
-            for t in range(t_pad):
-                s0, ln = int(args.starts[t]), int(args.lens[t])
-                if ln == 0:
-                    continue
-                offs = offs_cache.get((s0, ln))
-                if offs is None:
-                    window = e_doc_np[s0 : s0 + ln]
-                    offs = np.searchsorted(window, edge)
-                    offs_cache[(s0, ln)] = offs
-                st[:, t] = s0 + offs[:-1]
-                ct[:, t] = offs[1:] - offs[:-1]
-            keep = ct.sum(axis=1) > 0
-            # conjunctive pruning: a block missing every clause of some
-            # MUST group cannot match — skip it entirely (the posting-
-            # intersection analog of BASELINE config #2, done at staging)
-            if must:
-                for g in range(32):
-                    if not (must >> g) & 1:
-                        continue
-                    cols = [
-                        t
-                        for t in range(t_pad)
-                        if int(args.gbits[t]) == (1 << g)
-                    ]
-                    if cols:
-                        keep &= ct[:, cols].sum(axis=1) > 0
-            nonempty = np.nonzero(keep)[0]
+            st, ct, nonempty = plan_block_tables(
+                e_doc_np, args, t_pad, n_blocks, must, offs_cache
+            )
             # block-heavy queries become several rows over block slices;
             # result assembly merges the per-slice top-k lists
             for s in range(0, max(len(nonempty), 1), NB_SPLIT):

@@ -37,10 +37,30 @@ from fugu_tpu.ops.scoring import NEG_INF
 from fugu_tpu.query import Occur, QueryPlan, bm25_weight, idf
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, n_slices: int = 1) -> Mesh:
+    """Device mesh for doc-range sharding.
+
+    ``n_slices > 1`` builds a 2-D ("dcn", "d") mesh — the multi-slice
+    layout where the outer axis crosses slices over DCN and the inner
+    axis stays on-slice over ICI.  The top-k merge gathers hierarchically
+    (ICI first, then only k survivors per slice ride DCN).  On a single
+    host the outer axis is simulated; the sharding/collective program is
+    identical on a real multi-slice mesh (SURVEY.md §2c comm backend).
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n_slices > 1:
+        if n % n_slices:
+            raise ValueError(f"{n} devices not divisible by {n_slices} slices")
+        arr = np.array(devs[:n]).reshape(n_slices, n // n_slices)
+        return Mesh(arr, axis_names=("dcn", "d"))
     return Mesh(np.array(devs[:n]), axis_names=("d",))
+
+
+def shard_axes(mesh: Mesh) -> tuple:
+    """All mesh axis names, outer-to-inner — doc ranges shard over the
+    flattened device grid regardless of mesh rank."""
+    return tuple(mesh.axis_names)
 
 
 class ShardedPack:
@@ -53,7 +73,11 @@ class ShardedPack:
         self.n_shards = d
         n = max(segment.doc_count, 1)
         bounds = [(s * n) // d for s in range(d + 1)]
+        self.bounds = bounds
         self.shard_starts = np.array(bounds[:-1], dtype=np.int32)
+        self.shard_counts = np.array(
+            [bounds[s + 1] - bounds[s] for s in range(d)], dtype=np.int32
+        )
 
         real = segment.e_doc[: segment.n_entries]
         tf = segment.e_tf[: segment.n_entries]
@@ -86,6 +110,9 @@ class ShardedPack:
                 table[field] = ftab
             self._term_tables.append(table)
             packs.append((sdoc, spk))
+        #: per-shard host (doc, packed) arrays — the Pallas sharded stager
+        #: searchsorteds block tables over these (parallel.pallas_sharded)
+        self.host_packs = packs
 
         from fugu_tpu.index.segment import _pow2_bucket
 
@@ -103,12 +130,12 @@ class ShardedPack:
             local = dead[(dead >= bounds[s]) & (dead < bounds[s + 1])] - bounds[s]
             np.bitwise_or.at(tomb[s], local >> 5, np.uint32(1) << (local & 31))
 
-        shard_spec = NamedSharding(mesh, P("d", None))
+        shard_spec = NamedSharding(mesh, P(shard_axes(mesh), None))
         self.d_doc = jax.device_put(stacked_doc, shard_spec)
         self.d_pk = jax.device_put(stacked_pk, shard_spec)
         self.d_tomb = jax.device_put(tomb, shard_spec)
         self.d_offsets = jax.device_put(
-            self.shard_starts.reshape(d, 1), NamedSharding(mesh, P("d", None))
+            self.shard_starts.reshape(d, 1), shard_spec
         )
 
     def stage(self, plan: QueryPlan, stats, t_pad: int):
@@ -209,13 +236,17 @@ def _sharded_topk(
         gdoc = jnp.where(
             top > NEG_INF, docs + offsets[0, 0], jnp.int32(DOC_SENTINEL)
         )
-        # merge per-shard top-k over ICI
-        all_scores = jax.lax.all_gather(top, "d")        # [D, kk]
-        all_docs = jax.lax.all_gather(gdoc, "d")         # [D, kk]
-        ms, mi = jax.lax.top_k(all_scores.reshape(-1), kk)
-        return ms[None, :], all_docs.reshape(-1)[mi][None, :]
+        # hierarchical per-shard top-k merge: gather the inner axis first
+        # (ICI), keep only kk survivors, then the outer axis (DCN on a
+        # multi-slice mesh) carries just kk entries per slice
+        for ax in reversed(shard_axes(mesh)):
+            all_scores = jax.lax.all_gather(top, ax).reshape(-1)
+            all_docs = jax.lax.all_gather(gdoc, ax).reshape(-1)
+            top, mi = jax.lax.top_k(all_scores, kk)
+            gdoc = all_docs[mi]
+        return top[None, :], gdoc[None, :]
 
-    spec = P("d", None)
+    spec = P(shard_axes(mesh), None)
     return shard_map(
         local,
         mesh=mesh,
@@ -243,7 +274,7 @@ def sharded_search(
     l_pad = buckets.l_bucket(max_len)
     k = buckets.k_bucket(limit)
 
-    shard_spec = NamedSharding(pack.mesh, P("d", None))
+    shard_spec = NamedSharding(pack.mesh, P(shard_axes(pack.mesh), None))
     scores, docs = _sharded_topk(
         pack.d_doc,
         pack.d_pk,

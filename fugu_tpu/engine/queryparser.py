@@ -51,7 +51,10 @@ _TOKEN_RE = re.compile(
     r"""
     \s*(
         "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9.]+))?
-      | (?P<word>[^\s]+)
+      | (?P<mod>[+-])(?=\()
+      | (?P<open>\()
+      | (?P<close>\))
+      | (?P<word>[^\s()]+)
     )
     """,
     re.VERBOSE,
@@ -59,7 +62,8 @@ _TOKEN_RE = re.compile(
 
 
 def _split_tokens(query: str) -> List[Tuple[str, Optional[str], int, float]]:
-    """-> list of (kind, text, slop, boost); kind in {'phrase','word'}."""
+    """-> list of (kind, text, slop, boost);
+    kind in {'phrase','word','open','close','mod'}."""
     out = []
     pos = 0
     while pos < len(query):
@@ -70,6 +74,12 @@ def _split_tokens(query: str) -> List[Tuple[str, Optional[str], int, float]]:
             slop = int(m.group("slop") or 0)
             boost = float(m.group("pboost") or 1.0)
             out.append(("phrase", m.group("phrase"), slop, boost))
+        elif m.group("mod") is not None:
+            out.append(("mod", m.group("mod"), 0, 1.0))
+        elif m.group("open") is not None:
+            out.append(("open", "(", 0, 1.0))
+        elif m.group("close") is not None:
+            out.append(("close", ")", 0, 1.0))
         else:
             out.append(("word", m.group("word"), 0, 1.0))
         pos = m.end()
@@ -126,96 +136,214 @@ def _extract_ranges(query: str, date_fields: Sequence[str]):
     return stripped, tuple(groups)
 
 
+MAX_NESTING = 16
+
+
+def _leaf_group(
+    kind: str,
+    text: str,
+    slop: int,
+    boost: float,
+    occur: Occur,
+    default_fields: Sequence[str],
+    known_fields: Sequence[str],
+) -> Optional[QueryGroup]:
+    """One word/phrase token -> a QueryGroup (or None: pure punctuation)."""
+    fields = list(default_fields)
+    if kind == "word":
+        # field:term
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", text)
+        if m:
+            fname, rest = m.group(1), m.group(2)
+            if fname not in known_fields:
+                raise ParseError(f"unknown field {fname!r}")
+            if not rest:
+                raise ParseError("empty field query")
+            fields = [fname]
+            text = rest
+            if text.startswith('"') and text.endswith('"') and len(text) >= 2:
+                kind, text = "phrase", text[1:-1]
+        if kind == "word":
+            bm = re.match(r"^(.*)\^([0-9]+(?:\.[0-9]+)?)$", text)
+            if bm:
+                text = bm.group(1)
+                boost = float(bm.group(2))
+                if not text:
+                    raise ParseError("dangling boost")
+    terms = analysis.tokenize_terms(text)
+    if not terms:
+        return None  # token was pure punctuation; Tantivy drops it
+    if kind == "phrase" or len(terms) > 1:
+        return QueryGroup(
+            occur=occur,
+            phrases=tuple(
+                PhraseClause(f, tuple(terms), boost, slop) for f in fields
+            ),
+        )
+    return QueryGroup(
+        occur=occur,
+        clauses=tuple(TermClause(f, terms[0], boost) for f in fields),
+    )
+
+
+def _inline_disjunction(sub: QueryPlan) -> Optional[Tuple[TermClause, ...]]:
+    """Merged clause tuple when `sub` is a pure term disjunction — then
+    ``X AND (a OR b)`` flattens to a MUST group {a, b} and stays on the
+    device path (the CNF shape; scores are clause-sums either way)."""
+    if sub.match_all or not sub.groups:
+        return None
+    clauses: List[TermClause] = []
+    for g in sub.groups:
+        if (
+            g.occur is not Occur.SHOULD
+            or g.phrases
+            or g.ranges
+            or g.subplan is not None
+        ):
+            return None
+        clauses.extend(g.clauses)
+    return tuple(clauses)
+
+
+def _all_constraints(sub: QueryPlan) -> bool:
+    """True when every group is MUST/MUST_NOT — such a conjunction under
+    a parent MUST splices directly into the parent's group list."""
+    return bool(sub.groups) and all(
+        g.occur in (Occur.MUST, Occur.MUST_NOT) for g in sub.groups
+    )
+
+
+def _parse_level(
+    tokens: List[Tuple[str, Optional[str], int, float]],
+    i: int,
+    default_fields: Sequence[str],
+    known_fields: Sequence[str],
+    depth: int,
+) -> Tuple[QueryPlan, int]:
+    """One parenthesization level.  Within a level the flat Tantivy-subset
+    semantics apply: an explicit AND upgrades the level's bare items to
+    MUST, NOT negates the next item, +/- prefix one item."""
+    if depth > MAX_NESTING:
+        raise ParseError("query too deeply nested")
+    entries: List[Tuple[Optional[Occur], str, object]] = []
+    has_and = False
+    negate_next = False
+    pending_mod: Optional[str] = None
+    while i < len(tokens):
+        kind, text, slop, boost = tokens[i]
+        if kind == "close":
+            break
+        if kind == "mod":
+            pending_mod = text
+            i += 1
+            continue
+        if kind == "open":
+            sub, i = _parse_level(
+                tokens, i + 1, default_fields, known_fields, depth + 1
+            )
+            if i >= len(tokens) or tokens[i][0] != "close":
+                raise ParseError("unbalanced parentheses")
+            i += 1
+            occ: Optional[Occur] = None
+            if pending_mod == "+":
+                occ = Occur.MUST
+            elif pending_mod == "-":
+                occ = Occur.MUST_NOT
+            pending_mod = None
+            if negate_next:
+                occ = Occur.MUST_NOT
+                negate_next = False
+            entries.append((occ, "sub", sub))
+            continue
+        if kind == "word" and text in ("AND", "OR", "NOT"):
+            if text == "AND":
+                has_and = True
+            elif text == "NOT":
+                negate_next = True
+            i += 1
+            continue
+        occ = None
+        if kind == "word":
+            if text.startswith("+"):
+                occ = Occur.MUST
+                text = text[1:]
+            elif text.startswith("-"):
+                occ = Occur.MUST_NOT
+                text = text[1:]
+            if not text:
+                raise ParseError("dangling +/- operator")
+        if pending_mod == "+":
+            occ = Occur.MUST
+        elif pending_mod == "-":
+            occ = Occur.MUST_NOT
+        pending_mod = None
+        if negate_next:
+            occ = Occur.MUST_NOT
+            negate_next = False
+        entries.append((occ, kind, (text, slop, boost)))
+        i += 1
+    if negate_next:
+        raise ParseError("dangling NOT")
+    if pending_mod:
+        raise ParseError("dangling +/- operator")
+
+    default_occur = Occur.MUST if has_and else Occur.SHOULD
+    groups: List[QueryGroup] = []
+    for occ, kind, payload in entries:
+        occur = occ or default_occur
+        if kind == "sub":
+            sub = payload
+            if sub.is_empty:
+                continue
+            inline = _inline_disjunction(sub)
+            if inline is not None:
+                groups.append(QueryGroup(occur=occur, clauses=inline))
+            elif occur is Occur.MUST and _all_constraints(sub):
+                groups.extend(sub.groups)
+            else:
+                groups.append(QueryGroup(occur=occur, subplan=sub))
+        else:
+            text, slop, boost = payload
+            g = _leaf_group(
+                kind, text, slop, boost, occur, default_fields, known_fields
+            )
+            if g is not None:
+                groups.append(g)
+    has_must = any(g.occur is Occur.MUST for g in groups)
+    return (
+        QueryPlan(
+            groups=tuple(groups), require_should=not has_must and bool(groups)
+        ),
+        i,
+    )
+
+
 def parse_query(
     query: str,
     default_fields: Sequence[str],
     known_fields: Sequence[str],
     date_fields: Sequence[str] = (),
 ) -> QueryPlan:
-    """Parse into a QueryPlan; raises ParseError on invalid syntax."""
+    """Parse into a QueryPlan; raises ParseError on invalid syntax.
+
+    Parenthesized subqueries nest (Tantivy grammar); pure disjunctions
+    under a conjunction flatten so they run on device, anything deeper
+    becomes a host-evaluated subplan group.
+    """
     query, range_groups = _extract_ranges(query, date_fields)
     tokens = _split_tokens(query)
+    plan, i = _parse_level(tokens, 0, default_fields, known_fields, 0)
+    if i != len(tokens):
+        raise ParseError("unbalanced parentheses")
 
-    # keyword pre-pass: AND upgrades default occur; NOT negates next token
-    has_and = any(k == "word" and t == "AND" for k, t, _, _ in tokens)
-    default_occur = Occur.MUST if has_and else Occur.SHOULD
-
-    groups: List[QueryGroup] = []
-    negate_next = False
-    for kind, text, slop, boost in tokens:
-        if kind == "word" and text in ("AND", "OR"):
-            continue
-        if kind == "word" and text == "NOT":
-            negate_next = True
-            continue
-
-        occur = default_occur
-        fields = list(default_fields)
-
-        if kind == "word":
-            if text.startswith("+"):
-                occur = Occur.MUST
-                text = text[1:]
-            elif text.startswith("-"):
-                occur = Occur.MUST_NOT
-                text = text[1:]
-            if not text:
-                raise ParseError("dangling +/- operator")
-
-            # field:term
-            m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", text)
-            if m:
-                fname, rest = m.group(1), m.group(2)
-                if fname not in known_fields:
-                    raise ParseError(f"unknown field {fname!r}")
-                if not rest:
-                    raise ParseError("empty field query")
-                fields = [fname]
-                text = rest
-                if text.startswith('"') and text.endswith('"') and len(text) >= 2:
-                    kind, text = "phrase", text[1:-1]
-
-            # boost
-            if kind == "word":
-                bm = re.match(r"^(.*)\^([0-9]+(?:\.[0-9]+)?)$", text)
-                if bm:
-                    text = bm.group(1)
-                    boost = float(bm.group(2))
-                    if not text:
-                        raise ParseError("dangling boost")
-
-        if negate_next:
-            occur = Occur.MUST_NOT
-            negate_next = False
-
-        terms = analysis.tokenize_terms(text)
-        if not terms:
-            continue  # token was pure punctuation; Tantivy drops it
-        if kind == "phrase" or len(terms) > 1:
-            groups.append(
-                QueryGroup(
-                    occur=occur,
-                    phrases=tuple(
-                        PhraseClause(f, tuple(terms), boost, slop) for f in fields
-                    ),
-                )
-            )
-        else:
-            groups.append(
-                QueryGroup(
-                    occur=occur,
-                    clauses=tuple(TermClause(f, terms[0], boost) for f in fields),
-                )
-            )
-
-    if negate_next:
-        raise ParseError("dangling NOT")
-
-    all_groups = tuple(groups) + range_groups
+    all_groups = plan.groups + range_groups
     has_must = any(
-        g.occur is Occur.MUST for g in groups
+        g.occur is Occur.MUST for g in plan.groups
     )  # ranges are constraints, not the should-satisfaction signal
-    return QueryPlan(groups=all_groups, require_should=not has_must and bool(groups))
+    return QueryPlan(
+        groups=all_groups,
+        require_should=not has_must and bool(plan.groups),
+    )
 
 
 def parse_with_fallback(

@@ -67,14 +67,41 @@ class IndexStats:
         return sum(s.doc_freq(FACET_FIELD_KEY, path) for s in self.segments)
 
 
+#: encoded (doc, position) keys: doc * POS_SHIFT + pos.  Positions stay
+#: < 2^20 (text <= 10k chars, object.rs:44-46, plus bounded field gaps).
+_POS_SHIFT = np.int64(1) << 20
+
+
+def _ragged_gather(data: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Concatenate data[starts[j]:starts[j]+lens[j]] for all j — one
+    vectorized gather (the repeat/cumsum idiom), no Python loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=data.dtype)
+    rep = np.repeat(starts, lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    return data[rep + within]
+
+
 def phrase_postings(
     segment: Segment, clause: PhraseClause
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(docs, phrase_tf) for a phrase within one segment.
+    """(docs, phrase_tf) for a phrase within one segment — vectorized.
 
-    A doc matches when the clause terms occur at consecutive positions
-    (slop 0) — Tantivy PhraseQuery semantics; phrase_tf is the number of
-    such occurrences and feeds the BM25 tf component.
+    A doc matches when the clause terms occur at consecutive positions —
+    Tantivy PhraseQuery semantics; phrase_tf is the number of such
+    occurrences and feeds the BM25 tf component.  The whole match runs as
+    array ops: intersect the doc lists (keeping per-term entry indices),
+    gather each term's positions for the common docs in one ragged
+    gather, rebase term k's positions by -k, encode (doc, anchor) into
+    one int64 key, and intersect the key sets — surviving keys ARE the
+    phrase occurrences, counted per doc with np.unique.
+
+    slop > 0 uses the ordered-window relaxation (term k within
+    [k, k+slop] of the anchor, in order) — a documented deviation from
+    Lucene's transposition-counting slop.
     """
     field = clause.field
     terms = clause.terms
@@ -83,33 +110,53 @@ def phrase_postings(
     if len(terms) == 1:
         docs, tfs, _ = segment.postings(field, terms[0])
         return docs, tfs
-    doc_lists = []
-    for t in terms:
-        docs, _, _ = segment.postings(field, t)
-        if len(docs) == 0:
+    infos = [segment.term_info(field, t) for t in terms]
+    if any(i is None for i in infos) or field not in segment.pos_offsets:
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+
+    # intersect doc lists, carrying each term's entry index along
+    base = segment.field_entry_base[field]
+    offs = segment.pos_offsets[field]
+    data = segment.pos_data[field]
+    common = segment.e_doc[infos[0].start : infos[0].start + infos[0].doc_freq]
+    sel: List[np.ndarray] = [np.arange(len(common), dtype=np.int64)]
+    for info in infos[1:]:
+        docs_k = segment.e_doc[info.start : info.start + info.doc_freq]
+        common, ia, ib = np.intersect1d(
+            common, docs_k, assume_unique=True, return_indices=True
+        )
+        sel = [s[ia] for s in sel]
+        sel.append(ib)
+        if len(common) == 0:
             return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
-        doc_lists.append(docs)
-    common = doc_lists[0]
-    for d in doc_lists[1:]:
-        common = np.intersect1d(common, d, assume_unique=True)
-    out_docs: List[int] = []
-    out_tf: List[int] = []
-    pos_maps = []
-    for t in terms:
-        docs, _, _ = segment.postings(field, t)
-        plist = segment.term_positions(field, t)
-        pos_maps.append({int(d): plist[i] for i, d in enumerate(docs)})
-    for doc in common:
-        base = set(pos_maps[0][int(doc)])
-        count = 0
-        for p in pos_maps[0][int(doc)]:
-            if all((p + k) in set(pos_maps[k][int(doc)]) for k in range(1, len(terms))):
-                count += 1
-        _ = base
-        if count > 0:
-            out_docs.append(int(doc))
-            out_tf.append(count)
-    return np.array(out_docs, dtype=np.int32), np.array(out_tf, dtype=np.int32)
+
+    slop = max(int(getattr(clause, "slop", 0) or 0), 0)
+    inter: Optional[np.ndarray] = None
+    for k, info in enumerate(infos):
+        ent = (info.start - base) + sel[k]
+        starts_k = offs[ent]
+        lens_k = offs[ent + 1] - starts_k
+        positions = _ragged_gather(data, starts_k, lens_k).astype(np.int64)
+        docrep = np.repeat(common.astype(np.int64), lens_k)
+        anchors = docrep * _POS_SHIFT + (positions - k)
+        if slop and k:
+            # each later term may trail the exact spot by up to `slop`
+            anchors = np.unique(
+                (anchors[None, :] - np.arange(slop + 1)[:, None]).reshape(-1)
+            )
+        elif k:
+            keep = positions >= k
+            anchors = anchors[keep]
+        # every intersection is against term0's keyset (k=0, unadjusted),
+        # so surviving keys always decode to real (doc, anchor) pairs —
+        # negative-position aliases in later sets simply never match
+        inter = anchors if inter is None else np.intersect1d(
+            inter, anchors, assume_unique=True
+        )
+        if inter.size == 0:
+            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    out_docs, out_tf = np.unique(inter // _POS_SHIFT, return_counts=True)
+    return out_docs.astype(np.int32), out_tf.astype(np.int32)
 
 
 def score_segment(
@@ -138,6 +185,13 @@ def score_segment(
     for group in plan.groups:
         gm = np.zeros(n, dtype=bool)
         gs = np.zeros(n, dtype=np.float32)
+        if group.subplan is not None:
+            # nested boolean (parenthesized subquery): score recursively
+            # by the subplan's own MUST/SHOULD/MUST_NOT rules; the group
+            # contributes the matching docs' summed subquery scores
+            sub_scores, sub_mask = score_segment(segment, group.subplan, stats)
+            gm |= sub_mask
+            gs += np.where(sub_mask, sub_scores, np.float32(0.0))
         for rc in group.ranges:
             vals = segment.date_values(rc.field)
             m = vals != Segment.DATE_MISSING

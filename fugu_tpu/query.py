@@ -72,6 +72,12 @@ class QueryGroup:
     #: (a multi-token query word over several default fields)
     phrases: Tuple[PhraseClause, ...] = ()
     ranges: Tuple[RangeClause, ...] = ()
+    #: a nested boolean subquery (parenthesized group that cannot be
+    #: flattened into the 32-group mask model, e.g. ``(a AND b) OR c``).
+    #: Matches/scores by the subplan's own boolean rules; executed on the
+    #: host oracle (the parser flattens CNF-shaped queries so the common
+    #: ``a AND (b OR c)`` stays on the device path).
+    subplan: Optional["QueryPlan"] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,9 +115,18 @@ class QueryPlan:
         return any(g.ranges for g in self.groups)
 
     @property
+    def has_subplan(self) -> bool:
+        return any(g.subplan is not None for g in self.groups)
+
+    @property
     def host_only(self) -> bool:
         """Plans the device pipelines hand to the oracle."""
-        return self.match_all or self.has_phrase or self.has_range
+        return (
+            self.match_all
+            or self.has_phrase
+            or self.has_range
+            or self.has_subplan
+        )
 
     @property
     def is_empty(self) -> bool:

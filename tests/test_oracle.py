@@ -139,3 +139,57 @@ def test_multi_segment_stats_shared():
     stats = oracle.IndexStats(segs)
     assert stats.doc_count == 3
     assert stats.doc_freq("text", "cat") == 2
+
+
+def test_phrase_postings_vectorized():
+    from fugu_tpu.index.schema import DOCS_SCHEMA
+    from fugu_tpu.index.segment import SegmentBuilder
+    from fugu_tpu.ops import oracle
+    from fugu_tpu.query import PhraseClause
+
+    b = SegmentBuilder(DOCS_SCHEMA)
+    docs = [
+        "the quick brown fox",          # exact "quick brown"
+        "quick red brown fox",          # quick _ brown (slop 1 only)
+        "brown quick fox",              # reversed: no match
+        "quick brown quick brown",      # phrase tf = 2
+        "nothing here",
+    ]
+    for i, t in enumerate(docs):
+        b.add_document({"text": [t]}, stored={"id": str(i)})
+    seg = b.build()
+
+    d, tf = oracle.phrase_postings(seg, PhraseClause("text", ("quick", "brown")))
+    assert list(zip(d.tolist(), tf.tolist())) == [(0, 1), (3, 2)]
+
+    d, _ = oracle.phrase_postings(
+        seg, PhraseClause("text", ("quick", "brown"), slop=1)
+    )
+    assert 1 in d.tolist() and 0 in d.tolist() and 2 not in d.tolist()
+
+    d, tf = oracle.phrase_postings(
+        seg, PhraseClause("text", ("quick", "brown", "fox"))
+    )
+    assert d.tolist() == [0] and tf.tolist() == [1]
+
+    # term absent from the segment
+    d, tf = oracle.phrase_postings(seg, PhraseClause("text", ("quick", "zebra")))
+    assert len(d) == 0
+
+
+def test_phrase_search_end_to_end(tmp_path):
+    from fugu_tpu.engine.dataset import Dataset
+    from fugu_tpu.records import ObjectRecord
+
+    ds = Dataset("ph", tmp_path, use_device=False)
+    ds.ingest(
+        [
+            ObjectRecord(id="a", text="the quick brown fox jumps", namespace="ph"),
+            ObjectRecord(id="b", text="brown the quick fox", namespace="ph"),
+            ObjectRecord(id="c", text="quick brown everywhere quick brown", namespace="ph"),
+        ]
+    )
+    res = ds.search('"quick brown"', [], 0, 10)
+    ids = [r.id for r in res]
+    assert set(ids) == {"a", "c"}
+    assert ids[0] == "c"  # tf=2 scores higher

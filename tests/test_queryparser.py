@@ -136,3 +136,66 @@ def test_fuzz_structured_operators():
             # escaping; Tantivy fails the same way on the retry
             parse_errors += 1
     assert parse_errors < 250  # most garbage still yields a plan
+
+
+def test_parens_cnf_flattens_to_device_shape():
+    # a AND (b OR c) -> MUST a, MUST {b,c}: still device-runnable
+    plan = parse("alpha AND (beta OR gamma)")
+    assert not plan.host_only
+    assert [g.occur for g in plan.groups] == [Occur.MUST, Occur.MUST]
+    merged = plan.groups[1]
+    assert sorted({c.term for c in merged.clauses}) == ["beta", "gamma"]
+
+
+def test_parens_nested_conjunction_splices():
+    plan = parse("+x +(a AND b)")
+    assert not plan.host_only
+    assert [g.occur for g in plan.groups] == [Occur.MUST] * 3
+    assert {g.clauses[0].term for g in plan.groups} == {"x", "a", "b"}
+
+
+def test_parens_dnf_becomes_subplan():
+    # (a AND b) OR c cannot flatten -> host-evaluated subplan group
+    plan = parse("(alpha AND beta) OR gamma")
+    assert plan.host_only
+    subs = [g for g in plan.groups if g.subplan is not None]
+    assert len(subs) == 1 and subs[0].occur is Occur.SHOULD
+    inner = subs[0].subplan
+    assert [g.occur for g in inner.groups] == [Occur.MUST, Occur.MUST]
+
+
+def test_parens_negated_group():
+    plan = parse("alpha -(beta OR gamma)")
+    assert [g.occur for g in plan.groups] == [Occur.SHOULD, Occur.MUST_NOT]
+    assert sorted({c.term for c in plan.groups[1].clauses}) == ["beta", "gamma"]
+
+
+def test_unbalanced_parens_raise_and_fallback_recovers():
+    with pytest.raises(qp.ParseError):
+        parse("(alpha beta")
+    plan = qp.parse_with_fallback("(alpha beta", FIELDS, KNOWN)
+    assert len(plan.groups) == 2
+
+
+def test_too_deep_nesting_raises():
+    q = "(" * 20 + "x" + ")" * 20
+    with pytest.raises(qp.ParseError):
+        parse(q)
+
+
+def test_dnf_subplan_oracle_semantics(tmp_path):
+    """(a AND b) OR c end-to-end: matches docs with both a,b or with c."""
+    from fugu_tpu.engine.dataset import Dataset
+    from fugu_tpu.records import ObjectRecord
+
+    ds = Dataset("nest", tmp_path, use_device=False)
+    ds.ingest(
+        [
+            ObjectRecord(id="ab", text="apple banana", namespace="nest"),
+            ObjectRecord(id="a", text="apple only here", namespace="nest"),
+            ObjectRecord(id="c", text="cherry only here", namespace="nest"),
+            ObjectRecord(id="none", text="nothing relevant", namespace="nest"),
+        ]
+    )
+    res = ds.search("(apple AND banana) OR cherry", [], 0, 10)
+    assert {r.id for r in res} == {"ab", "c"}

@@ -125,6 +125,11 @@ class NamedIndex:
         self._stats: Optional[oracle_ops.IndexStats] = None
         self._mesh = None
         self._sharded_packs: Dict[str, Any] = {}
+        #: device-failure backoff state: after a RuntimeError the device
+        #: path is skipped until _device_retry_at, with exponential
+        #: backoff — a transient hiccup degrades briefly, not forever
+        self._device_failures = 0
+        self._device_retry_at = 0.0
 
     # -- reader side ---------------------------------------------------------
 
@@ -219,11 +224,14 @@ class NamedIndex:
             for i, p in enumerate(plans)
             if not p.is_empty and limit > 0
         ]
+        import time as _time
+
+        device_ok = self.use_device and _time.time() >= self._device_retry_at
         for ord_, seg in enumerate(segments):
             device_idx = [
                 i
                 for i in runnable
-                if self.use_device
+                if device_ok
                 and not plans[i].host_only
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
             ]
@@ -239,15 +247,26 @@ class NamedIndex:
                             seg, [plans[i] for i in device_idx], stats, limit
                         )
                     res_map = dict(zip(device_idx, batch_res))
+                    if self._device_failures:
+                        self._device_failures = 0  # recovered
                 except RuntimeError as e:
                     # device backend unavailable (e.g. misconfigured
-                    # platform env): degrade permanently to the oracle
+                    # platform env, transient relay failure): back off
+                    # exponentially and re-probe — a transient hiccup
+                    # must not degrade the server to oracle speed forever
                     import logging
 
+                    self._device_failures += 1
+                    backoff = min(2.0 ** self._device_failures, 300.0)
+                    self._device_retry_at = _time.time() + backoff
+                    device_ok = False
                     logging.getLogger("fugu_tpu").warning(
-                        "device search unavailable (%s); falling back to host", e
+                        "device search unavailable (%s); host fallback, "
+                        "retry in %.0fs (failure #%d)",
+                        e,
+                        backoff,
+                        self._device_failures,
                     )
-                    self.use_device = False
             for i in runnable:
                 res = res_map.get(i)
                 if res is not None:

@@ -592,20 +592,24 @@ def pallas_search_batch(
 
             scorer = _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret)
             dev_t0 = time.perf_counter()
-            top_s, top_d = scorer(
-                jnp.asarray(nblocks),
-                jnp.asarray(block_ids),
-                jnp.asarray(starts.reshape(b_pad, nb_pad * t_pad)),
-                jnp.asarray(counts.reshape(b_pad, nb_pad * t_pad)),
-                jnp.asarray(weights),
-                jnp.asarray(c1),
-                jnp.asarray(c2),
-                jnp.asarray(gbits),
-                jnp.asarray(masks),
-                e_docd,
-                e_tffidd,
-                tombd,
+            annot = jax.profiler.TraceAnnotation(
+                f"fugu:pallas_scorer t={t_pad} nb={nb_pad} b={b_pad} k={k}"
             )
+            with annot:
+                top_s, top_d = scorer(
+                    jnp.asarray(nblocks),
+                    jnp.asarray(block_ids),
+                    jnp.asarray(starts.reshape(b_pad, nb_pad * t_pad)),
+                    jnp.asarray(counts.reshape(b_pad, nb_pad * t_pad)),
+                    jnp.asarray(weights),
+                    jnp.asarray(c1),
+                    jnp.asarray(c2),
+                    jnp.asarray(gbits),
+                    jnp.asarray(masks),
+                    e_docd,
+                    e_tffidd,
+                    tombd,
+                )
             prof_device += time.perf_counter() - dev_t0
             prof_dispatches += 1
             pending.append((chunk, top_s, top_d))

@@ -387,24 +387,28 @@ def device_search_batch(
                 starts[j], lens[j] = a.starts, a.lens
                 weights[j], c1[j], c2[j], gbits[j] = a.weights, a.c1, a.c2, a.gbits
                 must[j], mustnot[j], should[j] = m, mn, sh
-            scores, docs = segment_topk_batch(
-                e_docd,
-                e_tffidd,
-                tombd,
-                jnp.asarray(starts),
-                jnp.asarray(lens),
-                jnp.asarray(weights),
-                jnp.asarray(c1),
-                jnp.asarray(c2),
-                jnp.asarray(gbits),
-                jnp.asarray(must),
-                jnp.asarray(mustnot),
-                jnp.asarray(should),
-                t_pad=t_pad,
-                l_pad=l_pad,
-                k=k,
-                need_bits=need_bits,
+            annot = jax.profiler.TraceAnnotation(
+                f"fugu:xla_merge t={t_pad} l={l_pad} b={b_pad} k={k}"
             )
+            with annot:
+                scores, docs = segment_topk_batch(
+                    e_docd,
+                    e_tffidd,
+                    tombd,
+                    jnp.asarray(starts),
+                    jnp.asarray(lens),
+                    jnp.asarray(weights),
+                    jnp.asarray(c1),
+                    jnp.asarray(c2),
+                    jnp.asarray(gbits),
+                    jnp.asarray(must),
+                    jnp.asarray(mustnot),
+                    jnp.asarray(should),
+                    t_pad=t_pad,
+                    l_pad=l_pad,
+                    k=k,
+                    need_bits=need_bits,
+                )
             scores = np.asarray(scores)
             docs = np.asarray(docs)
             for j, (i, *_rest) in enumerate(chunk):

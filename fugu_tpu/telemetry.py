@@ -68,13 +68,23 @@ def init_tracing(
             pass
 
     global _otel_tracer
-    if os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT"):
-        try:  # pragma: no cover - otel not in the image
-            from opentelemetry import trace
+    _otel_tracer = _init_otel()
 
-            _otel_tracer = trace.get_tracer("fugu_tpu")
-        except ImportError:
-            logger.info("OTLP endpoint set but opentelemetry not installed; spans log-only")
+
+def _init_otel():
+    """OTLP gating: a tracer only when the endpoint is configured AND the
+    opentelemetry package imports; else spans stay log-only.  Split out
+    so tests can exercise both gates with a stubbed module."""
+    if not os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT"):
+        return None
+    try:
+        from opentelemetry import trace
+    except ImportError:
+        logger.info(
+            "OTLP endpoint set but opentelemetry not installed; spans log-only"
+        )
+        return None
+    return trace.get_tracer("fugu_tpu")
 
 
 @contextlib.contextmanager
@@ -84,7 +94,7 @@ def span(component: str, name: str, **fields) -> Iterator[None]:
     token = _current_span.set(label)
     start = time.perf_counter()
     ctx = None
-    if _otel_tracer is not None:  # pragma: no cover
+    if _otel_tracer is not None:
         ctx = _otel_tracer.start_as_current_span(label)
         ctx.__enter__()
     try:
@@ -92,7 +102,7 @@ def span(component: str, name: str, **fields) -> Iterator[None]:
     finally:
         dur_ms = (time.perf_counter() - start) * 1000
         logger.debug("%s done in %.2fms %s", label, dur_ms, fields or "")
-        if ctx is not None:  # pragma: no cover
+        if ctx is not None:
             ctx.__exit__(None, None, None)
         _current_span.reset(token)
 

@@ -1,0 +1,139 @@
+"""Failure injection: device fallback must degrade briefly, not forever,
+and OTel gating must behave with and without the package (SURVEY.md §5
+failure-detection / tracing rows; VERDICT r1 weak #8)."""
+
+import sys
+import types
+
+import numpy as np
+
+from fugu_tpu.engine import named_index as ni
+from fugu_tpu.engine.dataset import Dataset
+from fugu_tpu.records import ObjectRecord
+
+
+def _make_ds(tmp_path, n=300):
+    ds = Dataset("faults", tmp_path, use_device=True)
+    ds.ingest(
+        [
+            ObjectRecord(
+                id=f"f{i}", text=f"resilient w{i % 12} doc", namespace="faults"
+            )
+            for i in range(n)
+        ]
+    )
+    return ds
+
+
+def test_device_failure_backs_off_and_recovers(tmp_path, monkeypatch):
+    monkeypatch.setattr(ni, "DEVICE_MIN_ENTRIES", 1)
+    ds = _make_ds(tmp_path)
+    idx = ds.docs()
+
+    calls = {"n": 0}
+    real_engine = ni._device_engine
+
+    def flaky_engine(segment):
+        def run(seg, plans, stats, limit):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected device failure")
+            return real_engine(segment)(seg, plans, stats, limit)
+
+        return run
+
+    monkeypatch.setattr(ni, "_device_engine", flaky_engine)
+
+    # first search: device raises -> oracle results, backoff armed
+    res1 = ds.search("resilient w3", [], 0, 5)
+    assert res1, "fallback search must still return results"
+    assert idx._device_failures == 1
+    assert idx._device_retry_at > 0
+    assert idx.use_device, "config intent must not be clobbered"
+
+    # within the backoff window the device is skipped (no new attempt)
+    before = calls["n"]
+    res2 = ds.search("resilient w4", [], 0, 5)
+    assert res2 and calls["n"] == before
+
+    # after the window the device is probed again and recovers
+    idx._device_retry_at = 0.0
+    res3 = ds.search("resilient w5", [], 0, 5)
+    assert res3
+    assert calls["n"] == before + 1
+    assert idx._device_failures == 0  # reset on success
+
+
+def test_device_failure_backoff_grows(tmp_path, monkeypatch):
+    monkeypatch.setattr(ni, "DEVICE_MIN_ENTRIES", 1)
+    ds = _make_ds(tmp_path, n=200)
+    idx = ds.docs()
+
+    def always_fail(segment):
+        def run(seg, plans, stats, limit):
+            raise RuntimeError("injected permanent failure")
+
+        return run
+
+    monkeypatch.setattr(ni, "_device_engine", always_fail)
+    import time
+
+    for expect in (1, 2):
+        idx._device_retry_at = 0.0
+        t0 = time.time()
+        assert ds.search("resilient w1", [], 0, 5)
+        assert idx._device_failures == expect
+        assert idx._device_retry_at - t0 >= 2.0 ** expect - 0.5
+
+
+def test_otel_gating_with_stub_exporter(monkeypatch):
+    from fugu_tpu import telemetry
+
+    # 1) endpoint unset -> no tracer
+    monkeypatch.delenv("OTEL_EXPORTER_OTLP_ENDPOINT", raising=False)
+    assert telemetry._init_otel() is None
+
+    # 2) endpoint set, package missing -> logged, no tracer
+    monkeypatch.setenv("OTEL_EXPORTER_OTLP_ENDPOINT", "http://otel:4317")
+    monkeypatch.setitem(sys.modules, "opentelemetry", None)
+    try:
+        assert telemetry._init_otel() is None
+    finally:
+        sys.modules.pop("opentelemetry", None)
+
+    # 3) endpoint set, stub package present -> tracer built and spans
+    #    open/close through it
+    entered = []
+
+    class _Ctx:
+        def __enter__(self):
+            entered.append("enter")
+            return self
+
+        def __exit__(self, *exc):
+            entered.append("exit")
+            return False
+
+    class _Tracer:
+        def start_as_current_span(self, label):
+            entered.append(label)
+            return _Ctx()
+
+    stub_trace = types.SimpleNamespace(get_tracer=lambda name: _Tracer())
+    stub = types.ModuleType("opentelemetry")
+    stub.trace = stub_trace
+    monkeypatch.setitem(sys.modules, "opentelemetry", stub)
+    tracer = telemetry._init_otel()
+    assert tracer is not None
+    monkeypatch.setattr(telemetry, "_otel_tracer", tracer)
+    with telemetry.query_span("probe"):
+        pass
+    assert entered == ["query:probe", "enter", "exit"]
+
+
+def test_spilled_index_num_docs_zero(tmp_path):
+    """A cold (spilled) index reports unloaded, not crashed."""
+    ds = _make_ds(tmp_path, n=20)
+    ds.spill(str(tmp_path / "remote"))
+    assert ds.docs().num_docs == 0
+    assert not ds.docs().is_loaded

@@ -278,8 +278,11 @@ class NamedIndex:
                     docs = np.nonzero(mask)[0]
                     if len(docs) > limit:
                         sc = scores[docs]
-                        part = np.argpartition(-sc, limit - 1)[:limit]
-                        docs = docs[part]
+                        # keep kth-score ties so the final sort's doc-asc
+                        # tiebreak is deterministic (see oracle.search)
+                        part = np.argpartition(-sc, limit - 1)
+                        kth = sc[part[limit - 1]]
+                        docs = docs[sc >= kth]
                     all_hits[i].extend(
                         oracle_ops.Hit(float(scores[d]), ord_, int(d))
                         for d in docs

@@ -285,8 +285,13 @@ def search(
             continue
         seg_scores = scores[docs]
         if len(docs) > limit:
-            part = np.argpartition(-seg_scores, limit - 1)[:limit]
-            docs, seg_scores = docs[part], seg_scores[part]
+            # keep every doc tied with the kth score so the final
+            # (-score, ord, doc) sort breaks ties by doc id — a bare
+            # argpartition[:limit] picks arbitrary members of the tie
+            part = np.argpartition(-seg_scores, limit - 1)
+            kth = seg_scores[part[limit - 1]]
+            keep = seg_scores >= kth
+            docs, seg_scores = docs[keep], seg_scores[keep]
         for d, s in zip(docs, seg_scores):
             hits.append(Hit(float(s), ord_, int(d)))
     hits.sort(key=lambda h: (-h.score, h.segment_ord, h.doc))

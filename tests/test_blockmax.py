@@ -1,0 +1,98 @@
+"""Block-max pruned host scorer: exact parity with the naive oracle
+(bit-identical scores AND tie ordering) under fuzzed boolean plans."""
+
+import numpy as np
+import pytest
+
+from fugu_tpu.index.schema import DOCS_SCHEMA
+from fugu_tpu.index.segment import SegmentBuilder
+from fugu_tpu.ops import oracle
+from fugu_tpu.ops.blockmax import search_blockmax
+from fugu_tpu.query import Occur, QueryGroup, QueryPlan, TermClause
+
+
+@pytest.fixture(scope="module")
+def seg():
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(50)]
+    b = SegmentBuilder(DOCS_SCHEMA)
+    for i in range(12000):
+        text = " ".join(rng.choice(words, size=int(rng.integers(3, 25))))
+        b.add_document(
+            {"text": [text]},
+            facets=[f"/cat/{int(rng.integers(0, 6))}"],
+            stored={"id": f"d{i}"},
+        )
+    s = b.build()
+    s.tombstones[::41] = True
+    return s
+
+
+def test_blockmax_fuzz_parity(seg):
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(5)
+    for trial in range(120):
+        n = int(rng.integers(1, 5))
+        terms = rng.choice(50, size=n, replace=False)
+        groups = []
+        for t in terms:
+            r = rng.random()
+            occ = (
+                Occur.MUST
+                if r < 0.3
+                else (Occur.MUST_NOT if r < 0.4 else Occur.SHOULD)
+            )
+            groups.append(QueryGroup(occ, (TermClause("text", f"w{t}"),)))
+        if rng.random() < 0.3:
+            groups.append(
+                QueryGroup(
+                    Occur.MUST,
+                    (TermClause("", f"/cat/{int(rng.integers(0, 6))}", is_facet=True),),
+                )
+            )
+        plan = QueryPlan(groups=tuple(groups))
+        limit = int(rng.choice([3, 10, 50]))
+        got = search_blockmax(seg, plan, stats, limit)
+        exp = [(h.score, h.doc) for h in oracle.search([seg], plan, limit, stats)]
+        assert got is not None
+        assert len(got) == len(exp), (trial, len(got), len(exp))
+        for (gs, gd), (ws, wd) in zip(got, exp):
+            assert np.float32(gs) == np.float32(ws) and gd == wd, (
+                trial,
+                got[:4],
+                exp[:4],
+            )
+
+
+def test_blockmax_falls_back_for_host_only_plans(seg):
+    stats = oracle.IndexStats([seg])
+    assert search_blockmax(seg, QueryPlan(match_all=True), stats, 10) is None
+    # non-default bm25 constants -> precomputed contributions invalid
+    p = QueryPlan(
+        groups=(QueryGroup(Occur.SHOULD, (TermClause("text", "w0"),)),), k1=2.0
+    )
+    assert search_blockmax(seg, p, stats, 10) is None
+
+
+def test_oracle_tiebreak_is_doc_ascending(seg):
+    """Regression: argpartition used to pick arbitrary docs among kth-score
+    ties; the contract is score desc then doc asc."""
+    stats = oracle.IndexStats([seg])
+    # facet-only query: every matching doc scores the same constant idf
+    plan = QueryPlan(
+        groups=(
+            QueryGroup(
+                Occur.SHOULD, (TermClause("", "/cat/1", is_facet=True),)
+            ),
+        ),
+        require_should=True,
+    )
+    hits = oracle.search([seg], plan, 10, stats)
+    docs = [h.doc for h in hits]
+    assert docs == sorted(docs)
+    live = [
+        d
+        for d in seg.facet_docs("/cat/1")
+        if not seg.tombstones[d]
+    ]
+    assert docs == sorted(live)[:10]

@@ -68,17 +68,35 @@ def _device_engine(segment: Segment):
     windows would blow memory).
     """
     if _engine_name(segment) == "pallas":
+        from fugu_tpu.ops.batch_scorer import batch_search_should
         from fugu_tpu.ops.pallas_scorer import pallas_search_batch
 
         def hybrid(seg, plans, stats, limit):
-            res = pallas_search_batch(seg, plans, stats, limit)
+            # two-phase batch engine first (pure-SHOULD batches share one
+            # corpus stream + pruned re-scoring), block scorer for the
+            # rest, then oracle/XLA for what neither takes
+            res = batch_search_should(seg, plans, stats, limit)
+            miss1 = [i for i, r in enumerate(res) if r is None]
+            if miss1:
+                fill1 = pallas_search_batch(
+                    seg, [plans[i] for i in miss1], stats, limit
+                )
+                for i, r in zip(miss1, fill1):
+                    res[i] = r
             missing = [i for i, r in enumerate(res) if r is None]
             if missing and seg.doc_count > AUTO_PALLAS_MIN_DOCS:
+                from fugu_tpu.ops.blockmax import search_blockmax
+
                 for i in missing:
-                    res[i] = [
-                        (h.score, h.doc)
-                        for h in oracle_ops.search([seg], plans[i], limit, stats)
-                    ]
+                    r = search_blockmax(seg, plans[i], stats, limit)
+                    if r is None:
+                        r = [
+                            (h.score, h.doc)
+                            for h in oracle_ops.search(
+                                [seg], plans[i], limit, stats
+                            )
+                        ]
+                    res[i] = r
             elif missing:
                 fill = scoring.device_search_batch(
                     seg, [plans[i] for i in missing], stats, limit

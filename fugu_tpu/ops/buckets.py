@@ -20,7 +20,7 @@ L_BUCKETS = (512, 8192, 131072, 2097152, 8388608)
 # total-entries ladder gets intermediate rungs (sums of several windows)
 E_BUCKETS = (512, 8192, 32768, 131072, 524288, 2097152, 8388608, 33554432)
 K_BUCKETS = (16, 256, 4096)
-B_BUCKETS = (1, 8, 64)
+B_BUCKETS = (1, 8, 64, 128)
 
 
 def bucket(value: int, ladder: Sequence[int]) -> int:

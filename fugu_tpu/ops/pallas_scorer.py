@@ -59,16 +59,21 @@ BLOCK = 2048          # docs per block (== max entries per clause-block).
                       # neutral (128 vs 130 QPS at 1M), 2048 kept
 WINDOW = BLOCK + 1024  # DMA window: BLOCK entries + 1024 alignment slack
 HI_ROWS = BLOCK // 256  # block doc space as (hi, lo): doc = hi*256 + lo
-ENTRY_CHUNK = 512     # entries per one-hot matmul chunk.  Swept at 1M
-                      # docs under the interval chunk loop: 256 -> 114
-                      # QPS, 512 -> 128, 1024 -> 106 (256 paid loop
-                      # overhead, 1024 pays ceil-waste on light clauses)
-NB_BUCKETS = (8, 64, 512)
-NB_SPLIT = 512        # queries touching more blocks than this split into
+ENTRY_CHUNK = 1024    # entries per one-hot matmul chunk.  1024 makes the
+                      # chunk loads 1024-aligned, so the dynamic VMEM
+                      # slice is legal directly — the two pltpu.roll
+                      # relayouts per chunk (the former workaround for
+                      # Mosaic's alignment rule) disappear, and the BM25
+                      # window math moves inside the active chunks only
+NB_BUCKETS = (32, 64, 256)  # coarse: every dispatch pays a ~70ms fixed
+                            # cost on this relay, so fewer buckets (less
+                            # row fragmentation) beat tighter padding
+NB_SPLIT = 256        # queries touching more blocks than this split into
                       # multiple kernel rows (block slices partition doc
                       # space, so per-slice top-k lists merge exactly);
-                      # keeps the SMEM starts/counts tables small enough
-                      # for b_pad=8 batching at any corpus size
+                      # bounds BOTH the SMEM starts/counts tables and the
+                      # candidate-buffer VMEM (nb*HI_ROWS*256*8B — 512
+                      # blocks blew the 16MB scoped-vmem limit)
 MAX_K = 128           # per-block extraction budget (== K_OUT lanes); the
                       # merge loop unrolls k iterations, so signatures
                       # only pay for the k bucket they ask for
@@ -99,14 +104,16 @@ def _scorer_kernel(
     e_doc_hbm,
     e_tffid_hbm,
     tomb_hbm,
-    # outputs (VMEM blocks, one row per query)
-    out_scores,   # f32[1, 1, K_OUT]
-    out_docs,     # int32[1, 1, K_OUT]
+    # output (VMEM block, one row per query): the masked dense block
+    # scores — top-k extraction happens OUTSIDE the kernel via XLA's
+    # top_k in the same jitted program (in-kernel iterative extraction
+    # cost ~16 serial cross-lane reductions per query row)
+    out_scores,   # f32[1, NB*HI_ROWS, 256]
     # scratch: per-clause 1-D doc/tf/fid buffers (match the 1-D HBM
     # tiling), the per-doc tombstone flags, then the DMA semaphores
     *scratch,
     t_pad: int,
-    k: int,
+    nb_pad: int,
     need_bits: bool,
 ):
     doc_s = [scratch[2 * t] for t in range(t_pad)]       # (2*WINDOW,)
@@ -116,15 +123,12 @@ def _scorer_kernel(
     b = pl.program_id(0)
     NSEM = 2 * t_pad + 1
 
-    wlane = jax.lax.broadcasted_iota(jnp.int32, (1, WINDOW), 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, 1), 0)
     # block state lives in a (HI_ROWS, 256) layout: doc d of the block
     # sits at [d >> 8, d & 255] — the factored scatter (below) produces
     # exactly this shape from one small matmul
-    hi_sub = jax.lax.broadcasted_iota(jnp.int32, (HI_ROWS, 256), 0)
-    lo_lane = jax.lax.broadcasted_iota(jnp.int32, (HI_ROWS, 256), 1)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, 256), 1)
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (ENTRY_CHUNK, HI_ROWS), 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, K_OUT), 1)
 
     must = masks[b, 0]
     mustnot = masks[b, 1]
@@ -172,11 +176,9 @@ def _scorer_kernel(
         for d in dma_set(0, 0):
             d.start()
 
-    def block_step(jj, carry):
-        run_s, run_d = carry
+    def block_step(jj, _):
         slot = jj % 2
-        bid = block_ids[b, jj]
-        base = bid * BLOCK
+        base = block_ids[b, jj] * BLOCK
         woff = pl.multiple_of(slot * WINDOW, 1024)
         boff = pl.multiple_of(slot * HI_ROWS, HI_ROWS)
 
@@ -200,43 +202,39 @@ def _scorer_kernel(
             st = start_of(t)
             cnt = counts[b, jj * t_pad + t]
             a = (st >> 10) << 10
-            gpos = a + wlane
-            valid = (gpos >= st) & (gpos < st + cnt)
-            row_doc = doc_s[t][pl.ds(woff, WINDOW)].reshape(1, WINDOW)
-            packed = pk_s[t][pl.ds(woff, WINDOW)].reshape(1, WINDOW)
-            row_tf = (packed & 0xFFFFFF).astype(jnp.float32)
-            row_fid = (packed >> 24) & 0xFF
-            denom = row_tf + c1[b, t] + c2[b, t] * _decode_fid(row_fid).astype(
-                jnp.float32
-            )
-            # Tantivy associates as weight * (tf / denom) — match it so
-            # exact ties stay exact ties
-            contrib = jnp.where(valid, weights[b, t] * (row_tf / denom), 0.0)
-            local = jnp.where(valid, row_doc - base, -1)
 
             # entries for this (clause, block) occupy one contiguous lane
             # interval of the window — iterate only its chunks with a
-            # dynamic-bounds loop (the cond-per-chunk variant evaluated
-            # WINDOW/CHUNK scalar guards per clause per block, which
-            # dominated kernel time at 1M docs).  Mosaic can't do
-            # 256-aligned dynamic VMEM loads (1024 granularity), so each
-            # chunk is rotated to the front lanes instead of re-loaded.
+            # dynamic-bounds loop.  ENTRY_CHUNK == 1024 makes each chunk
+            # load 1024-aligned, so the dynamic VMEM slice is legal
+            # directly (the old 512-entry chunks needed two pltpu.roll
+            # relayouts per chunk), and the BM25 math runs on active
+            # chunks only instead of the whole window.
             lo = st - a
             hi = lo + cnt
             c_lo = lo // ENTRY_CHUNK
             c_hi = jnp.where(cnt > 0, (hi + ENTRY_CHUNK - 1) // ENTRY_CHUNK, c_lo)
 
-            def chunk_add(c, args, local=local, contrib=contrib):
+            def chunk_add(c, args, t=t):
                 scores, presence_t = args
-                # pltpu.roll is a RIGHT rotation and requires a
-                # non-negative shift (a traced negative compiles but is
-                # silently wrong on hardware) — left-roll chunk c to the
-                # front lanes via the (W - s) % W equivalent
-                shift = (WINDOW - c * ENTRY_CHUNK) % WINDOW
-                le = pltpu.roll(local, shift, 1)[:, :ENTRY_CHUNK]
-                ce = pltpu.roll(contrib, shift, 1)[:, :ENTRY_CHUNK]
-                le_col = le.reshape(ENTRY_CHUNK, 1)
-                ce_col = ce.reshape(ENTRY_CHUNK, 1)
+                off = pl.multiple_of(woff + c * ENTRY_CHUNK, 1024)
+                dchunk = doc_s[t][pl.ds(off, ENTRY_CHUNK)].reshape(
+                    ENTRY_CHUNK, 1
+                )
+                pchunk = pk_s[t][pl.ds(off, ENTRY_CHUNK)].reshape(
+                    ENTRY_CHUNK, 1
+                )
+                pos = a + c * ENTRY_CHUNK + c_iota
+                valid = (pos >= st) & (pos < st + cnt)
+                tf = (pchunk & 0xFFFFFF).astype(jnp.float32)
+                fid = (pchunk >> 24) & 0xFF
+                denom = tf + c1[b, t] + c2[b, t] * _decode_fid(fid).astype(
+                    jnp.float32
+                )
+                # Tantivy associates as weight * (tf / denom) — match it
+                # so exact ties stay exact ties
+                ce_col = jnp.where(valid, weights[b, t] * (tf / denom), 0.0)
+                le_col = jnp.where(valid, dchunk - base, -1)
                 # factored scatter: doc = hi*256 + lo, so the dense
                 # (HI_ROWS, 256) block scores are ONE contraction
                 # (onehot_hi * contrib)^T @ onehot_lo — one-hot
@@ -247,29 +245,25 @@ def _scorer_kernel(
                 # equality straight to bf16.)
                 oh_lo = ((le_col & 255) == lo_iota).astype(jnp.bfloat16)
                 oh_hi = ((le_col >> 8) == hi_iota).astype(jnp.float32)
-                # exact f32 via manual hi/mid/lo bf16 split — three
-                # native MXU passes accumulate the full f32
-                # contribution (single-pass bf16 reorders near-ties
-                # vs the oracle; Precision.HIGHEST blows VMEM)
+                # exact f32 via manual hi/mid/lo bf16 split.  The three
+                # parts ride ONE MXU contraction: stack them along the
+                # entry (sublane) axis and tile oh_lo to match — the
+                # contraction sums all three partial products into the
+                # full f32 value.  (Three separate dependent dots cost
+                # three MXU issue latencies per chunk; the sublane
+                # concat is a cheap row-block copy, unlike the lane-dim
+                # concat that lost in round 1.)
                 vals = oh_hi * ce_col
                 v_hi = vals.astype(jnp.bfloat16)
                 r1 = vals - v_hi.astype(jnp.float32)
                 v_mid = r1.astype(jnp.bfloat16)
                 v_lo = (r1 - v_mid.astype(jnp.float32)).astype(jnp.bfloat16)
                 dn = (((0,), (0,)), ((), ()))
-                acc = (
-                    jax.lax.dot_general(
-                        v_hi, oh_lo, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        v_mid, oh_lo, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
-                    + jax.lax.dot_general(
-                        v_lo, oh_lo, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32,
-                    )
+                lhs3 = jnp.concatenate([v_hi, v_mid, v_lo], axis=0)
+                rhs3 = jnp.concatenate([oh_lo, oh_lo, oh_lo], axis=0)
+                acc = jax.lax.dot_general(
+                    lhs3, rhs3, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
                 )
                 if need_bits:
                     # presence values are 0/1 — exact in a single bf16 pass
@@ -302,57 +296,13 @@ def _scorer_kernel(
         matched &= tomb_s[pl.ds(boff, HI_ROWS), :] == 0
 
         masked = jnp.where(matched, scores, NEG_INF)
-        ids = base + hi_sub * 256 + lo_lane
+        row = pl.multiple_of(jj * HI_ROWS, HI_ROWS)
+        out_scores[0, pl.ds(row, HI_ROWS), :] = masked
+        return 0
 
-        # merge running top-K with this block by joint iterative
-        # (max score, min id) extraction over BOTH arrays — no
-        # concatenation (Mosaic layout constraint); blocks partition doc
-        # space and are visited in ascending order, so this is exactly
-        # the global (score desc, doc asc) order.  Skip the whole
-        # extraction when this block cannot beat the current kth score —
-        # after the first few blocks almost every block short-circuits.
-        block_best = jnp.max(masked)
-        kth = jnp.min(run_s)
-
-        def do_merge(args):
-            run_s, run_d, masked = args
-            cur_b = masked
-            cur_r = run_s
-            ids_r = run_d
-            new_s = jnp.full((1, K_OUT), NEG_INF, jnp.float32)
-            new_d = jnp.full((1, K_OUT), _INT_MAX, jnp.int32)
-            for i in range(k):
-                m = jnp.maximum(jnp.max(cur_b), jnp.max(cur_r))
-                selb = jnp.min(
-                    jnp.where((cur_b == m) & (m > NEG_INF), ids, _INT_MAX)
-                )
-                selr = jnp.min(
-                    jnp.where((cur_r == m) & (m > NEG_INF), ids_r, _INT_MAX)
-                )
-                sel = jnp.minimum(selb, selr)
-                new_s = jnp.where(k_iota == i, m, new_s)
-                new_d = jnp.where(
-                    k_iota == i, jnp.where(m > NEG_INF, sel, _INT_MAX), new_d
-                )
-                cur_b = jnp.where(ids == sel, NEG_INF, cur_b)
-                cur_r = jnp.where(ids_r == sel, NEG_INF, cur_r)
-            return new_s, new_d
-
-        new_s, new_d = jax.lax.cond(
-            block_best > kth,
-            do_merge,
-            lambda args: (args[0], args[1]),
-            (run_s, run_d, masked),
-        )
-        return new_s, new_d
-
-    init = (
-        jnp.full((1, K_OUT), NEG_INF, jnp.float32),
-        jnp.full((1, K_OUT), _INT_MAX, jnp.int32),
-    )
-    run_s, run_d = jax.lax.fori_loop(0, nb, block_step, init)
-    out_scores[0, 0:1, :] = run_s
-    out_docs[0, 0:1, :] = run_d
+    jax.lax.fori_loop(0, nb, block_step, 0)
+    # slots >= nb keep whatever the output buffer held; the XLA side
+    # masks them by nblocks before the top_k
 
 
 K_OUT = 128  # lane-aligned output tile
@@ -360,10 +310,16 @@ K_OUT = 128  # lane-aligned output tile
 
 def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
                       need_bits: bool, interpret: bool = False):
-    """The raw (unjitted) pallas_call wrapper — callers jit it directly
-    (build_scorer) or trace it inside shard_map (parallel.pallas_sharded)."""
+    """The raw (unjitted) wrapper — callers jit it directly
+    (build_scorer) or trace it inside shard_map (parallel.pallas_sharded).
+
+    The Pallas kernel emits the masked dense block scores; the top-k
+    (with the score-desc/doc-asc tiebreak) runs as XLA ``top_k`` fused in
+    the same program — block_ids rows are ascending, so equal scores
+    resolve to the lowest global doc id by first-occurrence order.
+    """
     kernel = functools.partial(
-        _scorer_kernel, t_pad=t_pad, k=k, need_bits=need_bits
+        _scorer_kernel, t_pad=t_pad, nb_pad=nb_pad, need_bits=need_bits
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
@@ -374,8 +330,9 @@ def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, K_OUT), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec((1, 1, K_OUT), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(
+                (1, nb_pad * HI_ROWS, 256), lambda b, *_: (b, 0, 0)
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * WINDOW,), jnp.int32) for _ in range(2 * t_pad)
@@ -388,17 +345,32 @@ def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
 
     def call(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
              masks, e_doc, e_tffid, tomb):
-        out_shapes = [
-            jax.ShapeDtypeStruct((b_pad, 1, K_OUT), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, 1, K_OUT), jnp.int32),
-        ]
-        return pl.pallas_call(
+        raw = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=out_shapes,
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (b_pad, nb_pad * HI_ROWS, 256), jnp.float32
+                )
+            ],
             interpret=interpret,
         )(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
-          masks, e_doc, e_tffid, tomb)
+          masks, e_doc, e_tffid, tomb)[0]
+        flat = raw.reshape(b_pad, nb_pad, BLOCK)
+        slot_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (b_pad, nb_pad), 1)
+            < nblocks[:, None]
+        )
+        flat = jnp.where(slot_ok[:, :, None], flat, NEG_INF)
+        kk = min(k, nb_pad * BLOCK)
+        top_s, idx = jax.lax.top_k(flat.reshape(b_pad, nb_pad * BLOCK), kk)
+        slot = idx // BLOCK
+        gdoc = (
+            jnp.take_along_axis(block_ids, slot, axis=1) * BLOCK
+            + idx % BLOCK
+        )
+        top_d = jnp.where(top_s > NEG_INF, gdoc, jnp.int32(_INT_MAX))
+        return top_s[:, None, :], top_d[:, None, :]
 
     return call
 
@@ -475,11 +447,17 @@ def pallas_search_batch(
     stats,
     limit: int,
     interpret: bool = False,
+    block_lists: Optional[dict] = None,
 ) -> List[Optional[List[Tuple[float, int]]]]:
     """Pallas-engine equivalent of ops.scoring.device_search_batch.
 
     Returns a result list aligned with `plans`; None entries mean the
     caller must use another path (oracle or the XLA kernel).
+
+    ``block_lists`` (plan index -> allowed block ids) restricts each
+    query to a caller-proven candidate set — the two-phase batch engine
+    (ops/batch_scorer) passes the blocks whose phase-A maxima can still
+    reach the kth score, cutting ~490 block visits per query to ~15.
     """
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
     if limit > MAX_K:
@@ -540,6 +518,8 @@ def pallas_search_batch(
             st, ct, nonempty = plan_block_tables(
                 e_doc_np, args, t_pad, n_blocks, must, offs_cache
             )
+            if block_lists is not None and i in block_lists:
+                nonempty = np.intersect1d(nonempty, block_lists[i])
             # block-heavy queries become several rows over block slices;
             # result assembly merges the per-slice top-k lists
             for s in range(0, max(len(nonempty), 1), NB_SPLIT):
@@ -549,70 +529,18 @@ def pallas_search_batch(
                 )
         if not rows:
             continue
-        nb_pad = nb_bucket(max(max(len(r[7]) for r in rows), 1))
-
-        pos = 0
-        while pos < len(rows):
-            # SMEM budget: the prefetched starts/counts tables live in
-            # scalar memory (~1MB total, with internal replication) —
-            # keep B*NB*T small enough to fit
-            smem_cap = max(1, 16384 // (nb_pad * t_pad))
-            b_allowed = max([x for x in buckets.B_BUCKETS if x <= smem_cap] or [1])
-            # fixed b_pad per signature: the tail chunk pads with inactive
-            # queries rather than compiling a second program
-            b_pad = b_allowed
-            chunk = rows[pos : pos + b_pad]
-            pos += len(chunk)
-
-            block_ids = np.zeros((b_pad, nb_pad), dtype=np.int32)
-            nblocks = np.zeros(b_pad, dtype=np.int32)
-            starts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
-            counts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
-            weights = np.zeros((b_pad, t_pad), dtype=np.float32)
-            c1 = np.ones((b_pad, t_pad), dtype=np.float32)
-            c2 = np.zeros((b_pad, t_pad), dtype=np.float32)
-            gbits = np.full((b_pad, t_pad), -1, dtype=np.int32)
-            masks = np.zeros((b_pad, 3), dtype=np.int32)
-
-            for bi, (i, args, must, mustnot, should, st, ct, nonempty) in enumerate(
-                chunk
-            ):
-                nb = len(nonempty)
-                nblocks[bi] = nb
-                block_ids[bi, :nb] = nonempty
-                starts[bi, :nb] = st[nonempty]
-                counts[bi, :nb] = ct[nonempty]
-                weights[bi] = args.weights
-                c1[bi] = args.c1
-                c2[bi] = args.c2
-                for t in range(t_pad):
-                    bits = int(args.gbits[t])
-                    gbits[bi, t] = bits.bit_length() - 1 if bits else -1
-                masks[bi] = (must, mustnot, should)
-
-            scorer = _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret)
-            dev_t0 = time.perf_counter()
-            annot = jax.profiler.TraceAnnotation(
-                f"fugu:pallas_scorer t={t_pad} nb={nb_pad} b={b_pad} k={k}"
+        # bucket each row by its OWN block count: one block-heavy query
+        # must not drag the whole batch into the big-NB signature (whose
+        # SMEM table budget forces tiny b_pad = many dispatches)
+        by_nb: dict = {}
+        for r in rows:
+            by_nb.setdefault(nb_bucket(max(len(r[7]), 1)), []).append(r)
+        for nb_pad, nb_rows in sorted(by_nb.items()):
+            _dispatch_rows(
+                nb_rows, nb_pad, t_pad, k, need_bits, interpret,
+                e_docd, e_tffidd, tombd, pending,
             )
-            with annot:
-                top_s, top_d = scorer(
-                    jnp.asarray(nblocks),
-                    jnp.asarray(block_ids),
-                    jnp.asarray(starts.reshape(b_pad, nb_pad * t_pad)),
-                    jnp.asarray(counts.reshape(b_pad, nb_pad * t_pad)),
-                    jnp.asarray(weights),
-                    jnp.asarray(c1),
-                    jnp.asarray(c2),
-                    jnp.asarray(gbits),
-                    jnp.asarray(masks),
-                    e_docd,
-                    e_tffidd,
-                    tombd,
-                )
-            prof_device += time.perf_counter() - dev_t0
-            prof_dispatches += 1
-            pending.append((chunk, top_s, top_d))
+    prof_dispatches = sum(1 for _ in pending)
 
     dev_t0 = time.perf_counter()
     partial: dict = {}
@@ -635,3 +563,71 @@ def pallas_search_batch(
     PROFILE["stage_s"] += time.perf_counter() - prof_t0 - prof_device
     PROFILE["dispatches"] += prof_dispatches
     return results
+
+
+def _dispatch_rows(
+    rows, nb_pad, t_pad, k, need_bits, interpret,
+    e_docd, e_tffidd, tombd, pending,
+):
+    """Queue kernel dispatches for rows sharing one (t_pad, nb_pad,
+    need_bits) signature; results are converted later by the caller so
+    the relay round-trips overlap."""
+    pos = 0
+    while pos < len(rows):
+        # SMEM budget: the prefetched starts/counts tables live in
+        # scalar memory (~1MB total, with internal replication) —
+        # keep B*NB*T small enough to fit
+        smem_cap = max(1, 16384 // (nb_pad * t_pad))
+        b_allowed = max([x for x in buckets.B_BUCKETS if x <= smem_cap] or [1])
+        # fixed b_pad per signature: the tail chunk pads with inactive
+        # queries rather than compiling a second program
+        b_pad = b_allowed
+        chunk = rows[pos : pos + b_pad]
+        pos += len(chunk)
+
+        block_ids = np.zeros((b_pad, nb_pad), dtype=np.int32)
+        nblocks = np.zeros(b_pad, dtype=np.int32)
+        starts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
+        counts = np.zeros((b_pad, nb_pad, t_pad), dtype=np.int32)
+        weights = np.zeros((b_pad, t_pad), dtype=np.float32)
+        c1 = np.ones((b_pad, t_pad), dtype=np.float32)
+        c2 = np.zeros((b_pad, t_pad), dtype=np.float32)
+        gbits = np.full((b_pad, t_pad), -1, dtype=np.int32)
+        masks = np.zeros((b_pad, 3), dtype=np.int32)
+
+        for bi, (i, args, must, mustnot, should, st, ct, nonempty) in enumerate(
+            chunk
+        ):
+            nb = len(nonempty)
+            nblocks[bi] = nb
+            block_ids[bi, :nb] = nonempty
+            starts[bi, :nb] = st[nonempty]
+            counts[bi, :nb] = ct[nonempty]
+            weights[bi] = args.weights
+            c1[bi] = args.c1
+            c2[bi] = args.c2
+            for t in range(t_pad):
+                bits = int(args.gbits[t])
+                gbits[bi, t] = bits.bit_length() - 1 if bits else -1
+            masks[bi] = (must, mustnot, should)
+
+        scorer = _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret)
+        annot = jax.profiler.TraceAnnotation(
+            f"fugu:pallas_scorer t={t_pad} nb={nb_pad} b={b_pad} k={k}"
+        )
+        with annot:
+            top_s, top_d = scorer(
+                jnp.asarray(nblocks),
+                jnp.asarray(block_ids),
+                jnp.asarray(starts.reshape(b_pad, nb_pad * t_pad)),
+                jnp.asarray(counts.reshape(b_pad, nb_pad * t_pad)),
+                jnp.asarray(weights),
+                jnp.asarray(c1),
+                jnp.asarray(c2),
+                jnp.asarray(gbits),
+                jnp.asarray(masks),
+                e_docd,
+                e_tffidd,
+                tombd,
+            )
+        pending.append((chunk, top_s, top_d))

@@ -40,7 +40,6 @@ from fugu_tpu.ops import buckets
 from fugu_tpu.ops.pallas_scorer import (
     BLOCK,
     HI_ROWS,
-    K_OUT,
     MAX_K,
     WINDOW,
     _INT_MAX,
@@ -154,20 +153,21 @@ def _sharded_scorer(
             nblocks[0], block_ids[0], starts[0], counts[0],
             weights, c1, c2, gbits, masks,
             e_doc[0], e_tffid[0], flags[0],
-        )  # [B, 1, K_OUT]
+        )  # [B, 1, kk]
         top_s = top_s[:, 0, :]
         top_d = top_d[:, 0, :]
         gdoc = jnp.where(
             top_d != _INT_MAX, top_d + offsets[0, 0], jnp.int32(_INT_MAX)
         )
         # hierarchical top-k merge: inner axis (ICI) first, outer (DCN)
-        # carries only K_OUT survivors per slice
+        # carries only k survivors per slice
+        kk = top_s.shape[-1]
         for ax in reversed(shard_axes(mesh)):
             all_s = jax.lax.all_gather(top_s, ax)   # [Dax, B, K]
             all_d = jax.lax.all_gather(gdoc, ax)
             flat_s = jnp.moveaxis(all_s, 0, 1).reshape(all_s.shape[1], -1)
             flat_d = jnp.moveaxis(all_d, 0, 1).reshape(all_d.shape[1], -1)
-            top_s, mi = jax.lax.top_k(flat_s, K_OUT)
+            top_s, mi = jax.lax.top_k(flat_s, kk)
             gdoc = jnp.take_along_axis(flat_d, mi, axis=1)
         return top_s[None], gdoc[None]
 

@@ -188,9 +188,20 @@ class RemoteLocation:
             if cached is not None:
                 return cached
         client = make_s3_client()
-        resp = client.get_object(
-            Bucket=self.location.bucket, Key=self.location.key
-        )
+        try:
+            resp = client.get_object(
+                Bucket=self.location.bucket, Key=self.location.key
+            )
+        except FileNotFoundError:
+            raise
+        except Exception as e:  # boto3 raises ClientError, not FileNotFoundError
+            code = ""
+            response = getattr(e, "response", None)
+            if isinstance(response, dict):
+                code = str(response.get("Error", {}).get("Code", ""))
+            if code in ("NoSuchKey", "NoSuchBucket", "404"):
+                raise FileNotFoundError(self.location.to_url()) from e
+            raise
         data = resp["Body"].read()
         if self.cache is not None:
             self.cache.put(self.location.to_url(), data)

@@ -67,6 +67,91 @@ def test_cache_hash_mismatch_rejected(tmp_path):
     assert cache.get("n") is None
 
 
+class _FakeClientError(Exception):
+    """Shape-compatible with botocore.exceptions.ClientError."""
+
+    def __init__(self, code: str):
+        super().__init__(code)
+        self.response = {"Error": {"Code": code}}
+
+
+class _FakeBody:
+    def __init__(self, data: bytes):
+        self._data = data
+
+    def read(self) -> bytes:
+        return self._data
+
+
+class _FakeS3Client:
+    """In-memory stand-in for a boto3 s3 client (get_object/put_object)."""
+
+    def __init__(self):
+        self.objects = {}
+        self.get_calls = 0
+
+    def put_object(self, Bucket, Key, Body):
+        self.objects[(Bucket, Key)] = bytes(Body)
+
+    def get_object(self, Bucket, Key):
+        self.get_calls += 1
+        if (Bucket, Key) not in self.objects:
+            raise _FakeClientError("NoSuchKey")
+        return {"Body": _FakeBody(self.objects[(Bucket, Key)])}
+
+
+@pytest.fixture
+def fake_s3(monkeypatch):
+    import fugu_tpu.storage.spill as spill_mod
+
+    client = _FakeS3Client()
+    monkeypatch.setattr(spill_mod, "make_s3_client", lambda: client)
+    return client
+
+
+def test_s3_transport_roundtrip(fake_s3):
+    loc = RemoteLocation.from_url("s3://bucket/seg/file.npz")
+    loc.raw_upload(b"payload")
+    assert fake_s3.objects[("bucket", "seg/file.npz")] == b"payload"
+    assert loc.raw_fetch() == b"payload"
+
+
+def test_s3_missing_key_maps_to_file_not_found(fake_s3):
+    loc = RemoteLocation.from_url("s3://bucket/absent")
+    with pytest.raises(FileNotFoundError):
+        loc.raw_fetch()
+
+
+def test_s3_fetch_uses_ttl_cache(tmp_path, fake_s3):
+    cache = CachePolicy(tmp_path / "cache", ttl=100)
+    loc = RemoteLocation.from_url("s3://bucket/k", cache)
+    loc.raw_upload(b"v1")  # upload also primes the cache
+    assert fake_s3.get_calls == 0
+    assert loc.raw_fetch() == b"v1"
+    assert fake_s3.get_calls == 0  # served from cache, no transport hit
+    # expire the cache: next fetch goes to the transport and re-primes
+    cache.ttl = 0.0
+    assert loc.raw_fetch() == b"v1"
+    assert fake_s3.get_calls == 1
+
+
+def test_segment_spill_restore_over_s3(tmp_path, fake_s3):
+    """Full cold-tier lifecycle with the S3 transport (fake client)."""
+    data_dir = tmp_path / "data"
+    ds = Dataset("cold", data_dir, use_device=False)
+    ds.ingest(
+        [ObjectRecord(id=f"s{i}", text=f"remote tier doc {i}", namespace="cold") for i in range(3)]
+    )
+    ds.spill("s3://bucket/spill/cold")
+    assert any(k[1].startswith("spill/cold/") for k in fake_s3.objects)
+    docs_dir = data_dir / "cold" / "docs"
+    assert not list(docs_dir.glob("seg-*.npz"))
+
+    ds.restore("s3://bucket/spill/cold")
+    assert ds.stats().docs_count == 3
+    assert len(ds.search("remote tier", [], 0, 10)) == 3
+
+
 def test_segment_spill_restore(tmp_path):
     data_dir = tmp_path / "data"
     remote = tmp_path / "remote"

@@ -178,36 +178,34 @@ def make_query_mix(seg):
 
 
 def device_run(seg, stats, mix):
-    """Run the whole mix through the production engine stack, grouped by
-    limit: two-phase batch engine -> Pallas block scorer -> host."""
+    """Run the whole mix through the production engine stack: two-phase
+    batch engine (all limits share the phase-A corpus streams) -> Pallas
+    block scorer -> host."""
     from fugu_tpu.ops import oracle
-    from fugu_tpu.ops.batch_scorer import batch_search_should
+    from fugu_tpu.ops.batch_scorer import batch_search
     from fugu_tpu.ops.blockmax import search_blockmax
     from fugu_tpu.ops.pallas_scorer import pallas_search_batch
 
-    results = [None] * len(mix)
+    plans = [m[1] for m in mix]
+    lims = [m[2] for m in mix]
+    results = batch_search(seg, plans, stats, lims)
     by_limit = {}
-    for i, (_cls, plan, limit) in enumerate(mix):
-        by_limit.setdefault(limit, []).append(i)
+    for i, r in enumerate(results):
+        if r is None:
+            by_limit.setdefault(lims[i], []).append(i)
     for limit, idxs in by_limit.items():
-        plans = [mix[i][1] for i in idxs]
-        res = batch_search_should(seg, plans, stats, limit)
-        missing = [j for j, r in enumerate(res) if r is None]
-        if missing:
-            fill = pallas_search_batch(
-                seg, [plans[j] for j in missing], stats, limit
-            )
-            for j, r in zip(missing, fill):
-                res[j] = r
-        for j, r in enumerate(res):
-            if r is None:  # phrases etc: host path
-                r = search_blockmax(seg, plans[j], stats, limit)
-            if r is None:
-                r = [
-                    (h.score, h.doc)
-                    for h in oracle.search([seg], plans[j], limit, stats)
-                ]
-            results[idxs[j]] = r
+        fill = pallas_search_batch(seg, [plans[i] for i in idxs], stats, limit)
+        for i, r in zip(idxs, fill):
+            results[i] = r
+    for i, r in enumerate(results):
+        if r is None:  # phrases etc: host path
+            r = search_blockmax(seg, plans[i], stats, lims[i])
+        if r is None:
+            r = [
+                (h.score, h.doc)
+                for h in oracle.search([seg], plans[i], lims[i], stats)
+            ]
+        results[i] = r
     return results
 
 

@@ -24,13 +24,30 @@ the Zipf bench mix, and padding queries to B=256 is free MXU lanes).
 **Phase B**: per query, only blocks whose phase-A max can still reach
 the kth score (with a bf16-error margin) are re-scored exactly by the
 existing block kernel (ops/pallas_scorer with per-query block lists).
-The kth lower bound is valid because block maxima are real doc scores
-(blocks partition docs; dead docs are zeroed out of the pack).
 
-Eligibility: pure-SHOULD term/facet plans at default k1/b (boolean
-queries keep the exact single-phase path — their maxima are not valid
-pruning bounds).  Parity: phase B is the existing oracle-checked kernel,
-so results are identical to the single-phase engine.
+- **Pure-SHOULD plans** (one phase-B wave): the kth-of-maxima is a valid
+  lower bound because block maxima are real doc scores (blocks partition
+  docs; dead docs are zeroed out of the pack).
+- **Boolean plans** (MUST / MUST_NOT / facet filters): phase A carries a
+  second lane-concatenated matmul half that counts, per doc, the
+  distinct single-clause MUST terms present (MUST_NOT terms count -64),
+  and the maxima are masked to docs passing ``count == n_must`` — the
+  unconstrained sum bound is uselessly loose for selective intersections
+  (measured: the wave-2 sweep visited 444/489 blocks without the mask,
+  ~15 with it).  When the mask reproduces the match set exactly
+  ("exact"/"shift" kinds — every MUST single-clause; require-should
+  either implied by ``scores > 0`` or restored by excluding the
+  constant facet score from W and adding it back on the host), the
+  masked maxima are achievable scores and one wave suffices.  Otherwise
+  ("upper" kind) wave 1 scores the best-bounded blocks to establish the
+  kth score and wave 2 sweeps the remaining candidates.  Under-filled
+  wave-1 results degrade to a full candidate sweep (thresh = -inf),
+  never to a wrong answer.
+
+Eligibility: term/facet plans at default k1/b with no phrases, ranges,
+or nested subplans.  Parity: phase B is the existing oracle-checked
+kernel and waves partition doc space, so merged results are identical
+to the single-phase engine.
 """
 
 from __future__ import annotations
@@ -56,8 +73,9 @@ from fugu_tpu.query import Occur, QueryPlan, bm25_weight, idf
 
 jax_setup.configure()
 
-B_PAD = 256          # queries per phase-A dispatch (padding = free lanes)
-U_BUCKETS = (512, 1024)  # union-term ladder; beyond -> greedy query split
+B_PAD = 256          # max queries per phase-A dispatch
+B_BUCKETS = (64, 256)    # query-lane ladder (flops scale with b_pad)
+U_BUCKETS = (256, 512, 1024)  # union-term ladder; beyond -> greedy split
 #: relative + absolute margin absorbing bf16 matmul error in the maxima.
 #: Correctness needs m >= 2*eps/(1+eps); measured eps(max) = 0.0059 on the
 #: 1M bench corpus, so 0.015 is a 2.5x-of-max cushion.  Looser margins
@@ -74,8 +92,9 @@ def _phasea_kernel(
     doc_hbm,       # int32[E]    block-major doc ids
     tid_hbm,       # int32[E]    block-major global term ids
     con_hbm,       # f32[E]      block-major weight-free contributions
-    w_ref,         # bf16[U, B]  per-(union term, query) weights
+    w_ref,         # bf16[U, 2B] lane-concat [weights | must-counts]
     tids_ref,      # int32[8, U] union term ids (row 0; sublane-padded)
+    nm_ref,        # f32[8, B]   required must-count per query (row 0)
     out_ref,       # f32[1, 1, B]
     *scratch,
     u_pad: int,
@@ -131,6 +150,8 @@ def _phasea_kernel(
         tid = tid_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
         con = con_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
 
+        b2 = w_ref.shape[-1]
+        wide = b2 == 2 * nm_ref.shape[-1]
         # one-hot against the REAL union term ids (global tids stay on
         # device untouched; pad entries carry tid=-1, empty slots -2)
         oh_t = (tid == tids_ref[0:1, :]).astype(jnp.bfloat16)  # [C, U]
@@ -139,32 +160,53 @@ def _phasea_kernel(
             w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                    # [C, B]
-        v = (v * con).astype(jnp.bfloat16)
+        )                                                    # [C, B or 2B]
+        if wide:
+            # left lanes carry BM25 weights (scaled by the entry's
+            # weight-free contribution); right lanes raw presence counts
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (BM_CHUNK, b2), 1)
+            v = (v * jnp.where(lane2 < b2 // 2, con, 1.0)).astype(jnp.bfloat16)
+        else:
+            v = (v * con).astype(jnp.bfloat16)
         oh_d = ((doc - base) == d_iota).astype(jnp.bfloat16)  # [C, D]
         S = S + jax.lax.dot_general(
             oh_d,
             v,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [D, B]
+        )                                                     # [D, 2B]
         return S
 
+    b2 = w_ref.shape[-1]
     S = jax.lax.fori_loop(
         c0,
         c1,
         chunk_step,
-        jnp.zeros((BM_BLOCK_DOCS, out_ref.shape[-1]), jnp.float32),
+        jnp.zeros((BM_BLOCK_DOCS, b2), jnp.float32),
     )
     # a matched doc's score is > 0 (weights and contribs are positive);
     # unmatched/dead/padded rows stay exactly 0 -> excluded from the max
-    amax = jnp.max(jnp.where(S > 0.0, S, NEG_INF), axis=0)
+    if b2 == 2 * nm_ref.shape[-1]:
+        b = b2 // 2
+        scores = S[:, :b]
+        counts = S[:, b:]
+        # the count mask keeps only docs containing every single-clause
+        # MUST term and no MUST_NOT term (those count -64); counts are
+        # small exact integers in f32, so a 0.5 guard is safe
+        ok = (scores > 0.0) & (counts > nm_ref[0:1, :] - 0.5)
+    else:
+        scores = S
+        ok = scores > 0.0
+    amax = jnp.max(jnp.where(ok, scores, NEG_INF), axis=0)
     out_ref[0, 0:1, :] = amax[None, :]
     del u_iota  # slot-index variant unused (kept for layout reference)
 
 
-def _build_phasea(nb_pad: int, u_pad: int, b_pad: int, interpret: bool):
+def _build_phasea(
+    nb_pad: int, u_pad: int, b_pad: int, wide: bool, interpret: bool
+):
     kernel = functools.partial(_phasea_kernel, u_pad=u_pad)
+    w_lanes = 2 * b_pad if wide else b_pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb_pad,),
@@ -172,8 +214,9 @@ def _build_phasea(nb_pad: int, u_pad: int, b_pad: int, interpret: bool):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((u_pad, b_pad), lambda j, *_: (0, 0)),
+            pl.BlockSpec((u_pad, w_lanes), lambda j, *_: (0, 0)),
             pl.BlockSpec((8, u_pad), lambda j, *_: (0, 0)),
+            pl.BlockSpec((8, b_pad), lambda j, *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, b_pad), lambda j, *_: (j, 0, 0)),
@@ -186,13 +229,13 @@ def _build_phasea(nb_pad: int, u_pad: int, b_pad: int, interpret: bool):
         ],
     )
 
-    def call(offs, doc, tid, con, w, tids):
+    def call(offs, doc, tid, con, w, tids, nm):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((nb_pad, 1, b_pad), jnp.float32)],
             interpret=interpret,
-        )(offs, doc, tid, con, w, tids)[0]
+        )(offs, doc, tid, con, w, tids, nm)[0]
 
     return jax.jit(call)
 
@@ -200,10 +243,12 @@ def _build_phasea(nb_pad: int, u_pad: int, b_pad: int, interpret: bool):
 _PHASEA_CACHE: dict = {}
 
 
-def _get_phasea(nb_pad, u_pad, b_pad, interpret):
-    key = (nb_pad, u_pad, b_pad, interpret)
+def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret):
+    key = (nb_pad, u_pad, b_pad, wide, interpret)
     if key not in _PHASEA_CACHE:
-        _PHASEA_CACHE[key] = _build_phasea(nb_pad, u_pad, b_pad, interpret)
+        _PHASEA_CACHE[key] = _build_phasea(
+            nb_pad, u_pad, b_pad, wide, interpret
+        )
     return _PHASEA_CACHE[key]
 
 
@@ -214,19 +259,79 @@ def _nb_pad(nb: int) -> int:
     return ((nb + 1023) // 1024) * 1024
 
 
-def _eligible(plan: QueryPlan, limit: int) -> bool:
+#: wave-1 big-blocks scored per constrained query to establish the kth
+#: lower bound (4 x 2048 docs is plenty for k <= 128 on non-degenerate
+#: corpora; a degenerate wave 1 just means wave 2 sweeps more blocks)
+ROUND1_BLOCKS = 4
+
+
+def _classify(plan: QueryPlan) -> Optional[str]:
+    """Phase-A pruning class for one plan.
+
+    - "pure": all-SHOULD — block maxima are achievable doc scores, one
+      phase-B wave.
+    - "exact": boolean plan whose count mask reproduces the match set
+      exactly (every MUST group single-clause, and the require-should
+      constraint either absent or implied by ``scores > 0``) — the masked
+      maxima are achievable constrained scores, one wave.
+    - "upper": boolean plan where the mask is only an upper bound
+      (multi-clause MUST groups are uncountable; require_should with
+      both MUST and SHOULD groups is not encoded) — two waves.
+    - None: this path does not handle it (phrases/ranges/subplans,
+      non-default constants, no positive clause, staging limits).
+    """
     from fugu_tpu.query import K1, B as B_CONST
 
     if plan.host_only or plan.is_empty:
-        return False
+        return None
     if plan.k1 != float(K1) or plan.b != float(B_CONST):
-        return False  # contributions precomputed at default constants
+        return None  # contributions precomputed at default constants
+    n_clauses = 0
+    n_must = n_should = 0
+    must_countable = True
+    has_scoring = False
     for g in plan.groups:
-        if g.occur is not Occur.SHOULD:
-            return False  # boolean maxima are not valid pruning bounds
         if g.phrases or g.ranges or g.subplan is not None:
-            return False
-    return True
+            return None
+        n_clauses += len(g.clauses)
+        if g.occur is Occur.MUST:
+            n_must += 1
+            if len(g.clauses) != 1:
+                must_countable = False
+            if g.clauses:
+                has_scoring = True
+        elif g.occur is Occur.MUST_NOT:
+            pass  # any-clause penalty counts exactly even multi-clause
+        elif g.clauses:
+            n_should += 1
+            has_scoring = True
+    if not has_scoring:
+        return None  # nothing produces a positive bound
+    if n_must == 0 and not any(
+        g.occur is Occur.MUST_NOT for g in plan.groups
+    ):
+        return "pure"
+    # constrained plans re-score through the block kernel: respect its
+    # staging limits (t_pad <= 16, <= 32 boolean groups)
+    if n_clauses > 16 or len(plan.groups) > 32:
+        return None
+    if must_countable and not (
+        plan.require_should and n_should > 0 and n_must > 0
+    ):
+        return "exact"
+    # require_should + MUSTs: if every MUST is a single facet clause, its
+    # score contribution is a per-query CONSTANT (idf; fieldnorm is
+    # constant for facets).  Excluding those weights from W makes
+    # ``scores > 0`` equivalent to "some SHOULD matched", the count mask
+    # enforces facet presence, and the host adds the constant back to the
+    # maxima — the bound becomes exact again ("shift" kind).
+    if must_countable and all(
+        g.clauses[0].is_facet
+        for g in plan.groups
+        if g.occur is Occur.MUST
+    ):
+        return "shift"
+    return "upper"
 
 
 def batch_search_should(
@@ -236,20 +341,41 @@ def batch_search_should(
     limit: int,
     interpret: Optional[bool] = None,
 ) -> List[Optional[List[Tuple[float, int]]]]:
-    """Two-phase batch search for pure-SHOULD plans.
+    """Single-limit wrapper around :func:`batch_search`."""
+    return batch_search(segment, plans, stats, [limit] * len(plans), interpret)
+
+
+def batch_search(
+    segment: Segment,
+    plans: Sequence[QueryPlan],
+    stats,
+    limits: Sequence[int],
+    interpret: Optional[bool] = None,
+) -> List[Optional[List[Tuple[float, int]]]]:
+    """Two-phase batch search; per-plan result limits.
 
     Returns one entry per plan; None marks plans this path does not
-    handle (callers run those through the single-phase engine).
+    handle (callers run those through the single-phase engine).  Phase A
+    is limit-independent, so plans with different limits share the same
+    corpus streams; phase-B waves group by limit.
     """
     from fugu_tpu.ops.pallas_scorer import MAX_K, pallas_search_batch
 
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
-    if limit > MAX_K:
-        return results
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    elig = [i for i, p in enumerate(plans) if _eligible(plans[i], limit)]
+    kinds = {}
+    for i, p in enumerate(plans):
+        if limits[i] > MAX_K:
+            continue
+        kind = _classify(p)
+        if kind is not None:
+            kinds[i] = kind
+    # pure plans batch first so they ride narrow (no-count) kernels; the
+    # wide count lanes double phase A's MXU work and only constrained
+    # batches should pay for them
+    elig = sorted(kinds, key=lambda i: (kinds[i] != "pure", i))
     if len(elig) < (1 if interpret else MIN_BATCH):
         return results
 
@@ -265,13 +391,16 @@ def batch_search_should(
     for i in elig:
         tids = set()
         for g in plans[i].groups:
+            # MUST_NOT terms never score but DO join the union: they
+            # carry the -64 count penalty that masks excluded docs
             for c in g.clauses:
                 field = FACET_FIELD_KEY if c.is_facet else c.field
                 t = pack.tid_of.get((field, c.term))
                 if t is not None:
                     tids.add(t)
         new = [t for t in tids if t not in cur_terms]
-        if len(cur) >= B_PAD or (
+        boundary = cur and (kinds[cur[0]] == "pure") != (kinds[i] == "pure")
+        if len(cur) >= B_PAD or boundary or (
             cur and len(cur_terms) + len(new) > U_BUCKETS[-1]
         ):
             batches.append(cur)
@@ -292,38 +421,62 @@ def batch_search_should(
     offs[nb + 1 :] = pack.chunk_offs[-1]  # padded blocks run zero chunks
 
     pending = []
+    shifts: Dict[int, float] = {}  # "shift" plans: constant facet score
     for q_idx, terms in zip(batches, batch_terms):
         u_pad = next((u for u in U_BUCKETS if len(terms) <= u), None)
         if u_pad is None:
             continue  # single over-wide query set: single-phase fallback
-        w = np.zeros((u_pad, B_PAD), dtype=np.float32)
+        b_pad = next(v for v in B_BUCKETS if len(q_idx) <= v)
+        wide = any(kinds[i] != "pure" for i in q_idx)
+        # lane-concat [weights | must-counts]: one kernel matmul serves
+        # both the score sum and the constraint count (wide batches only)
+        w2 = np.zeros((u_pad, 2 * b_pad if wide else b_pad), dtype=np.float32)
+        nmust = np.zeros((8, b_pad), dtype=np.float32)
         tid_arr = np.full((8, u_pad), -2, dtype=np.int32)
         for t, slot in terms.items():
             tid_arr[0, slot] = t
         for qi, i in enumerate(q_idx):
             for g in plans[i].groups:
+                # multi-clause MUST groups are uncountable (any-of match);
+                # leaving them out of the count loosens but never breaks
+                # the bound — such plans are classified "upper"
+                count_group = g.occur is Occur.MUST and len(g.clauses) == 1
+                if count_group:
+                    nmust[0, qi] += 1.0
                 for c in g.clauses:
                     field = FACET_FIELD_KEY if c.is_facet else c.field
                     t = pack.tid_of.get((field, c.term))
                     if t is None:
                         continue
                     slot = terms[t]
+                    if g.occur is Occur.MUST_NOT:
+                        w2[slot, b_pad + qi] += -64.0
+                        continue
+                    if count_group:
+                        w2[slot, b_pad + qi] += 1.0
                     if c.is_facet:
                         df = stats.facet_doc_freq(c.term)
-                        w[slot, qi] += float(idf(df, stats.doc_count)) * c.boost
+                        wv = float(idf(df, stats.doc_count)) * c.boost
+                        if count_group and kinds[i] == "shift":
+                            # constant facet score moves to the host-side
+                            # shift so scores>0 == "some SHOULD matched"
+                            shifts[i] = shifts.get(i, 0.0) + wv
+                        else:
+                            w2[slot, qi] += wv
                     else:
                         df = stats.doc_freq(c.field, c.term)
-                        w[slot, qi] += float(
+                        w2[slot, qi] += float(
                             bm25_weight(df, stats.doc_count, c.boost, k1)
                         )
-        fn = _get_phasea(nb_pad, u_pad, B_PAD, interpret)
+        fn = _get_phasea(nb_pad, u_pad, b_pad, wide, interpret)
         amax = fn(
             jnp.asarray(offs),
             pack.d_doc,
             pack.d_tid,
             pack.d_con,
-            jnp.asarray(w, dtype=jnp.bfloat16),
+            jnp.asarray(w2, dtype=jnp.bfloat16),
             jnp.asarray(tid_arr),
+            jnp.asarray(nmust),
         )
         pending.append((q_idx, amax))
 
@@ -331,36 +484,107 @@ def batch_search_should(
     from fugu_tpu.ops.pallas_scorer import BLOCK as B_BLOCK
 
     sub_per_big = B_BLOCK // BM_BLOCK_DOCS
-    block_lists: Dict[int, np.ndarray] = {}
-    run_idx: List[int] = []
+
+    def run_wave(idxs: List[int], lists: Dict[int, np.ndarray]):
+        """One batched block-kernel wave, grouped by per-plan limit."""
+        out: Dict[int, Optional[List[Tuple[float, int]]]] = {}
+        by_limit: Dict[int, List[int]] = {}
+        for i in idxs:
+            by_limit.setdefault(limits[i], []).append(i)
+        for lim, ii in by_limit.items():
+            sub = pallas_search_batch(
+                segment,
+                [plans[i] for i in ii],
+                stats,
+                lim,
+                interpret=interpret,
+                block_lists={j: lists[i] for j, i in enumerate(ii)},
+            )
+            for j, i in enumerate(ii):
+                out[i] = sub[j]
+        return out
+
+    def thresh_of(kth: float) -> float:
+        return kth - abs(kth) * MARGIN_REL - MARGIN_ABS
+
+    cols: Dict[int, np.ndarray] = {}
+    wave1_idx: List[int] = []
+    wave1_lists: Dict[int, np.ndarray] = {}
     for q_idx, amax in pending:
         amax = np.asarray(amax)[:nb, 0, :]  # [NB, B_PAD]
         for qi, i in enumerate(q_idx):
             col = amax[:, qi]
+            if i in shifts:  # add back the constant MUST-facet score
+                col = np.where(np.isfinite(col), col + shifts[i], col)
             finite = col[np.isfinite(col)]
             if len(finite) == 0:
-                results[i] = []
+                results[i] = []  # no doc scores any positive clause
                 continue
-            kth = (
-                np.partition(-finite, limit - 1)[limit - 1] * -1
-                if len(finite) >= limit
-                else -np.inf
-            )
-            thresh = kth - abs(kth) * MARGIN_REL - MARGIN_ABS
-            cand = np.nonzero(col >= thresh)[0]
-            big = np.unique(cand // sub_per_big).astype(np.int64)
-            block_lists[i] = big
-            run_idx.append(i)
+            lim = limits[i]
+            if kinds[i] != "upper":
+                # "pure"/"exact": maxima are achievable doc scores, so
+                # kth-of-maxima is a valid lower bound — one wave
+                kth = (
+                    np.partition(-finite, lim - 1)[lim - 1] * -1
+                    if len(finite) >= lim
+                    else -np.inf
+                )
+                cand = np.nonzero(col >= thresh_of(kth))[0]
+                wave1_lists[i] = np.unique(cand // sub_per_big).astype(np.int64)
+            else:
+                # "upper": maxima are only upper bounds; wave 1 scores
+                # the best-bounded big-blocks to establish kth
+                cols[i] = col
+                n_big = (len(col) + sub_per_big - 1) // sub_per_big
+                big_u = np.full(n_big * sub_per_big, NEG_INF, dtype=col.dtype)
+                big_u[: len(col)] = col
+                big_u = big_u.reshape(n_big, sub_per_big).max(axis=1)
+                order = np.argsort(-big_u, kind="stable")
+                take = order[: ROUND1_BLOCKS]
+                wave1_lists[i] = np.sort(take[np.isfinite(big_u[take])]).astype(
+                    np.int64
+                )
+            wave1_idx.append(i)
 
-    if run_idx:
-        sub = pallas_search_batch(
-            segment,
-            [plans[i] for i in run_idx],
-            stats,
-            limit,
-            interpret=interpret,
-            block_lists={j: block_lists[i] for j, i in enumerate(run_idx)},
+    if not wave1_idx:
+        return results
+    wave1 = run_wave(wave1_idx, wave1_lists)
+
+    wave2_idx: List[int] = []
+    wave2_lists: Dict[int, np.ndarray] = {}
+    for i in wave1_idx:
+        hits1 = wave1[i]
+        if hits1 is None:  # block kernel declined: hand back to caller
+            results[i] = None
+            continue
+        if kinds[i] != "upper":
+            results[i] = hits1
+            continue
+        lim = limits[i]
+        col = cols[i]
+        kth = hits1[lim - 1][0] if len(hits1) >= lim else -np.inf
+        cand = np.nonzero(col >= thresh_of(kth))[0] if np.isfinite(kth) else (
+            np.nonzero(np.isfinite(col))[0]
         )
-        for j, i in enumerate(run_idx):
-            results[i] = sub[j]
+        rest = np.setdiff1d(
+            np.unique(cand // sub_per_big).astype(np.int64), wave1_lists[i]
+        )
+        if len(rest) == 0:
+            results[i] = hits1[:lim]
+        else:
+            wave2_idx.append(i)
+            wave2_lists[i] = rest
+
+    if wave2_idx:
+        wave2 = run_wave(wave2_idx, wave2_lists)
+        for i in wave2_idx:
+            hits2 = wave2[i]
+            if hits2 is None:
+                results[i] = None
+                continue
+            # waves partition doc space; (-score, doc) re-rank reproduces
+            # the single-phase kernel's global tie-break exactly
+            merged = list(wave1[i]) + list(hits2)
+            merged.sort(key=lambda sd: (-sd[0], sd[1]))
+            results[i] = merged[: limits[i]]
     return results

@@ -7,8 +7,20 @@ import pytest
 from fugu_tpu.index.schema import DOCS_SCHEMA
 from fugu_tpu.index.segment import SegmentBuilder
 from fugu_tpu.ops import oracle
-from fugu_tpu.ops.batch_scorer import batch_search_should
+from fugu_tpu.ops.batch_scorer import batch_search, batch_search_should
 from fugu_tpu.query import Occur, QueryGroup, QueryPlan, TermClause
+
+
+def assert_tie_tolerant(got, plan, seg, stats, limit):
+    exp = [(h.score, h.doc) for h in oracle.search([seg], plan, limit, stats)]
+    assert got is not None
+    assert len(got) == len(exp), (got[:4], exp[:4])
+    for (gs, gd), (ws, wd) in zip(got, exp):
+        # same doc, or a documented ulp tie flip at equal score
+        assert gd == wd or abs(gs - ws) <= 1e-5 * max(abs(ws), 1.0), (
+            got[:4],
+            exp[:4],
+        )
 
 
 @pytest.fixture(scope="module")
@@ -63,22 +75,110 @@ def test_batch_scorer_parity(seg):
 def test_batch_scorer_skips_ineligible(seg):
     stats = oracle.IndexStats([seg])
     plans = [
-        # boolean: maxima are not valid pruning bounds
-        QueryPlan(
-            groups=(
-                QueryGroup(Occur.MUST, (TermClause("text", "w0"),)),
-                QueryGroup(Occur.MUST_NOT, (TermClause("text", "w1"),)),
-            )
-        ),
         # non-default bm25 constants: precomputed contributions invalid
         QueryPlan(
             groups=(QueryGroup(Occur.SHOULD, (TermClause("text", "w0"),)),),
             k1=2.0,
         ),
         QueryPlan(match_all=True),
+        # only MUST_NOT: nothing produces a positive bound
+        QueryPlan(
+            groups=(QueryGroup(Occur.MUST_NOT, (TermClause("text", "w1"),)),)
+        ),
     ]
     res = batch_search_should(seg, plans, stats, 10, interpret=True)
     assert res == [None, None, None]
+
+
+def test_batch_scorer_constrained_parity(seg):
+    """MUST / MUST_NOT / facet-MUST plans take the two-wave path and must
+    match the oracle exactly (the phase-A bound is only an upper bound)."""
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(11)
+    plans = []
+    for _ in range(12):  # intersections
+        t = rng.choice(50, size=int(rng.integers(2, 4)), replace=False)
+        plans.append(
+            QueryPlan(
+                groups=tuple(
+                    QueryGroup(Occur.MUST, (TermClause("text", f"w{x}"),))
+                    for x in t
+                )
+            )
+        )
+    for _ in range(8):  # exclusions
+        t = rng.choice(50, size=3, replace=False)
+        plans.append(
+            QueryPlan(
+                groups=(
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{t[0]}"),)),
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{t[1]}"),)),
+                    QueryGroup(Occur.MUST_NOT, (TermClause("text", f"w{t[2]}"),)),
+                ),
+                require_should=True,
+            )
+        )
+    for _ in range(8):  # facet-filtered
+        t = rng.choice(50, size=int(rng.integers(1, 3)), replace=False)
+        groups = [
+            QueryGroup(Occur.SHOULD, (TermClause("text", f"w{x}"),)) for x in t
+        ] + [
+            QueryGroup(
+                Occur.MUST,
+                (TermClause("", f"/cat/{int(rng.integers(0, 6))}", is_facet=True),),
+            )
+        ]
+        plans.append(QueryPlan(groups=tuple(groups)))
+    res = batch_search_should(seg, plans, stats, 10, interpret=True)
+    for plan, r in zip(plans, res):
+        assert_tie_tolerant(r, plan, seg, stats, 10)
+
+
+def test_batch_scorer_mixed_limits_share_phase_a(seg):
+    """batch_search takes per-plan limits; phase A is limit-independent."""
+    stats = oracle.IndexStats([seg])
+    plans = [
+        QueryPlan(groups=(QueryGroup(Occur.SHOULD, (TermClause("text", "w5"),)),)),
+        QueryPlan(groups=(QueryGroup(Occur.SHOULD, (TermClause("text", "w5"),)),)),
+        QueryPlan(
+            groups=(
+                QueryGroup(Occur.MUST, (TermClause("text", "w5"),)),
+                QueryGroup(Occur.MUST, (TermClause("text", "w6"),)),
+            )
+        ),
+    ]
+    limits = [10, 100, 100]
+    res = batch_search(seg, plans, stats, limits, interpret=True)
+    for plan, lim, r in zip(plans, limits, res):
+        assert_tie_tolerant(r, plan, seg, stats, lim)
+    assert len(res[1]) > len(res[0])
+
+
+def test_batch_scorer_constrained_underfill(seg):
+    """A MUST intersection with almost no matches under-fills wave 1 and
+    must fall through to the exhaustive candidate sweep, not truncate."""
+    stats = oracle.IndexStats([seg])
+    # find a 3-term combination with 0 < matches < 10
+    plan = None
+    rng = np.random.default_rng(13)
+    for size in (3, 4, 5):
+        if plan is not None:
+            break
+        for _ in range(300):
+            t = rng.choice(50, size=size, replace=False)
+            p = QueryPlan(
+                groups=tuple(
+                    QueryGroup(Occur.MUST, (TermClause("text", f"w{x}"),))
+                    for x in t
+                )
+            )
+            n = len(oracle.search([seg], p, 50, stats))
+            if 0 < n < 10:
+                plan = p
+                break
+    assert plan is not None, "corpus should contain a sparse MUST AND"
+    res = batch_search_should(seg, [plan], stats, 10, interpret=True)
+    assert_tie_tolerant(res[0], plan, seg, stats, 10)
 
 
 def test_batch_scorer_empty_and_missing_terms(seg):

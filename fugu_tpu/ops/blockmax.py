@@ -171,6 +171,12 @@ def search_blockmax(
     (caller falls back to the full oracle)."""
     if plan.k1 != float(np.float32(1.2)) or plan.b != float(np.float32(0.75)):
         return None
+    if plan.has_phrase:
+        # doc-level pruned phrase path (ops/phrase.py); None for shapes
+        # it does not take keeps the caller's oracle fallback
+        from fugu_tpu.ops.phrase import search_phrase_topk
+
+        return search_phrase_topk(segment, plan, stats, limit)
     staged = _stage(segment, plan, stats)
     if staged is None:
         return None

@@ -1,0 +1,255 @@
+"""Doc-level pruned phrase search — WAND over per-doc phrase bounds.
+
+The vectorized phrase matcher (ops/oracle.py::phrase_postings) checks
+position adjacency for EVERY doc containing all phrase terms; with
+high-df terms that is tens of thousands of candidate docs per query for
+a top-10 answer.  Tantivy serves phrases through the same top-k pruning
+machinery as terms (`/root/reference/src/db/search.rs:112` QueryParser
+-> PhraseQuery -> TopDocs); the analog here is doc-LEVEL pruning:
+
+    phrase_tf <= tf_t for every constituent term t, and tf -> tf_sat is
+    monotone, so   score = w_p * tf_sat(phrase_tf)
+                        <= w_p * tf_sat(tf_rare)  per doc
+
+where w_p is the phrase's BM25 weight (from the max constituent
+doc_freq, Tantivy PhraseWeight) and tf_rare the doc's term frequency of
+the rarest constituent.  The block-max index (ops/blockmax.py) already
+stores every entry's exact contribution w_t * tf_sat(tf_t), so the
+per-doc bound is one multiply: contrib_rare(doc) * (w_p / w_rare).
+
+``search_phrase_topk`` intersects the constituent doc lists ONCE
+(:class:`PhraseMatcher`), sorts the surviving docs by bound, and checks
+position adjacency in descending-bound chunks until the next chunk's
+best bound cannot reach the kth score — exact top-k, usually after one
+or two chunks.
+
+Handles plans whose every group is a single-phrase SHOULD/MUST group
+over one field (the shape the query parser emits for quoted queries);
+anything else returns None for the caller's fallback chain.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from fugu_tpu.index.segment import Segment
+from fugu_tpu.ops.oracle import IndexStats, _ragged_gather, _POS_SHIFT
+from fugu_tpu.query import (
+    Occur,
+    PhraseClause,
+    QueryPlan,
+    bm25_weight,
+    fieldnorm_cache,
+)
+
+CHUNK = 4096  # candidate docs checked per adjacency round
+
+
+class PhraseMatcher:
+    """One-time doc-list intersection for a phrase; positions are then
+    checked for arbitrary candidate subsets via :meth:`match`."""
+
+    def __init__(self, segment: Segment, clause: PhraseClause):
+        self.segment = segment
+        self.clause = clause
+        self.common = np.zeros(0, dtype=np.int32)
+        self.sel: List[np.ndarray] = []
+        self.infos = []
+        self.ok = False
+
+        field = clause.field
+        terms = clause.terms
+        if not terms:
+            return
+        infos = [segment.term_info(field, t) for t in terms]
+        if any(i is None for i in infos):
+            return
+        if len(terms) > 1 and field not in segment.pos_offsets:
+            return
+        # intersect rarest-first so `common` shrinks as fast as possible;
+        # doc lists are sorted unique, so searchsorted merges beat
+        # intersect1d's concatenate-and-sort
+        by_df = sorted(range(len(infos)), key=lambda k: infos[k].doc_freq)
+        first = infos[by_df[0]]
+        common = segment.e_doc[first.start : first.start + first.doc_freq]
+        sel_map = {by_df[0]: np.arange(len(common), dtype=np.int64)}
+        for k in by_df[1:]:
+            info = infos[k]
+            docs_k = segment.e_doc[info.start : info.start + info.doc_freq]
+            pos = np.searchsorted(docs_k, common)
+            pos_c = np.minimum(pos, len(docs_k) - 1)
+            hit = docs_k[pos_c] == common
+            common = common[hit]
+            for kk in sel_map:
+                sel_map[kk] = sel_map[kk][hit]
+            sel_map[k] = pos[hit].astype(np.int64)
+            if len(common) == 0:
+                break
+        sel: List[np.ndarray] = [
+            sel_map.get(k, np.zeros(0, dtype=np.int64))
+            for k in range(len(infos))
+        ]
+        # dead docs can never be hits; drop them before bounding
+        if len(common):
+            live = ~segment.tombstones[common]
+            common = common[live]
+            sel = [s[live] for s in sel]
+        self.common = common
+        self.sel = sel
+        self.infos = infos
+        self.ok = True
+
+    def rare_entry_indices(self) -> Tuple[int, np.ndarray]:
+        """(term_index, global entry indices) of the rarest constituent
+        restricted to the common docs — the tightest per-doc bound."""
+        k = int(np.argmin([i.doc_freq for i in self.infos]))
+        return k, self.infos[k].start + self.sel[k]
+
+    def match(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(docs, phrase_tf) among common[idx] — the adjacency check of
+        oracle.phrase_postings restricted to a candidate subset."""
+        seg = self.segment
+        clause = self.clause
+        if len(self.infos) == 1:
+            ent = self.infos[0].start + self.sel[0][idx]
+            return self.common[idx], seg.e_tf[ent]
+        field = clause.field
+        base = seg.field_entry_base[field]
+        offs = seg.pos_offsets[field]
+        data = seg.pos_data[field]
+        docs = self.common[idx].astype(np.int64)
+        slop = max(int(getattr(clause, "slop", 0) or 0), 0)
+        inter: Optional[np.ndarray] = None
+        for k, info in enumerate(self.infos):
+            ent = (info.start - base) + self.sel[k][idx]
+            starts_k = offs[ent]
+            lens_k = offs[ent + 1] - starts_k
+            positions = _ragged_gather(data, starts_k, lens_k).astype(np.int64)
+            docrep = np.repeat(docs, lens_k)
+            anchors = docrep * _POS_SHIFT + (positions - k)
+            if slop and k:
+                anchors = np.unique(
+                    (anchors[None, :] - np.arange(slop + 1)[:, None]).reshape(-1)
+                )
+            elif k:
+                keep = positions >= k
+                anchors = anchors[keep]
+            inter = anchors if inter is None else np.intersect1d(
+                inter, anchors, assume_unique=True
+            )
+            if inter.size == 0:
+                return (
+                    np.zeros(0, dtype=np.int32),
+                    np.zeros(0, dtype=np.int32),
+                )
+        out_docs, out_tf = np.unique(inter // _POS_SHIFT, return_counts=True)
+        return out_docs.astype(np.int32), out_tf.astype(np.int32)
+
+
+def _phrase_only_clauses(plan: QueryPlan) -> Optional[List[PhraseClause]]:
+    """The plan's phrases when every group is a single-phrase scoring
+    group (SHOULD/MUST, no term/range/subplan mixing); else None."""
+    out = []
+    for g in plan.groups:
+        if g.occur is Occur.MUST_NOT:
+            return None  # exclusions need full match sets
+        if g.clauses or g.ranges or g.subplan is not None:
+            return None
+        if len(g.phrases) != 1:
+            return None
+        out.append(g.phrases[0])
+    return out if out else None
+
+
+def search_phrase_topk(
+    segment: Segment,
+    plan: QueryPlan,
+    stats: IndexStats,
+    limit: int,
+) -> Optional[List[Tuple[float, int]]]:
+    """Exact top-`limit` [(score, doc)] for phrase-only plans via
+    bound-ordered adjacency checking, or None (caller falls back)."""
+    if plan.match_all or plan.has_range or plan.has_subplan:
+        return None
+    clauses = _phrase_only_clauses(plan)
+    if clauses is None:
+        return None
+    if len(clauses) != 1:
+        return None  # multi-phrase plans: rare; keep the oracle exact
+    pc = clauses[0]
+
+    from fugu_tpu.ops.blockmax import get_blockmax
+
+    matcher = PhraseMatcher(segment, pc)
+    if not matcher.ok:
+        # absent term or missing positions: Tantivy matches nothing
+        return []
+    if len(matcher.common) == 0:
+        return []
+
+    dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
+    if max(dfs) == 0:
+        return []
+    w_p = float(bm25_weight(max(dfs), stats.doc_count, pc.boost, plan.k1))
+    cache = fieldnorm_cache(stats.avg_fieldnorm(pc.field), plan.k1, plan.b)
+    fid_all = segment.fieldnorm_ids[pc.field]
+
+    bm = get_blockmax(segment, stats, plan.k1, plan.b)
+    k_rare, rare_ent = matcher.rare_entry_indices()
+    w_rare = float(
+        bm25_weight(dfs[k_rare], stats.doc_count, 1.0, plan.k1)
+    )
+    if w_rare <= 0.0:
+        return []
+    bounds = bm.contrib[rare_ent] * np.float32(w_p / w_rare)
+
+    # progressive top-chunk selection: argpartition is O(n) per round and
+    # one or two rounds almost always suffice, vs a full O(n log n) sort
+    n = len(bounds)
+    visited = np.zeros(n, dtype=bool)
+    top_scores = np.full(limit, -np.inf, dtype=np.float32)
+    top_docs = np.full(limit, 2**31 - 1, dtype=np.int64)
+    kth = -np.inf
+    take = CHUNK
+    while True:
+        k = min(take, n)
+        top = (
+            np.argpartition(-bounds, k - 1)[:k] if k < n else np.arange(n)
+        )
+        chunk = top[~visited[top]]
+        if len(chunk) == 0:
+            if k >= n:
+                break
+            take *= 2
+            continue
+        # strict <: equal-bound docs can still tie the kth score and the
+        # doc-ascending tiebreak must see them
+        if float(bounds[chunk].max()) < kth:
+            break
+        visited[chunk] = True
+        last_round = k >= n
+        docs, ptf = matcher.match(np.sort(chunk))
+        if len(docs):
+            fids = fid_all[docs].astype(np.int64)
+            ptf_f = ptf.astype(np.float32)
+            scores = np.float32(w_p) * (ptf_f / (ptf_f + cache[fids]))
+            keep = scores >= kth
+            docs, scores = docs[keep], scores[keep]
+            if len(docs):
+                all_s = np.concatenate([top_scores, scores])
+                all_d = np.concatenate([top_docs, docs.astype(np.int64)])
+                sel = np.lexsort((all_d, -all_s))[:limit]
+                top_scores, top_docs = all_s[sel], all_d[sel]
+                kth = (
+                    top_scores[-1]
+                    if np.isfinite(top_scores).all()
+                    else -np.inf
+                )
+        if last_round:
+            break
+        take *= 2
+
+    keep = np.isfinite(top_scores)
+    return [(float(s), int(d)) for s, d in zip(top_scores[keep], top_docs[keep])]

@@ -96,3 +96,74 @@ def test_oracle_tiebreak_is_doc_ascending(seg):
         if not seg.tombstones[d]
     ]
     assert docs == sorted(live)[:10]
+
+
+def test_phrase_pruned_parity(seg):
+    """Doc-level pruned phrase search (ops/phrase.py, reached through
+    search_blockmax) matches the naive oracle exactly, including slop,
+    tombstones, and under-filled results."""
+    from fugu_tpu.query import PhraseClause
+
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(7)
+    checked = 0
+    for trial in range(60):
+        n = int(rng.integers(2, 4))
+        terms = tuple(f"w{t}" for t in rng.choice(50, size=n, replace=False))
+        slop = int(rng.choice([0, 0, 0, 1, 2]))
+        occ = Occur.MUST if rng.random() < 0.3 else Occur.SHOULD
+        plan = QueryPlan(
+            groups=(
+                QueryGroup(occ, phrases=(PhraseClause("text", terms, slop=slop),)),
+            )
+        )
+        limit = int(rng.choice([3, 10, 50]))
+        got = search_blockmax(seg, plan, stats, limit)
+        assert got is not None
+        exp = [(h.score, h.doc) for h in oracle.search([seg], plan, limit, stats)]
+        assert len(got) == len(exp), (trial, terms, len(got), len(exp))
+        for (gs, gd), (ws, wd) in zip(got, exp):
+            assert np.float32(gs) == np.float32(ws) and gd == wd, (
+                trial, terms, got[:4], exp[:4],
+            )
+        checked += len(got)
+    assert checked > 0  # the corpus produces real phrase matches
+
+
+def test_phrase_pruned_absent_and_single_term(seg):
+    from fugu_tpu.query import PhraseClause
+
+    stats = oracle.IndexStats([seg])
+    absent = QueryPlan(
+        groups=(
+            QueryGroup(
+                Occur.SHOULD, phrases=(PhraseClause("text", ("w0", "zzz")),)
+            ),
+        )
+    )
+    assert search_blockmax(seg, absent, stats, 10) == []
+    single = QueryPlan(
+        groups=(
+            QueryGroup(Occur.SHOULD, phrases=(PhraseClause("text", ("w3",)),)),
+        )
+    )
+    got = search_blockmax(seg, single, stats, 10)
+    exp = [(h.score, h.doc) for h in oracle.search([seg], single, 10, stats)]
+    assert [(np.float32(s), d) for s, d in got] == [
+        (np.float32(s), d) for s, d in exp
+    ]
+
+
+def test_phrase_mixed_plan_falls_back(seg):
+    """Plans mixing phrases with term clauses are not taken (None) so the
+    caller's oracle fallback keeps them exact."""
+    from fugu_tpu.query import PhraseClause
+
+    stats = oracle.IndexStats([seg])
+    plan = QueryPlan(
+        groups=(
+            QueryGroup(Occur.SHOULD, phrases=(PhraseClause("text", ("w1", "w2")),)),
+            QueryGroup(Occur.SHOULD, (TermClause("text", "w3"),)),
+        )
+    )
+    assert search_blockmax(seg, plan, stats, 10) is None

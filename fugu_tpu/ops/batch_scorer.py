@@ -510,8 +510,10 @@ def batch_search(
     cols: Dict[int, np.ndarray] = {}
     wave1_idx: List[int] = []
     wave1_lists: Dict[int, np.ndarray] = {}
-    for q_idx, amax in pending:
-        amax = np.asarray(amax)[:nb, 0, :]  # [NB, B_PAD]
+    # one batched transfer for all phase-A outputs (relay round trips)
+    fetched = jax.device_get([amax for _, amax in pending])
+    for (q_idx, _amax), amax in zip(pending, fetched):
+        amax = amax[:nb, 0, :]  # [NB, b_pad]
         for qi, i in enumerate(q_idx):
             col = amax[:, qi]
             if i in shifts:  # add back the constant MUST-facet score

@@ -544,9 +544,13 @@ def pallas_search_batch(
 
     dev_t0 = time.perf_counter()
     partial: dict = {}
-    for chunk, top_s, top_d in pending:
-        top_s = np.asarray(top_s)[:, 0, :]
-        top_d = np.asarray(top_d)[:, 0, :]
+    # ONE batched transfer for every queued dispatch: per-array asarray
+    # pays a full relay round trip each (~30ms on this host), device_get
+    # on the list coalesces them
+    fetched = jax.device_get([(s, d) for _, s, d in pending])
+    for (chunk, _s, _d), (top_s, top_d) in zip(pending, fetched):
+        top_s = top_s[:, 0, :]
+        top_d = top_d[:, 0, :]
         for bi, (i, *_rest) in enumerate(chunk):
             keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
             partial.setdefault(i, []).extend(

@@ -244,10 +244,13 @@ def main() -> None:
         jax.profiler.stop_trace()
         log(f"profile trace written to {profile_dir}")
 
-    # per-class QPS (each class timed as its own batch)
+    # per-class QPS (each class timed as its own batch; one untimed pass
+    # first — per-class batch shapes differ from the mixed run's and the
+    # first use of a persistently-cached executable pays a ~1s load)
     for cls in classes:
         idxs = [i for i, (c, _, _) in enumerate(mix) if c == cls]
         sub = [mix[i] for i in idxs]
+        device_run(seg, stats, sub)
         t0 = time.time()
         device_run(seg, stats, sub)
         dt = time.time() - t0

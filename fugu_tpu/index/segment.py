@@ -534,7 +534,10 @@ class Segment:
 
 
 #: block-major pack constants (ops/batch_scorer phase A): docs per block
-#: and entries per DMA chunk (1024-aligned starts are a Mosaic rule)
+#: and entries per DMA chunk (1024-aligned starts are a Mosaic rule).
+#: 512 measured best on the 1M bench mix: 256 halves the doc-scatter
+#: matmul but doubles the grid steps / per-block DMA+padding overhead
+#: and lost ~30% end-to-end (230 vs 308 QPS)
 BM_BLOCK_DOCS = 512
 BM_CHUNK = 2048
 

@@ -49,13 +49,21 @@ CHUNK = 4096  # candidate docs checked per adjacency round
 
 class PhraseMatcher:
     """One-time doc-list intersection for a phrase; positions are then
-    checked for arbitrary candidate subsets via :meth:`match`."""
+    checked for arbitrary candidate subsets via :meth:`match`.
+
+    The intersection tracks entry indices only for the rarest term (the
+    bound source); other terms' entry offsets are recovered lazily per
+    candidate chunk with a small ``searchsorted`` inside :meth:`match` —
+    chunks are <= a few thousand docs and usually only one or two chunks
+    are ever checked, so membership is tested with an O(df) doc bitmap
+    instead of an O(|common| log df) sorted merge."""
 
     def __init__(self, segment: Segment, clause: PhraseClause):
         self.segment = segment
         self.clause = clause
         self.common = np.zeros(0, dtype=np.int32)
-        self.sel: List[np.ndarray] = []
+        self.alive = np.zeros(0, dtype=np.int64)  # rarest-term entry sel
+        self.k_rare = 0
         self.infos = []
         self.ok = False
 
@@ -68,62 +76,74 @@ class PhraseMatcher:
             return
         if len(terms) > 1 and field not in segment.pos_offsets:
             return
-        # intersect rarest-first so `common` shrinks as fast as possible;
-        # doc lists are sorted unique, so searchsorted merges beat
-        # intersect1d's concatenate-and-sort
+        # intersect rarest-first so `common` shrinks as fast as possible
         by_df = sorted(range(len(infos)), key=lambda k: infos[k].doc_freq)
-        first = infos[by_df[0]]
+        self.k_rare = by_df[0]
+        first = infos[self.k_rare]
         common = segment.e_doc[first.start : first.start + first.doc_freq]
-        sel_map = {by_df[0]: np.arange(len(common), dtype=np.int64)}
+        alive = np.arange(len(common), dtype=np.int64)
         for k in by_df[1:]:
-            info = infos[k]
-            docs_k = segment.e_doc[info.start : info.start + info.doc_freq]
-            pos = np.searchsorted(docs_k, common)
-            pos_c = np.minimum(pos, len(docs_k) - 1)
-            hit = docs_k[pos_c] == common
-            common = common[hit]
-            for kk in sel_map:
-                sel_map[kk] = sel_map[kk][hit]
-            sel_map[k] = pos[hit].astype(np.int64)
             if len(common) == 0:
                 break
-        sel: List[np.ndarray] = [
-            sel_map.get(k, np.zeros(0, dtype=np.int64))
-            for k in range(len(infos))
-        ]
+            info = infos[k]
+            docs_k = segment.e_doc[info.start : info.start + info.doc_freq]
+            if info.doc_freq <= 16 * len(common):
+                # bitmap membership: O(df + |common|), no log factor
+                mask = np.zeros(segment.doc_count, dtype=bool)
+                mask[docs_k] = True
+                hit = mask[common]
+            else:
+                # df >> survivors: binary search beats the O(df) scatter
+                pos = np.searchsorted(docs_k, common)
+                hit = docs_k[np.minimum(pos, len(docs_k) - 1)] == common
+            common = common[hit]
+            alive = alive[hit]
         # dead docs can never be hits; drop them before bounding
         if len(common):
             live = ~segment.tombstones[common]
             common = common[live]
-            sel = [s[live] for s in sel]
+            alive = alive[live]
         self.common = common
-        self.sel = sel
+        self.alive = alive
         self.infos = infos
         self.ok = True
 
     def rare_entry_indices(self) -> Tuple[int, np.ndarray]:
         """(term_index, global entry indices) of the rarest constituent
         restricted to the common docs — the tightest per-doc bound."""
-        k = int(np.argmin([i.doc_freq for i in self.infos]))
-        return k, self.infos[k].start + self.sel[k]
+        return self.k_rare, self.infos[self.k_rare].start + self.alive
+
+    def _entries(self, k: int, idx: np.ndarray, docs: np.ndarray) -> np.ndarray:
+        """Global entry indices of term ``k`` for common[idx] (== docs).
+
+        The rarest term's indices were tracked through the intersection;
+        other terms pay one searchsorted over the candidate chunk only
+        (docs are known members, so every lookup hits)."""
+        info = self.infos[k]
+        if k == self.k_rare:
+            return info.start + self.alive[idx]
+        docs_k = self.segment.e_doc[info.start : info.start + info.doc_freq]
+        # match docs_k's dtype: an int64 needle forces numpy to copy the
+        # whole O(df) haystack to int64 before searching
+        return info.start + np.searchsorted(docs_k, docs.astype(docs_k.dtype))
 
     def match(self, idx: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """(docs, phrase_tf) among common[idx] — the adjacency check of
         oracle.phrase_postings restricted to a candidate subset."""
         seg = self.segment
         clause = self.clause
+        docs = self.common[idx].astype(np.int64)
         if len(self.infos) == 1:
-            ent = self.infos[0].start + self.sel[0][idx]
+            ent = self._entries(0, idx, docs)
             return self.common[idx], seg.e_tf[ent]
         field = clause.field
         base = seg.field_entry_base[field]
         offs = seg.pos_offsets[field]
         data = seg.pos_data[field]
-        docs = self.common[idx].astype(np.int64)
         slop = max(int(getattr(clause, "slop", 0) or 0), 0)
         inter: Optional[np.ndarray] = None
         for k, info in enumerate(self.infos):
-            ent = (info.start - base) + self.sel[k][idx]
+            ent = self._entries(k, idx, docs) - base
             starts_k = offs[ent]
             lens_k = offs[ent + 1] - starts_k
             positions = _ragged_gather(data, starts_k, lens_k).astype(np.int64)
@@ -203,7 +223,23 @@ def search_phrase_topk(
     )
     if w_rare <= 0.0:
         return []
-    bounds = bm.contrib[rare_ent] * np.float32(w_p / w_rare)
+    slop = max(int(getattr(pc, "slop", 0) or 0), 0)
+    if slop == 0 or len(pc.terms) == 1:
+        # phrase_tf <= tf_rare: every match consumes a distinct rare-term
+        # occurrence, so the block-max entry contribution scales exactly
+        bounds = bm.contrib[rare_ent] * np.float32(w_p / w_rare)
+    else:
+        # with slop, ONE rare-term occurrence can serve up to slop+1
+        # distinct anchors (anchor = a position of term 0), so the tight
+        # per-doc bound is tf_sat((slop+1) * tf_rare) — except when the
+        # rare term IS the anchor term, where matches stay distinct
+        t = segment.e_tf[rare_ent].astype(np.float32)
+        if k_rare > 0:
+            t = t * np.float32(slop + 1)
+        fids_c = fid_all[matcher.common].astype(np.int64)
+        bounds = (np.float32(w_p) * (t / (t + cache[fids_c]))).astype(
+            np.float32
+        )
 
     # progressive top-chunk selection: argpartition is O(n) per round and
     # one or two rounds almost always suffice, vs a full O(n log n) sort

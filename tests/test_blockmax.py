@@ -154,6 +154,42 @@ def test_phrase_pruned_absent_and_single_term(seg):
     ]
 
 
+def test_phrase_slop_bound_is_not_tf_rare(monkeypatch):
+    """Regression: with slop, one rare-term occurrence can serve up to
+    slop+1 anchors, so phrase_tf can EXCEED tf_rare ("a a b"~1 matches
+    twice with a single "b").  The old contrib_rare bound under-estimated
+    such docs and pruned them out of the top-k."""
+    from fugu_tpu.ops import phrase as phrase_mod
+    from fugu_tpu.query import PhraseClause
+
+    b = SegmentBuilder(DOCS_SCHEMA)
+    # special doc first so a wrong bound (which would rank it last) loses
+    b.add_document({"text": ["a a b"]}, stored={"id": "special"})
+    for i in range(64):
+        b.add_document({"text": ["a b"]}, stored={"id": f"d{i}"})
+    for i in range(40):  # extra 'a'-only docs make 'b' the rarest term
+        b.add_document({"text": ["a c"]}, stored={"id": f"x{i}"})
+    s = b.build()
+    stats = oracle.IndexStats([s])
+    plan = QueryPlan(
+        groups=(
+            QueryGroup(
+                Occur.SHOULD,
+                phrases=(PhraseClause("text", ("a", "b"), slop=1),),
+            ),
+        )
+    )
+    # tiny chunks force real pruning rounds (the bug hid whenever the
+    # whole candidate set fit one chunk)
+    monkeypatch.setattr(phrase_mod, "CHUNK", 8)
+    got = search_blockmax(s, plan, stats, 5)
+    exp = [(h.score, h.doc) for h in oracle.search([s], plan, 5, stats)]
+    assert [(np.float32(x), d) for x, d in got] == [
+        (np.float32(x), d) for x, d in exp
+    ]
+    assert got[0][1] == 0  # the double-anchor doc wins
+
+
 def test_phrase_mixed_plan_falls_back(seg):
     """Plans mixing phrases with term clauses are not taken (None) so the
     caller's oracle fallback keeps them exact."""

@@ -13,6 +13,26 @@ from pathlib import Path
 _configured = False
 
 
+def fetch_np(arrays):
+    """Device→host transfer of a flat list of arrays, overlapped.
+
+    On this host every device read pays a relay round trip and
+    ``jax.device_get`` reads leaves serially; starting all the D2H
+    copies first (``copy_to_host_async``) overlaps the round trips
+    (measured ~2x on multi-buffer fetches).  Returns numpy arrays.
+    """
+    import numpy as np
+
+    for a in arrays:
+        start = getattr(a, "copy_to_host_async", None)
+        if start is not None:
+            try:
+                start()
+            except Exception:  # non-addressable/committed arrays
+                pass
+    return [np.asarray(a) for a in arrays]
+
+
 def configure() -> None:
     global _configured
     if _configured:

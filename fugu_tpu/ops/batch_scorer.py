@@ -74,7 +74,7 @@ from fugu_tpu.query import Occur, QueryPlan, bm25_weight, idf
 jax_setup.configure()
 
 B_PAD = 256          # max queries per phase-A dispatch
-B_BUCKETS = (64, 256)    # query-lane ladder (flops scale with b_pad)
+B_BUCKETS = (64, 128, 256)  # query-lane ladder (flops scale with b_pad)
 U_BUCKETS = (256, 512, 1024)  # union-term ladder; beyond -> greedy split
 #: relative + absolute margin absorbing bf16 matmul error in the maxima.
 #: Correctness needs m >= 2*eps/(1+eps); measured eps(max) = 0.0059 on the
@@ -85,6 +85,28 @@ MARGIN_ABS = 3e-3
 #: phase A pays one full corpus stream per dispatch; below this many
 #: eligible queries the single-phase engine is cheaper
 MIN_BATCH = 24
+
+
+#: each extra corpus stream costs ~40-50ms of fixed grid/DMA overhead at
+#: 1M docs — roughly what 96 query lanes of matmul flops cost — so a
+#: split must save more lanes than this to win (measured: splitting a
+#: 136-query batch into 64+128 lanes LOST ~5% end-to-end)
+_STREAM_PENALTY_LANES = 96
+
+
+@functools.lru_cache(maxsize=None)
+def _lane_plan(n: int) -> Tuple[int, ...]:
+    """Bucket capacities covering ``n`` queries minimizing padded lanes
+    plus the fixed per-stream overhead (in equivalent lanes)."""
+    if n <= 0:
+        return ()
+    best = None
+    for b in B_BUCKETS:
+        cand = (b,) if n <= b else (b,) + _lane_plan(n - b)
+        key = (sum(cand) + _STREAM_PENALTY_LANES * (len(cand) - 1), len(cand))
+        if best is None or key < best[0]:
+            best = (key, cand)
+    return best[1]
 
 
 def _phasea_kernel(
@@ -252,6 +274,69 @@ def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret):
     return _PHASEA_CACHE[key]
 
 
+#: bits of candidate mask packed per int32 word for the compact fetch
+_PACK = 16
+
+
+def _build_postproc(nb_pad: int, b_pad: int):
+    """Device-side phase-A candidate selection (plain XLA).
+
+    The raw maxima are [nb_pad, 1, b_pad] f32 — ~2MB per batch, ~95ms
+    through the relay.  The host only needs, per query, the blocks whose
+    maximum clears the kth-score threshold, so compute kth-of-maxima and
+    the margin threshold on device and ship a 16-bit-packed candidate
+    mask + per-query finite counts (~130KB) instead.  Matches the host
+    logic exactly up to f32-vs-f64 threshold rounding, which the bf16
+    margin dwarfs (MARGIN_REL has ~2.5x headroom over measured error).
+    """
+    k_top = min(128, nb_pad)
+
+    def post(amax, shift, limidx):
+        col = amax[:, 0, :]                             # [NB, B]
+        finite = jnp.isfinite(col)
+        col = jnp.where(finite, col + shift[None, :], NEG_INF)
+        count = jnp.sum(finite.astype(jnp.int32), axis=0)      # [B]
+        top = jax.lax.top_k(col.T, k_top)[0]            # [B, k_top] desc
+        li = jnp.maximum(limidx, 0)
+        kth = jnp.take_along_axis(top, li[:, None], axis=1)[:, 0]
+        # limidx -1 flags limit > k_top (or an inactive pad lane): no
+        # valid kth exists, fall through to the full-sweep mask
+        have = (limidx >= 0) & (count > li)
+        thresh = jnp.where(
+            have, kth - jnp.abs(kth) * MARGIN_REL - MARGIN_ABS, NEG_INF
+        )
+        # under-filled queries get thresh=-inf and an all-true mask (the
+        # host's "full candidate sweep, never a wrong answer" fallback);
+        # padded NEG_INF blocks only pass in that degenerate case and the
+        # host trims indices >= nb
+        mask = col >= thresh[None, :]                   # [NB, B]
+        w = (1 << jnp.arange(_PACK, dtype=jnp.int32))[None, :, None]
+        packed = jnp.sum(
+            mask.reshape(nb_pad // _PACK, _PACK, b_pad).astype(jnp.int32) * w,
+            axis=1,
+        )                                               # [NB/16, B]
+        # counts ride as an extra row: one device buffer = one round trip
+        return jnp.concatenate([packed, count[None, :]], axis=0)
+
+    return jax.jit(post)
+
+
+_POSTPROC_CACHE: dict = {}
+
+
+def _get_postproc(nb_pad, b_pad):
+    key = (nb_pad, b_pad)
+    if key not in _POSTPROC_CACHE:
+        _POSTPROC_CACHE[key] = _build_postproc(nb_pad, b_pad)
+    return _POSTPROC_CACHE[key]
+
+
+def _unpack_mask(words_q: np.ndarray, nb: int) -> np.ndarray:
+    """Candidate block ids from one query's packed mask column."""
+    bits = (words_q[:, None] >> np.arange(_PACK)) & 1
+    return np.nonzero(bits.reshape(-1)[:nb])[0]
+
+
 def _nb_pad(nb: int) -> int:
     for v in (64, 256, 1024, 2048, 4096, 8192):
         if nb <= v:
@@ -382,15 +467,9 @@ def batch_search(
     pack = segment.block_major(stats)
     k1 = plans[elig[0]].k1
 
-    # stage W columns; greedy-split query sets whose union exceeds the
-    # largest bucket (each split pays another corpus stream)
-    batches: List[List[int]] = []
-    batch_terms: List[Dict[int, int]] = []
-    cur: List[int] = []
-    cur_terms: Dict[int, int] = {}
-    for i in elig:
+    def plan_tids(plan: QueryPlan) -> set:
         tids = set()
-        for g in plans[i].groups:
+        for g in plan.groups:
             # MUST_NOT terms never score but DO join the union: they
             # carry the -64 count penalty that masks excluded docs
             for c in g.clauses:
@@ -398,13 +477,21 @@ def batch_search(
                 t = pack.tid_of.get((field, c.term))
                 if t is not None:
                     tids.add(t)
+        return tids
+
+    # stage W columns; greedy-split query sets whose union exceeds the
+    # largest bucket (each split pays another corpus stream)
+    batches: List[List[int]] = []
+    cur: List[int] = []
+    cur_terms: Dict[int, int] = {}
+    for i in elig:
+        tids = plan_tids(plans[i])
         new = [t for t in tids if t not in cur_terms]
         boundary = cur and (kinds[cur[0]] == "pure") != (kinds[i] == "pure")
         if len(cur) >= B_PAD or boundary or (
             cur and len(cur_terms) + len(new) > U_BUCKETS[-1]
         ):
             batches.append(cur)
-            batch_terms.append(cur_terms)
             cur, cur_terms = [], {}
             new = list(tids)
         for t in new:
@@ -412,7 +499,27 @@ def batch_search(
         cur.append(i)
     if cur:
         batches.append(cur)
-        batch_terms.append(cur_terms)
+
+    # lane-fit: phase-A flops scale with the padded lane count, so split
+    # each batch into bucket-sized sub-batches minimizing total lanes
+    # (e.g. 136 queries -> 64+128 = 192 lanes, not one 256-lane stream;
+    # the extra corpus stream's DMA is negligible next to the matmuls)
+    split: List[List[int]] = []
+    for q_idx in batches:
+        for size in _lane_plan(len(q_idx)):
+            split.append(q_idx[:size])
+            q_idx = q_idx[size:]
+            if not q_idx:
+                break
+    batches = split
+    batch_terms = []
+    for q_idx in batches:
+        terms: Dict[int, int] = {}
+        for i in q_idx:
+            for t in plan_tids(plans[i]):
+                if t not in terms:
+                    terms[t] = len(terms)
+        batch_terms.append(terms)
 
     nb = pack.n_blocks
     nb_pad = _nb_pad(nb)
@@ -478,7 +585,23 @@ def batch_search(
             jnp.asarray(tid_arr),
             jnp.asarray(nmust),
         )
-        pending.append((q_idx, amax))
+        if any(kinds[i] == "upper" for i in q_idx):
+            # "upper" bounds need the raw per-block maxima on the host
+            # (wave-1 ordering + the post-wave-1 re-threshold), so this
+            # batch ships the full [NB, B] array
+            pending.append(("full", q_idx, amax, None))
+        else:
+            # compact path: kth + margin threshold computed on device,
+            # only a bit-packed candidate mask + counts cross the relay
+            k_top = min(128, nb_pad)
+            shift_v = np.zeros(b_pad, dtype=np.float32)
+            limidx = np.full(b_pad, -1, dtype=np.int32)
+            for qi, i in enumerate(q_idx):
+                shift_v[qi] = shifts.get(i, 0.0)
+                limidx[qi] = limits[i] - 1 if limits[i] <= k_top else -1
+            post = _get_postproc(nb_pad, b_pad)
+            packed = post(amax, jnp.asarray(shift_v), jnp.asarray(limidx))
+            pending.append(("compact", q_idx, packed, None))
 
     # phase B: per-query candidate 2048-blocks from the maxima
     from fugu_tpu.ops.pallas_scorer import BLOCK as B_BLOCK
@@ -510,10 +633,23 @@ def batch_search(
     cols: Dict[int, np.ndarray] = {}
     wave1_idx: List[int] = []
     wave1_lists: Dict[int, np.ndarray] = {}
-    # one batched transfer for all phase-A outputs (relay round trips)
-    fetched = jax.device_get([amax for _, amax in pending])
-    for (q_idx, _amax), amax in zip(pending, fetched):
-        amax = amax[:nb, 0, :]  # [NB, b_pad]
+    # one overlapped transfer for all phase-A outputs (relay round trips)
+    it = iter(jax_setup.fetch_np([arr for _tag, _q, arr, _ in pending]))
+    for tag, q_idx, _a, _c in pending:
+        if tag == "compact":
+            buf = next(it)     # [NB/16 + 1, b_pad] int32
+            packed, count = buf[:-1], buf[-1]
+            for qi, i in enumerate(q_idx):
+                if count[qi] == 0:
+                    results[i] = []  # no doc scores any positive clause
+                    continue
+                cand = _unpack_mask(packed[:, qi], nb)
+                wave1_lists[i] = np.unique(cand // sub_per_big).astype(
+                    np.int64
+                )
+                wave1_idx.append(i)
+            continue
+        amax = next(it)[:nb, 0, :]  # [NB, b_pad]
         for qi, i in enumerate(q_idx):
             col = amax[:, qi]
             if i in shifts:  # add back the constant MUST-facet score

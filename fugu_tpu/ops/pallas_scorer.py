@@ -544,13 +544,14 @@ def pallas_search_batch(
 
     dev_t0 = time.perf_counter()
     partial: dict = {}
-    # ONE batched transfer for every queued dispatch: per-array asarray
-    # pays a full relay round trip each (~30ms on this host), device_get
-    # on the list coalesces them
-    fetched = jax.device_get([(s, d) for _, s, d in pending])
-    for (chunk, _s, _d), (top_s, top_d) in zip(pending, fetched):
-        top_s = top_s[:, 0, :]
-        top_d = top_d[:, 0, :]
+    # overlapped transfer for every queued dispatch: per-array reads pay
+    # a full relay round trip each (~30ms on this host); async-starting
+    # all D2H copies first overlaps them (jax_setup.fetch_np)
+    fetched = jax_setup.fetch_np([p for _, p in pending])
+    for (chunk, _p), packed in zip(pending, fetched):
+        kk = packed.shape[-1] // 2
+        top_s = packed.view(np.float32)[:, 0, :kk]
+        top_d = packed[:, 0, kk:]
         for bi, (i, *_rest) in enumerate(chunk):
             keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
             partial.setdefault(i, []).extend(
@@ -567,6 +568,24 @@ def pallas_search_batch(
     PROFILE["stage_s"] += time.perf_counter() - prof_t0 - prof_device
     PROFILE["dispatches"] += prof_dispatches
     return results
+
+
+_PACKER = None
+
+
+def _get_packer():
+    """Jitted (scores f32, docs i32) -> lane-concat int32 combiner.
+
+    Shape-polymorphic via jit retrace; the program is trivial so each
+    new (b_pad, k) signature compiles fast and caches persistently."""
+    global _PACKER
+    if _PACKER is None:
+        _PACKER = jax.jit(
+            lambda s, d: jnp.concatenate(
+                [jax.lax.bitcast_convert_type(s, jnp.int32), d], axis=-1
+            )
+        )
+    return _PACKER
 
 
 def _dispatch_rows(
@@ -634,4 +653,6 @@ def _dispatch_rows(
                 e_tffidd,
                 tombd,
             )
-        pending.append((chunk, top_s, top_d))
+        # lane-concat (bitcast scores | docs) into ONE int32 buffer: every
+        # separate device array fetched costs a full relay round trip
+        pending.append((chunk, _get_packer()(top_s, top_d)))

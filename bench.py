@@ -184,7 +184,10 @@ def device_run(seg, stats, mix):
     from fugu_tpu.ops import oracle
     from fugu_tpu.ops.batch_scorer import batch_search
     from fugu_tpu.ops.blockmax import search_blockmax
-    from fugu_tpu.ops.pallas_scorer import pallas_search_batch
+    from fugu_tpu.ops.pallas_scorer import (
+        pallas_search_begin,
+        pallas_search_collect,
+    )
 
     plans = [m[1] for m in mix]
     lims = [m[2] for m in mix]
@@ -193,8 +196,12 @@ def device_run(seg, stats, mix):
     for i, r in enumerate(results):
         if r is None:
             by_limit.setdefault(lims[i], []).append(i)
-    for limit, idxs in by_limit.items():
-        fill = pallas_search_batch(seg, [plans[i] for i in idxs], stats, limit)
+    groups = list(by_limit.items())
+    handles = [
+        pallas_search_begin(seg, [plans[i] for i in idxs], stats, limit)
+        for limit, idxs in groups
+    ]
+    for (limit, idxs), fill in zip(groups, pallas_search_collect(handles)):
         for i, r in zip(idxs, fill):
             results[i] = r
     for i, r in enumerate(results):

@@ -609,13 +609,21 @@ def batch_search(
     sub_per_big = B_BLOCK // BM_BLOCK_DOCS
 
     def run_wave(idxs: List[int], lists: Dict[int, np.ndarray]):
-        """One batched block-kernel wave, grouped by per-plan limit."""
+        """One batched block-kernel wave, grouped by per-plan limit; all
+        limit groups dispatch before any fetch so their device work and
+        relay round trips overlap."""
+        from fugu_tpu.ops.pallas_scorer import (
+            pallas_search_begin,
+            pallas_search_collect,
+        )
+
         out: Dict[int, Optional[List[Tuple[float, int]]]] = {}
         by_limit: Dict[int, List[int]] = {}
         for i in idxs:
             by_limit.setdefault(limits[i], []).append(i)
-        for lim, ii in by_limit.items():
-            sub = pallas_search_batch(
+        groups = list(by_limit.items())
+        handles = [
+            pallas_search_begin(
                 segment,
                 [plans[i] for i in ii],
                 stats,
@@ -623,6 +631,9 @@ def batch_search(
                 interpret=interpret,
                 block_lists={j: lists[i] for j, i in enumerate(ii)},
             )
+            for lim, ii in groups
+        ]
+        for (lim, ii), sub in zip(groups, pallas_search_collect(handles)):
             for j, i in enumerate(ii):
                 out[i] = sub[j]
         return out

@@ -459,11 +459,30 @@ def pallas_search_batch(
     (ops/batch_scorer) passes the blocks whose phase-A maxima can still
     reach the kth score, cutting ~490 block visits per query to ~15.
     """
+    return pallas_search_collect([
+        pallas_search_begin(
+            segment, plans, stats, limit, interpret, block_lists
+        )
+    ])[0]
+
+
+def pallas_search_begin(
+    segment: Segment,
+    plans: Sequence[QueryPlan],
+    stats,
+    limit: int,
+    interpret: bool = False,
+    block_lists: Optional[dict] = None,
+):
+    """Stage and queue all kernel dispatches for one batch WITHOUT
+    waiting for results — callers with several independent batches (the
+    two-phase engine's per-limit wave groups) begin them all and collect
+    once, so the batches' device work and fetches overlap instead of
+    serializing at each batch's sync point."""
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
     if limit > MAX_K:
-        return results
+        return (results, [], limit, 0.0)
     prof_t0 = time.perf_counter()
-    prof_device = 0.0
     prof_dispatches = 0
     # finer k ladder than the global one: the per-block merge unrolls k
     # extraction iterations, so k should track the requested limit
@@ -492,7 +511,7 @@ def pallas_search_batch(
         staged.append((i, t_pad, args, must, mustnot, should, need_bits))
 
     if not staged:
-        return results
+        return (results, [], limit, time.perf_counter() - prof_t0)
 
     by_t: dict = {}
     for item in staged:
@@ -541,33 +560,42 @@ def pallas_search_batch(
                 e_docd, e_tffidd, tombd, pending,
             )
     prof_dispatches = sum(1 for _ in pending)
-
-    dev_t0 = time.perf_counter()
-    partial: dict = {}
-    # overlapped transfer for every queued dispatch: per-array reads pay
-    # a full relay round trip each (~30ms on this host); async-starting
-    # all D2H copies first overlaps them (jax_setup.fetch_np)
-    fetched = jax_setup.fetch_np([p for _, p in pending])
-    for (chunk, _p), packed in zip(pending, fetched):
-        kk = packed.shape[-1] // 2
-        top_s = packed.view(np.float32)[:, 0, :kk]
-        top_d = packed[:, 0, kk:]
-        for bi, (i, *_rest) in enumerate(chunk):
-            keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
-            partial.setdefault(i, []).extend(
-                (float(s), int(d))
-                for s, d in zip(top_s[bi][keep], top_d[bi][keep])
-            )
-    for i, hits in partial.items():
-        # slices partition doc space, so concatenating per-slice top-k
-        # lists and re-ranking reproduces the global order exactly
-        hits.sort(key=lambda sd: (-sd[0], sd[1]))
-        results[i] = hits[:limit]
-    prof_device += time.perf_counter() - dev_t0
-    PROFILE["device_s"] += prof_device
-    PROFILE["stage_s"] += time.perf_counter() - prof_t0 - prof_device
     PROFILE["dispatches"] += prof_dispatches
-    return results
+    return (results, pending, limit, time.perf_counter() - prof_t0)
+
+
+def pallas_search_collect(handles):
+    """Fetch and assemble results for a list of `pallas_search_begin`
+    handles with ONE overlapped device transfer (per-array reads pay a
+    full relay round trip each on this host)."""
+    dev_t0 = time.perf_counter()
+    flat = jax_setup.fetch_np(
+        [p for _res, pending, _lim, _st in handles for _c, p in pending]
+    )
+    it = iter(flat)
+    out = []
+    for results, pending, limit, stage_s in handles:
+        partial: dict = {}
+        for chunk, _p in pending:
+            packed = next(it)
+            kk = packed.shape[-1] // 2
+            top_s = packed.view(np.float32)[:, 0, :kk]
+            top_d = packed[:, 0, kk:]
+            for bi, (i, *_rest) in enumerate(chunk):
+                keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
+                partial.setdefault(i, []).extend(
+                    (float(s), int(d))
+                    for s, d in zip(top_s[bi][keep], top_d[bi][keep])
+                )
+        for i, hits in partial.items():
+            # slices partition doc space, so concatenating per-slice
+            # top-k lists and re-ranking reproduces the global order
+            hits.sort(key=lambda sd: (-sd[0], sd[1]))
+            results[i] = hits[:limit]
+        PROFILE["stage_s"] += stage_s
+        out.append(results)
+    PROFILE["device_s"] += time.perf_counter() - dev_t0
+    return out
 
 
 _PACKER = None

@@ -244,6 +244,14 @@ class NamedIndex:
         ]
         import time as _time
 
+        def host_segment_hits(seg, plan):
+            """[(score, doc)] for one plan on one segment via the pruned
+            block-max/phrase engine (exact top-k, same tiebreak as the
+            device kernels); None -> caller's dense-oracle fallback."""
+            from fugu_tpu.ops.blockmax import search_blockmax
+
+            return search_blockmax(seg, plan, stats, limit)
+
         device_ok = self.use_device and _time.time() >= self._device_retry_at
         for ord_, seg in enumerate(segments):
             device_idx = [
@@ -253,6 +261,21 @@ class NamedIndex:
                 and not plans[i].host_only
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
             ]
+            # host-only plans (phrases) run on a worker thread WHILE the
+            # device batch executes: their NumPy work hides under the
+            # device wait (both sides release the GIL)
+            host_only_idx = [i for i in runnable if plans[i].host_only]
+            host_map: Dict[int, Any] = {}
+            host_thread = None
+            if host_only_idx and device_idx:
+                def _host_work():
+                    for i in host_only_idx:
+                        try:
+                            host_map[i] = host_segment_hits(seg, plans[i])
+                        except Exception as e:  # surface after join
+                            host_map[i] = e
+                host_thread = threading.Thread(target=_host_work)
+                host_thread.start()
             res_map = {}
             if device_idx:
                 try:
@@ -285,8 +308,19 @@ class NamedIndex:
                         backoff,
                         self._device_failures,
                     )
+            if host_thread is not None:
+                host_thread.join()
             for i in runnable:
                 res = res_map.get(i)
+                if res is None:
+                    got = host_map.get(i)
+                    if isinstance(got, Exception):
+                        raise got
+                    if got is None:
+                        # pruned host engine (exact top-k incl. phrases);
+                        # None -> dense oracle below
+                        got = host_segment_hits(seg, plans[i])
+                    res = got
                 if res is not None:
                     all_hits[i].extend(
                         oracle_ops.Hit(s, ord_, d) for s, d in res

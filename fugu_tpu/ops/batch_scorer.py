@@ -200,6 +200,8 @@ def _phasea_kernel(
         return S
 
     b2 = w_ref.shape[-1]
+    # (pair-unrolled dual accumulators measured FLAT here — the S += dot
+    # chain is not the stall; the kernel is matmul-throughput-bound)
     S = jax.lax.fori_loop(
         c0,
         c1,

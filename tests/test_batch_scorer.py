@@ -193,3 +193,17 @@ def test_batch_scorer_empty_and_missing_terms(seg):
     assert res[0] == []
     exp = [(h.score, h.doc) for h in oracle.search([seg], plans[1], 10, stats)]
     assert [d for _, d in res[1]] == [d for _, d in exp]
+
+
+def test_lane_plan_minimizes_lanes_with_stream_penalty():
+    """Lane-fit partitioning: flops scale with padded lanes, but each
+    extra corpus stream costs ~96 lanes of fixed overhead — splits only
+    happen when they beat that."""
+    from fugu_tpu.ops.batch_scorer import _lane_plan
+
+    assert _lane_plan(64) == (64,)
+    assert _lane_plan(96) == (128,)   # one 128-lane stream beats 64+64
+    assert _lane_plan(136) == (256,)  # 64+128=192+96 penalty > 256
+    assert _lane_plan(256) == (256,)
+    # above one batch the planner still covers everything
+    assert sum(_lane_plan(200)) >= 200

@@ -207,3 +207,29 @@ def test_lane_plan_minimizes_lanes_with_stream_penalty():
     assert _lane_plan(256) == (256,)
     # above one batch the planner still covers everything
     assert sum(_lane_plan(200)) >= 200
+
+
+def test_batch_scorer_shift_kind_parity(seg):
+    """require_should + MUST-facet plans classify as "shift": the
+    constant facet score is excluded from W and added back to the
+    maxima (now ON DEVICE in the compact path) — parity must hold."""
+    from fugu_tpu.ops.batch_scorer import _classify
+
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(13)
+    plans = []
+    for _ in range(26):  # >= MIN_BATCH so the device path engages
+        t = rng.choice(50, size=int(rng.integers(1, 3)), replace=False)
+        groups = [
+            QueryGroup(Occur.SHOULD, (TermClause("text", f"w{x}"),)) for x in t
+        ] + [
+            QueryGroup(
+                Occur.MUST,
+                (TermClause("", f"/cat/{int(rng.integers(0, 6))}", is_facet=True),),
+            )
+        ]
+        plans.append(QueryPlan(groups=tuple(groups), require_should=True))
+    assert all(_classify(p) == "shift" for p in plans)
+    res = batch_search_should(seg, plans, stats, 10, interpret=True)
+    for plan, r in zip(plans, res):
+        assert_tie_tolerant(r, plan, seg, stats, 10)

@@ -63,16 +63,30 @@ class BlockMaxIndex:
                 continue
             terms = list(tmap.keys())
             starts = np.array([tmap[t].start for t in terms], dtype=np.int64)
-            dfs = np.array([tmap[t].doc_freq for t in terms], dtype=np.int64)
+            # INDEX-WIDE doc frequencies, not segment-local: idf must
+            # match what the oracle/device engines score with once the
+            # index has more than one segment
+            if field == FACET_FIELD_KEY:
+                dfs = np.array(
+                    [stats.facet_doc_freq(t) for t in terms], dtype=np.int64
+                )
+            else:
+                dfs = np.array(
+                    [stats.doc_freq(field, t) for t in terms], dtype=np.int64
+                )
+            seg_dfs = np.array(
+                [tmap[t].doc_freq for t in terms], dtype=np.int64
+            )
             if field == FACET_FIELD_KEY:
                 w = np.array(
                     [idf(int(d), stats.doc_count) for d in dfs], dtype=np.float32
                 )
                 lo = int(starts.min()) if len(starts) else 0
-                hi = int((starts + dfs).max()) if len(starts) else 0
-                w_entry = np.zeros(hi - lo, dtype=np.float32)
+                hi = int((starts + seg_dfs).max()) if len(starts) else 0
                 order = np.argsort(starts)
-                w_entry = np.repeat(w[order], dfs[order])
+                # repeat by the SEGMENT-LOCAL run lengths (entry layout);
+                # only the weight uses index-wide df
+                w_entry = np.repeat(w[order], seg_dfs[order])
                 self.contrib[lo:hi] = w_entry
             else:
                 cache = fieldnorm_cache(stats.avg_fieldnorm(field), k1, b)
@@ -85,8 +99,8 @@ class BlockMaxIndex:
                 )
                 order = np.argsort(starts)
                 lo = int(starts.min()) if len(starts) else 0
-                hi = int((starts + dfs).max()) if len(starts) else 0
-                w_entry = np.repeat(w[order], dfs[order])
+                hi = int((starts + seg_dfs).max()) if len(starts) else 0
+                w_entry = np.repeat(w[order], seg_dfs[order])
                 tf_slice = tfs[lo:hi]
                 self.contrib[lo:hi] = w_entry * (
                     tf_slice / (tf_slice + cache[fids[lo:hi]])
@@ -115,11 +129,25 @@ class BlockMaxIndex:
 
 
 def get_blockmax(segment: Segment, stats: IndexStats, k1: float, b: float):
-    """Segment-cached BlockMaxIndex (default BM25 constants only)."""
+    """Segment-cached BlockMaxIndex.
+
+    The cache key includes the INDEX-WIDE stats fingerprint, not just
+    (k1, b): contributions bake in idf(doc_count) and the average
+    fieldnorm, both of which change when other segments are ingested,
+    deleted from, or merged — a stale cache would silently score this
+    segment with outdated statistics (same scheme as
+    Segment.block_major)."""
+    key = (
+        stats.doc_count,
+        tuple(sorted(stats.total_tokens.items())),
+        k1,
+        b,
+    )
     cached = getattr(segment, "_blockmax", None)
-    if cached is not None and cached.k1 == k1 and cached.b == b:
+    if cached is not None and getattr(cached, "cache_key", None) == key:
         return cached
     bm = BlockMaxIndex(segment, stats, k1, b)
+    bm.cache_key = key
     object.__setattr__(segment, "_blockmax", bm)
     return bm
 

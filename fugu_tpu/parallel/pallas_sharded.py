@@ -41,6 +41,7 @@ from fugu_tpu.ops.pallas_scorer import (
     BLOCK,
     HI_ROWS,
     MAX_K,
+    NB_BUCKETS,
     WINDOW,
     _INT_MAX,
     build_scorer_call,
@@ -234,6 +235,7 @@ def pallas_sharded_search_batch(
         # item = (i, t_pad, shard_args, must, mustnot, should, need_bits)
         by_t.setdefault((item[1], item[6]), []).append(item)
 
+    nb_max = NB_BUCKETS[-1]
     pending = []
     for (t_pad, need_bits), items in by_t.items():
         rows = []
@@ -251,9 +253,20 @@ def pallas_sharded_search_batch(
                 )
                 tables.append((st, ct, nonempty))
                 max_nb = max(max_nb, len(nonempty))
-            if max_nb > buckets.bucket(max_nb, (8, 64, 512)) or max_nb > 512:
-                continue  # beyond the SMEM table budget -> fallback
-            rows.append((i, shard_args, must, mustnot, should, tables, max_nb))
+            # shards with more nonempty blocks than the SMEM table budget
+            # split into block-SLICE rows (each row takes the next nb_max
+            # blocks of every shard); slices partition doc space, so the
+            # host concat + re-rank below reproduces the global order
+            n_slices = max(1, -(-max_nb // nb_max))
+            for r in range(n_slices):
+                sl = [
+                    (st, ct, nonempty[r * nb_max : (r + 1) * nb_max])
+                    for st, ct, nonempty in tables
+                ]
+                sl_max = max(len(t[2]) for t in sl)
+                rows.append(
+                    (i, shard_args, must, mustnot, should, sl, max(sl_max, 1))
+                )
         if not rows:
             continue
         nb_pad = nb_bucket(max(max(r[6] for r in rows), 1))
@@ -323,14 +336,18 @@ def pallas_sharded_search_batch(
             )
             pending.append((chunk, top_s, top_d))
 
+    partial: dict = {}
     for chunk, top_s, top_d in pending:
         top_s = np.asarray(top_s)[0]
         top_d = np.asarray(top_d)[0]
         for bi, (i, *_rest) in enumerate(chunk):
             keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
-            hits = sorted(
-                ((float(s), int(dd)) for s, dd in zip(top_s[bi][keep], top_d[bi][keep])),
-                key=lambda sd: (-sd[0], sd[1]),
+            partial.setdefault(i, []).extend(
+                (float(s), int(dd))
+                for s, dd in zip(top_s[bi][keep], top_d[bi][keep])
             )
-            results[i] = hits[:limit]
+    for i, hits in partial.items():
+        # block-slice rows partition doc space; concat + re-rank is exact
+        hits.sort(key=lambda sd: (-sd[0], sd[1]))
+        results[i] = hits[:limit]
     return results

@@ -203,3 +203,33 @@ def test_phrase_mixed_plan_falls_back(seg):
         )
     )
     assert search_blockmax(seg, plan, stats, 10) is None
+
+
+def test_blockmax_cache_tracks_index_stats():
+    """Regression: the per-segment BlockMaxIndex bakes in INDEX-WIDE
+    idf/fieldnorm stats; ingesting a second segment must invalidate it,
+    or the first segment keeps scoring with stale statistics."""
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(30)]
+
+    def build(n, seed_words):
+        b = SegmentBuilder(DOCS_SCHEMA)
+        for i in range(n):
+            text = " ".join(rng.choice(seed_words, size=8))
+            b.add_document({"text": [text]}, stored={"id": f"x{i}"})
+        return b.build()
+
+    seg1 = build(3000, words)
+    plan = QueryPlan(
+        groups=(QueryGroup(Occur.SHOULD, (TermClause("text", "w1"),)),)
+    )
+    stats1 = oracle.IndexStats([seg1])
+    search_blockmax(seg1, plan, stats1, 10)  # populates the cache
+    # second segment changes doc_count + avg fieldnorm -> different idf
+    seg2 = build(3000, words[:5])
+    stats2 = oracle.IndexStats([seg1, seg2])
+    got = search_blockmax(seg1, plan, stats2, 10)
+    exp = [(h.score, h.doc) for h in oracle.search([seg1], plan, 10, stats2)]
+    assert [(np.float32(s), d) for s, d in got] == [
+        (np.float32(s), d) for s, d in exp
+    ]

@@ -166,3 +166,29 @@ def test_engine_autoselect(monkeypatch):
     assert ni._engine_name(BigSeg()) == "xla"
     monkeypatch.setenv("FUGU_ENGINE", "pallas")
     assert ni._engine_name(FakeSeg()) == "pallas"
+
+
+def test_block_heavy_shards_split_into_slice_rows(seg, monkeypatch):
+    """Regression: a shard with more nonempty blocks than the SMEM table
+    budget (NB_BUCKETS[-1]) used to overflow the staged block_ids table
+    (seen live: 489 blocks into a 256-wide table on a 1-device mesh).
+    Shrinking the budget forces the block-slice row path; slices
+    partition doc space so parity must hold."""
+    from fugu_tpu.parallel import pallas_sharded as ps
+
+    monkeypatch.setattr(ps, "NB_BUCKETS", (1,))
+    mesh = make_mesh(1)  # one shard holds ALL (2) blocks -> 2 slice rows
+    pack = PallasShardedPack(seg, mesh)
+    stats = oracle.IndexStats([seg])
+    res = pallas_sharded_search_batch(pack, PLANS, stats, 10, interpret=True)
+    # the budget actually bites: the single shard spans >1 kernel block,
+    # so a 1-block slice limit forces multiple rows per plan
+    assert pack.n_blocks > 1
+    for plan, r in zip(PLANS, res):
+        if r is None:
+            continue
+        exp = [(h.score, h.doc) for h in oracle.search([seg], plan, 10, stats)]
+        assert len(r) == len(exp), (r[:4], exp[:4])
+        for (gs, gd), (ws, wd) in zip(r, exp):
+            assert gd == wd or abs(gs - ws) <= 1e-5 * max(abs(ws), 1.0)
+    assert any(r is not None for r in res)

@@ -308,3 +308,44 @@ def test_compact_dataset(ds):
     assert before["docs"] > 1
     assert len(ds.docs().segments) == 1
     assert len(ds.search("extra", [], 0, 10)) == 3
+
+
+def test_multi_segment_scores_use_index_wide_stats(tmp_path):
+    """Regression (blockmax staleness): search after a SECOND ingest
+    batch must score the first segment with index-wide idf/fieldnorm —
+    engine results must match a fresh oracle over both segments."""
+    import numpy as np
+
+    from fugu_tpu.ops import oracle as oracle_ops
+    from fugu_tpu.query import Occur, QueryGroup, QueryPlan, TermClause
+
+    mgr = DatasetManager.with_defaults(str(tmp_path), "multi")
+    ds = mgr.get_or_create_dataset("multi")
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(20)]
+
+    def batch(n, base, pool):
+        return [
+            ObjectRecord(
+                id=f"r{base + i}",
+                text=" ".join(rng.choice(pool, size=6)),
+            )
+            for i in range(n)
+        ]
+
+    ds.batch_upsert(batch(400, 0, words))
+    # a search BETWEEN batches populates per-segment caches
+    ds.search("w1", [], 0, 10)
+    ds.batch_upsert(batch(400, 400, words[:4]))  # skews df + avg len
+    idx = ds._docs
+    segs = idx.searcher_segments()
+    assert len(segs) >= 2, "fixture must produce two segments"
+    stats = oracle_ops.IndexStats(segs)
+    plan = QueryPlan(
+        groups=(QueryGroup(Occur.SHOULD, (TermClause("text", "w1"),)),)
+    )
+    hits = idx.search_topk(plan, 10)
+    exp = oracle_ops.search(segs, plan, 10, stats)
+    assert [(np.float32(h.score), h.segment_ord, h.doc) for h in hits] == [
+        (np.float32(h.score), h.segment_ord, h.doc) for h in exp
+    ]

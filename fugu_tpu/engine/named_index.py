@@ -143,6 +143,7 @@ class NamedIndex:
         self._stats: Optional[oracle_ops.IndexStats] = None
         self._mesh = None
         self._sharded_packs: Dict[str, Any] = {}
+        self._sharded_bm: Dict[str, Any] = {}
         #: device-failure backoff state: after a RuntimeError the device
         #: path is skipped until _device_retry_at, with exponential
         #: backoff — a transient hiccup degrades briefly, not forever
@@ -185,6 +186,7 @@ class NamedIndex:
         dropped when the segment set changes."""
         self._mesh = mesh
         self._sharded_packs = {}
+        self._sharded_bm = {}
 
     def _sharded_pack(self, segment: Segment):
         from fugu_tpu.parallel.pallas_sharded import PallasShardedPack
@@ -197,18 +199,41 @@ class NamedIndex:
             self._sharded_packs[segment.segment_id] = pack
         return pack
 
+    def _sharded_block_major(self, segment: Segment, stats):
+        from fugu_tpu.parallel.batch_sharded import ShardedBlockMajor
+
+        key = (stats.doc_count, tuple(sorted(stats.total_tokens.items())))
+        cached = self._sharded_bm.get(segment.segment_id)
+        if cached is None or cached[0] != key or cached[1].segment is not segment:
+            cached = (key, ShardedBlockMajor(segment, self._mesh, stats))
+            self._sharded_bm[segment.segment_id] = cached
+        return cached[1]
+
     def _sharded_search_batch(self, seg, plans_idx, plans, stats, limit):
-        """Batched mesh search: the flagship Pallas kernel under
-        shard_map for the whole query batch, per-plan XLA sharded
-        fallback for what it can't run (VERDICT r1 #2: the sharded path
-        must not abandon query batching)."""
+        """Batched mesh search: the two-phase engine under shard_map
+        (phase A streams per-shard block-major packs, phase B re-scores
+        pruned candidates through the sharded Pallas kernel), then the
+        plain sharded block scorer, then the per-plan XLA sharded
+        fallback (VERDICT r1 #2: the sharded path must not abandon query
+        batching)."""
+        from fugu_tpu.parallel.batch_sharded import batch_search_sharded
         from fugu_tpu.parallel.pallas_sharded import pallas_sharded_search_batch
         from fugu_tpu.parallel.sharded import sharded_search
 
         pack = self._sharded_pack(seg)
         sub_plans = [plans[i] for i in plans_idx]
         if _engine_name(seg) == "pallas":
-            batch_res = pallas_sharded_search_batch(pack, sub_plans, stats, limit)
+            pack2 = self._sharded_block_major(seg, stats)
+            batch_res = batch_search_sharded(
+                pack2, pack, sub_plans, stats, [limit] * len(sub_plans)
+            )
+            miss = [j for j, r in enumerate(batch_res) if r is None]
+            if miss:
+                fill = pallas_sharded_search_batch(
+                    pack, [sub_plans[j] for j in miss], stats, limit
+                )
+                for j, r in zip(miss, fill):
+                    batch_res[j] = r
         else:
             batch_res = [None] * len(sub_plans)
         for j, r in enumerate(batch_res):

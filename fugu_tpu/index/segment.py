@@ -542,88 +542,100 @@ BM_BLOCK_DOCS = 512
 BM_CHUNK = 2048
 
 
+def entry_term_contribs(segment: "Segment", stats):
+    """Per-entry (global term id, weight-free BM25 contribution) for the
+    block-major packs, plus the (field, term) -> tid map.
+
+    The contribution is tf/(tf + cache_field[fid]) — query-independent
+    at default k1/b — and tombstoned docs' contributions are zeroed so
+    block maxima never see dead docs."""
+    from fugu_tpu.query import fieldnorm_cache
+
+    e = segment.n_entries
+    docs = segment.e_doc[:e]
+    tfs = segment.e_tf[:e].astype(np.float32)
+    fids = segment.e_fid[:e].astype(np.int64)
+
+    tid_of: Dict[tuple, int] = {}
+    tid_entry = np.zeros(e, dtype=np.int32)
+    contrib = np.zeros(e, dtype=np.float32)
+    gtid = 0
+    for field, tmap in segment.terms.items():
+        if not tmap:
+            continue
+        starts = np.array([i.start for i in tmap.values()], dtype=np.int64)
+        dfs = np.array([i.doc_freq for i in tmap.values()], dtype=np.int64)
+        lo = int(starts.min())
+        hi = int((starts + dfs).max())
+        order = np.argsort(starts)
+        ids = np.arange(gtid, gtid + len(starts), dtype=np.int32)
+        tid_entry[lo:hi] = np.repeat(ids[order], dfs[order])
+        for j, (term, info) in enumerate(tmap.items()):
+            tid_of[(field, term)] = gtid + j
+        if field == FACET_FIELD_KEY:
+            contrib[lo:hi] = 1.0  # facet score is the constant idf
+        else:
+            cache = fieldnorm_cache(stats.avg_fieldnorm(field))
+            tf_s = tfs[lo:hi]
+            contrib[lo:hi] = tf_s / (tf_s + cache[fids[lo:hi]])
+        gtid += len(starts)
+
+    if segment.tombstones.any():
+        contrib[segment.tombstones[docs]] = 0.0
+    return tid_entry, contrib, tid_of, gtid
+
+
+def pack_block_major(docs, tids, contribs, doc_count):
+    """(bm_doc, bm_tid, bm_con, chunk_offs, n_blocks) host arrays: the
+    entries re-sorted by BM_BLOCK_DOCS-doc block, each block's run padded
+    to whole BM_CHUNK chunks (aligned double-buffered DMA streaming)."""
+    block = docs // BM_BLOCK_DOCS
+    order = np.argsort(block, kind="stable")
+    s_doc = docs[order]
+    s_tid = tids[order]
+    s_con = contribs[order]
+    s_blk = block[order]
+
+    n_blocks = max((doc_count + BM_BLOCK_DOCS - 1) // BM_BLOCK_DOCS, 1)
+    counts = np.bincount(s_blk, minlength=n_blocks)
+    pad_counts = ((counts + BM_CHUNK - 1) // BM_CHUNK) * BM_CHUNK
+    out_ends = np.cumsum(pad_counts)
+    total = int(out_ends[-1]) if len(out_ends) else BM_CHUNK
+    size = _pow2_bucket(max(total, BM_CHUNK))
+    bm_doc = np.full(size, -1, dtype=np.int32)
+    bm_tid = np.full(size, -1, dtype=np.int32)
+    bm_con = np.zeros(size, dtype=np.float32)
+    # scatter each block's run to its padded offset (vectorized)
+    src_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    dst_starts = np.concatenate(([0], out_ends[:-1]))
+    idx = np.arange(len(s_doc), dtype=np.int64)
+    shift = np.repeat(dst_starts - src_starts, counts)
+    bm_doc[idx + shift] = s_doc
+    bm_tid[idx + shift] = s_tid
+    bm_con[idx + shift] = s_con
+    chunk_offs = np.concatenate(([0], out_ends // BM_CHUNK)).astype(np.int32)
+    return bm_doc, bm_tid, bm_con, chunk_offs, n_blocks
+
+
 class BlockMajorPack:
     """The corpus re-sorted by (doc block, term) for the batched
     corpus-stream scorer (ops/batch_scorer).
 
     Every entry carries (doc, global term id, weight-free BM25
-    contribution tf/(tf + cache_field[fid]) — query-independent at
-    default k1/b).  Entries of one 512-doc block are contiguous and
-    padded to 1024-entry chunks so the kernel streams the whole pack
-    with aligned double-buffered DMAs.  Tombstoned docs' contributions
-    are zeroed at build time, so block maxima never see dead docs.
+    contribution — see :func:`entry_term_contribs`).  Entries of one
+    512-doc block are contiguous and padded to whole chunks so the
+    kernel streams the pack with aligned double-buffered DMAs.
     """
 
     def __init__(self, segment: "Segment", stats):
-        from fugu_tpu.query import fieldnorm_cache
-
         e = segment.n_entries
         docs = segment.e_doc[:e]
-        tfs = segment.e_tf[:e].astype(np.float32)
-        fids = segment.e_fid[:e].astype(np.int64)
-
-        # global term ids in pack order + (field, term) -> id map
-        self.tid_of: Dict[tuple, int] = {}
-        tid_entry = np.zeros(e, dtype=np.int32)
-        contrib = np.zeros(e, dtype=np.float32)
-        gtid = 0
-        for field, tmap in segment.terms.items():
-            if not tmap:
-                continue
-            starts = np.array([i.start for i in tmap.values()], dtype=np.int64)
-            dfs = np.array([i.doc_freq for i in tmap.values()], dtype=np.int64)
-            lo = int(starts.min())
-            hi = int((starts + dfs).max())
-            order = np.argsort(starts)
-            ids = np.arange(gtid, gtid + len(starts), dtype=np.int32)
-            tid_entry[lo:hi] = np.repeat(ids[order], dfs[order])
-            for j, (term, info) in enumerate(tmap.items()):
-                self.tid_of[(field, term)] = gtid + j
-            if field == FACET_FIELD_KEY:
-                contrib[lo:hi] = 1.0  # facet score is the constant idf
-            else:
-                cache = fieldnorm_cache(stats.avg_fieldnorm(field))
-                tf_s = tfs[lo:hi]
-                contrib[lo:hi] = tf_s / (tf_s + cache[fids[lo:hi]])
-            gtid += len(starts)
-        self.n_terms = gtid
-
-        # zero dead docs so phase-A maxima exclude them entirely
-        if segment.tombstones.any():
-            contrib[segment.tombstones[docs]] = 0.0
-
-        # stable sort by block keeps (term, doc) order within each block
-        block = docs // BM_BLOCK_DOCS
-        order = np.argsort(block, kind="stable")
-        s_doc = docs[order]
-        s_tid = tid_entry[order]
-        s_con = contrib[order]
-        s_blk = block[order]
-
-        self.n_blocks = max(
-            (segment.doc_count + BM_BLOCK_DOCS - 1) // BM_BLOCK_DOCS, 1
+        tid_entry, contrib, self.tid_of, self.n_terms = entry_term_contribs(
+            segment, stats
         )
-        counts = np.bincount(s_blk, minlength=self.n_blocks)
-        pad_counts = ((counts + BM_CHUNK - 1) // BM_CHUNK) * BM_CHUNK
-        out_ends = np.cumsum(pad_counts)
-        total = int(out_ends[-1]) if len(out_ends) else BM_CHUNK
-        size = _pow2_bucket(max(total, BM_CHUNK))
-        bm_doc = np.full(size, -1, dtype=np.int32)
-        bm_tid = np.full(size, -1, dtype=np.int32)
-        bm_con = np.zeros(size, dtype=np.float32)
-        # scatter each block's run to its padded offset (vectorized)
-        src_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        dst_starts = np.concatenate(([0], out_ends[:-1]))
-        idx = np.arange(len(s_doc), dtype=np.int64)
-        shift = np.repeat(dst_starts - src_starts, counts)
-        bm_doc[idx + shift] = s_doc
-        bm_tid[idx + shift] = s_tid
-        bm_con[idx + shift] = s_con
-
-        #: per-block chunk offsets (units of BM_CHUNK entries), [NB+1]
-        self.chunk_offs = np.concatenate(
-            ([0], out_ends // BM_CHUNK)
-        ).astype(np.int32)
+        bm_doc, bm_tid, bm_con, self.chunk_offs, self.n_blocks = (
+            pack_block_major(docs, tid_entry, contrib, segment.doc_count)
+        )
 
         import jax.numpy as jnp
 

@@ -226,9 +226,11 @@ def _phasea_kernel(
     del u_iota  # slot-index variant unused (kept for layout reference)
 
 
-def _build_phasea(
+def phasea_callable(
     nb_pad: int, u_pad: int, b_pad: int, wide: bool, interpret: bool
 ):
+    """The raw (unjitted) phase-A pallas call — jitted directly for the
+    single-chip engine, wrapped in shard_map by parallel/batch_sharded."""
     kernel = functools.partial(_phasea_kernel, u_pad=u_pad)
     w_lanes = 2 * b_pad if wide else b_pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -261,7 +263,7 @@ def _build_phasea(
             interpret=interpret,
         )(offs, doc, tid, con, w, tids, nm)[0]
 
-    return jax.jit(call)
+    return call
 
 
 _PHASEA_CACHE: dict = {}
@@ -270,8 +272,8 @@ _PHASEA_CACHE: dict = {}
 def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret):
     key = (nb_pad, u_pad, b_pad, wide, interpret)
     if key not in _PHASEA_CACHE:
-        _PHASEA_CACHE[key] = _build_phasea(
-            nb_pad, u_pad, b_pad, wide, interpret
+        _PHASEA_CACHE[key] = jax.jit(
+            phasea_callable(nb_pad, u_pad, b_pad, wide, interpret)
         )
     return _PHASEA_CACHE[key]
 
@@ -432,6 +434,112 @@ def batch_search_should(
     return batch_search(segment, plans, stats, [limit] * len(plans), interpret)
 
 
+def _plan_tids(plan: QueryPlan, tid_of: Dict[tuple, int]) -> set:
+    tids = set()
+    for g in plan.groups:
+        # MUST_NOT terms never score but DO join the union: they
+        # carry the -64 count penalty that masks excluded docs
+        for c in g.clauses:
+            field = FACET_FIELD_KEY if c.is_facet else c.field
+            t = tid_of.get((field, c.term))
+            if t is not None:
+                tids.add(t)
+    return tids
+
+
+def plan_batches(plans, elig, kinds, tid_of):
+    """Partition eligible plan indices into phase-A batches.
+
+    Greedy fill splits when the term union exceeds the largest U bucket
+    (each batch pays a full corpus stream); lane-fit then re-splits each
+    batch over the B_BUCKETS ladder minimizing padded lanes + the
+    per-stream penalty (phase-A flops scale with the lane count).
+    Returns (batches, batch_terms) with per-batch term->slot maps."""
+    batches: List[List[int]] = []
+    cur: List[int] = []
+    cur_terms: Dict[int, int] = {}
+    for i in elig:
+        tids = _plan_tids(plans[i], tid_of)
+        new = [t for t in tids if t not in cur_terms]
+        boundary = cur and (kinds[cur[0]] == "pure") != (kinds[i] == "pure")
+        if len(cur) >= B_PAD or boundary or (
+            cur and len(cur_terms) + len(new) > U_BUCKETS[-1]
+        ):
+            batches.append(cur)
+            cur, cur_terms = [], {}
+            new = list(tids)
+        for t in new:
+            cur_terms[t] = len(cur_terms)
+        cur.append(i)
+    if cur:
+        batches.append(cur)
+
+    split: List[List[int]] = []
+    for q_idx in batches:
+        for size in _lane_plan(len(q_idx)):
+            split.append(q_idx[:size])
+            q_idx = q_idx[size:]
+            if not q_idx:
+                break
+    batch_terms = []
+    for q_idx in split:
+        terms: Dict[int, int] = {}
+        for i in q_idx:
+            for t in _plan_tids(plans[i], tid_of):
+                if t not in terms:
+                    terms[t] = len(terms)
+        batch_terms.append(terms)
+    return split, batch_terms
+
+
+def stage_batch_weights(
+    plans, kinds, q_idx, terms, stats, tid_of, b_pad, wide, k1, shifts
+):
+    """(w2, nmust, tid_arr) operand staging for one phase-A batch; fills
+    ``shifts`` for "shift"-kind plans (constant MUST-facet scores added
+    back to the maxima after the stream)."""
+    u_pad = next(u for u in U_BUCKETS if len(terms) <= u)
+    w2 = np.zeros((u_pad, 2 * b_pad if wide else b_pad), dtype=np.float32)
+    nmust = np.zeros((8, b_pad), dtype=np.float32)
+    tid_arr = np.full((8, u_pad), -2, dtype=np.int32)
+    for t, slot in terms.items():
+        tid_arr[0, slot] = t
+    for qi, i in enumerate(q_idx):
+        for g in plans[i].groups:
+            # multi-clause MUST groups are uncountable (any-of match);
+            # leaving them out of the count loosens but never breaks
+            # the bound — such plans are classified "upper"
+            count_group = g.occur is Occur.MUST and len(g.clauses) == 1
+            if count_group:
+                nmust[0, qi] += 1.0
+            for c in g.clauses:
+                field = FACET_FIELD_KEY if c.is_facet else c.field
+                t = tid_of.get((field, c.term))
+                if t is None:
+                    continue
+                slot = terms[t]
+                if g.occur is Occur.MUST_NOT:
+                    w2[slot, b_pad + qi] += -64.0
+                    continue
+                if count_group:
+                    w2[slot, b_pad + qi] += 1.0
+                if c.is_facet:
+                    df = stats.facet_doc_freq(c.term)
+                    wv = float(idf(df, stats.doc_count)) * c.boost
+                    if count_group and kinds[i] == "shift":
+                        # constant facet score moves to the host-side
+                        # shift so scores>0 == "some SHOULD matched"
+                        shifts[i] = shifts.get(i, 0.0) + wv
+                    else:
+                        w2[slot, qi] += wv
+                else:
+                    df = stats.doc_freq(c.field, c.term)
+                    w2[slot, qi] += float(
+                        bm25_weight(df, stats.doc_count, c.boost, k1)
+                    )
+    return w2, nmust, tid_arr
+
+
 def batch_search(
     segment: Segment,
     plans: Sequence[QueryPlan],
@@ -468,60 +576,7 @@ def batch_search(
 
     pack = segment.block_major(stats)
     k1 = plans[elig[0]].k1
-
-    def plan_tids(plan: QueryPlan) -> set:
-        tids = set()
-        for g in plan.groups:
-            # MUST_NOT terms never score but DO join the union: they
-            # carry the -64 count penalty that masks excluded docs
-            for c in g.clauses:
-                field = FACET_FIELD_KEY if c.is_facet else c.field
-                t = pack.tid_of.get((field, c.term))
-                if t is not None:
-                    tids.add(t)
-        return tids
-
-    # stage W columns; greedy-split query sets whose union exceeds the
-    # largest bucket (each split pays another corpus stream)
-    batches: List[List[int]] = []
-    cur: List[int] = []
-    cur_terms: Dict[int, int] = {}
-    for i in elig:
-        tids = plan_tids(plans[i])
-        new = [t for t in tids if t not in cur_terms]
-        boundary = cur and (kinds[cur[0]] == "pure") != (kinds[i] == "pure")
-        if len(cur) >= B_PAD or boundary or (
-            cur and len(cur_terms) + len(new) > U_BUCKETS[-1]
-        ):
-            batches.append(cur)
-            cur, cur_terms = [], {}
-            new = list(tids)
-        for t in new:
-            cur_terms[t] = len(cur_terms)
-        cur.append(i)
-    if cur:
-        batches.append(cur)
-
-    # lane-fit: phase-A flops scale with the padded lane count, so split
-    # each batch into bucket-sized sub-batches minimizing total lanes
-    # (e.g. 136 queries -> 64+128 = 192 lanes, not one 256-lane stream;
-    # the extra corpus stream's DMA is negligible next to the matmuls)
-    split: List[List[int]] = []
-    for q_idx in batches:
-        for size in _lane_plan(len(q_idx)):
-            split.append(q_idx[:size])
-            q_idx = q_idx[size:]
-            if not q_idx:
-                break
-    batches = split
-    batch_terms = []
-    for q_idx in batches:
-        terms: Dict[int, int] = {}
-        for i in q_idx:
-            for t in plan_tids(plans[i]):
-                if t not in terms:
-                    terms[t] = len(terms)
-        batch_terms.append(terms)
+    batches, batch_terms = plan_batches(plans, elig, kinds, pack.tid_of)
 
     nb = pack.n_blocks
     nb_pad = _nb_pad(nb)
@@ -539,44 +594,10 @@ def batch_search(
         wide = any(kinds[i] != "pure" for i in q_idx)
         # lane-concat [weights | must-counts]: one kernel matmul serves
         # both the score sum and the constraint count (wide batches only)
-        w2 = np.zeros((u_pad, 2 * b_pad if wide else b_pad), dtype=np.float32)
-        nmust = np.zeros((8, b_pad), dtype=np.float32)
-        tid_arr = np.full((8, u_pad), -2, dtype=np.int32)
-        for t, slot in terms.items():
-            tid_arr[0, slot] = t
-        for qi, i in enumerate(q_idx):
-            for g in plans[i].groups:
-                # multi-clause MUST groups are uncountable (any-of match);
-                # leaving them out of the count loosens but never breaks
-                # the bound — such plans are classified "upper"
-                count_group = g.occur is Occur.MUST and len(g.clauses) == 1
-                if count_group:
-                    nmust[0, qi] += 1.0
-                for c in g.clauses:
-                    field = FACET_FIELD_KEY if c.is_facet else c.field
-                    t = pack.tid_of.get((field, c.term))
-                    if t is None:
-                        continue
-                    slot = terms[t]
-                    if g.occur is Occur.MUST_NOT:
-                        w2[slot, b_pad + qi] += -64.0
-                        continue
-                    if count_group:
-                        w2[slot, b_pad + qi] += 1.0
-                    if c.is_facet:
-                        df = stats.facet_doc_freq(c.term)
-                        wv = float(idf(df, stats.doc_count)) * c.boost
-                        if count_group and kinds[i] == "shift":
-                            # constant facet score moves to the host-side
-                            # shift so scores>0 == "some SHOULD matched"
-                            shifts[i] = shifts.get(i, 0.0) + wv
-                        else:
-                            w2[slot, qi] += wv
-                    else:
-                        df = stats.doc_freq(c.field, c.term)
-                        w2[slot, qi] += float(
-                            bm25_weight(df, stats.doc_count, c.boost, k1)
-                        )
+        w2, nmust, tid_arr = stage_batch_weights(
+            plans, kinds, q_idx, terms, stats, pack.tid_of, b_pad, wide,
+            k1, shifts,
+        )
         fn = _get_phasea(nb_pad, u_pad, b_pad, wide, interpret)
         amax = fn(
             jnp.asarray(offs),

@@ -48,6 +48,7 @@ from fugu_tpu.ops.pallas_scorer import (
     nb_bucket,
     plan_block_tables,
 )
+from fugu_tpu import jax_setup
 from fugu_tpu.ops.scoring import NEG_INF, ClauseArgs
 from fugu_tpu.parallel.sharded import Mesh, ShardedPack, shard_axes
 from fugu_tpu.query import Occur, QueryPlan
@@ -199,8 +200,14 @@ def pallas_sharded_search_batch(
     stats,
     limit: int,
     interpret: Optional[bool] = None,
+    block_lists: Optional[dict] = None,
 ) -> List[Optional[List[Tuple[float, int]]]]:
-    """Batched multi-chip search; one entry per plan, None = fallback."""
+    """Batched multi-chip search; one entry per plan, None = fallback.
+
+    ``block_lists`` (plan index -> per-shard list of allowed LOCAL block
+    ids) restricts each query to a caller-proven candidate set — the
+    sharded two-phase engine (parallel/batch_sharded) passes the blocks
+    whose phase-A maxima can still reach the kth score."""
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
     if limit > MAX_K:
         return results
@@ -251,6 +258,8 @@ def pallas_sharded_search_batch(
                     must,
                     pack._offs_caches[s],
                 )
+                if block_lists is not None and i in block_lists:
+                    nonempty = np.intersect1d(nonempty, block_lists[i][s])
                 tables.append((st, ct, nonempty))
                 max_nb = max(max_nb, len(nonempty))
             # shards with more nonempty blocks than the SMEM table budget
@@ -337,9 +346,13 @@ def pallas_sharded_search_batch(
             pending.append((chunk, top_s, top_d))
 
     partial: dict = {}
-    for chunk, top_s, top_d in pending:
-        top_s = np.asarray(top_s)[0]
-        top_d = np.asarray(top_d)[0]
+    # one overlapped transfer for all dispatches (each separate device
+    # array read pays a full relay round trip)
+    flat = jax_setup.fetch_np([a for _c, s, dd in pending for a in (s, dd)])
+    fetched = list(zip(flat[0::2], flat[1::2]))
+    for (chunk, _s, _d), (top_s, top_d) in zip(pending, fetched):
+        top_s = top_s[0]
+        top_d = top_d[0]
         for bi, (i, *_rest) in enumerate(chunk):
             keep = np.isfinite(top_s[bi]) & (top_d[bi] != _INT_MAX)
             partial.setdefault(i, []).extend(

@@ -1,0 +1,130 @@
+"""Sharded two-phase batch engine: oracle parity on the 8-virtual-device
+CPU mesh (phase A under shard_map in interpret mode, GSPMD-gathered
+device thresholding, pruned sharded phase B)."""
+
+import numpy as np
+import pytest
+
+from fugu_tpu.index.schema import DOCS_SCHEMA
+from fugu_tpu.index.segment import SegmentBuilder
+from fugu_tpu.ops import oracle
+from fugu_tpu.parallel.batch_sharded import (
+    ShardedBlockMajor,
+    batch_search_sharded,
+)
+from fugu_tpu.parallel.pallas_sharded import PallasShardedPack
+from fugu_tpu.parallel.sharded import make_mesh
+from fugu_tpu.query import Occur, QueryGroup, QueryPlan, TermClause
+
+
+@pytest.fixture(scope="module")
+def seg():
+    rng = np.random.default_rng(21)
+    words = [f"w{i}" for i in range(40)]
+    b = SegmentBuilder(DOCS_SCHEMA)
+    for i in range(6000):
+        text = " ".join(rng.choice(words, size=int(rng.integers(3, 20))))
+        b.add_document(
+            {"text": [text]},
+            facets=[f"/cat/{int(rng.integers(0, 5))}"],
+            stored={"id": f"d{i}"},
+        )
+    s = b.build()
+    s.tombstones[::67] = True
+    return s
+
+
+def make_plans(rng, n):
+    plans = []
+    for _ in range(n):
+        kind = rng.random()
+        t = rng.choice(40, size=int(rng.integers(1, 4)), replace=False)
+        if kind < 0.5:  # pure SHOULD
+            groups = [
+                QueryGroup(Occur.SHOULD, (TermClause("text", f"w{x}"),))
+                for x in t
+            ]
+            plans.append(QueryPlan(groups=tuple(groups)))
+        elif kind < 0.75:  # intersections ("exact")
+            groups = [
+                QueryGroup(Occur.MUST, (TermClause("text", f"w{x}"),))
+                for x in t
+            ]
+            plans.append(QueryPlan(groups=tuple(groups)))
+        else:  # facet-filtered ("exact"/"shift")
+            groups = [
+                QueryGroup(Occur.SHOULD, (TermClause("text", f"w{x}"),))
+                for x in t
+            ] + [
+                QueryGroup(
+                    Occur.MUST,
+                    (TermClause("", f"/cat/{int(rng.integers(0, 5))}", is_facet=True),),
+                )
+            ]
+            plans.append(
+                QueryPlan(
+                    groups=tuple(groups),
+                    require_should=bool(rng.random() < 0.5),
+                )
+            )
+    return plans
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_two_phase_parity(seg, n_dev):
+    mesh = make_mesh(n_dev)
+    stats = oracle.IndexStats([seg])
+    pack2 = ShardedBlockMajor(seg, mesh, stats)
+    spack = PallasShardedPack(seg, mesh)
+    rng = np.random.default_rng(5)
+    plans = make_plans(rng, 20)
+    limits = [int(rng.choice([5, 10])) for _ in plans]
+    res = batch_search_sharded(
+        pack2, spack, plans, stats, limits, interpret=True
+    )
+    n_handled = 0
+    for plan, lim, r in zip(plans, limits, res):
+        if r is None:
+            continue
+        n_handled += 1
+        exp = [(h.score, h.doc) for h in oracle.search([seg], plan, lim, stats)]
+        assert len(r) == len(exp), (r[:4], exp[:4])
+        for (gs, gd), (ws, wd) in zip(r, exp):
+            assert gd == wd or abs(gs - ws) <= 1e-5 * max(abs(ws), 1.0), (
+                r[:4],
+                exp[:4],
+            )
+    assert n_handled >= len(plans) // 2  # the engine takes most plans
+
+
+def test_sharded_two_phase_through_named_index(tmp_path):
+    """Engine-level: enable_sharding routes search_topk_batch through the
+    sharded two-phase engine with exact cross-checks vs the oracle."""
+    from fugu_tpu.engine.manager import DatasetManager
+    from fugu_tpu.records import ObjectRecord
+
+    rng = np.random.default_rng(6)
+    words = [f"w{i}" for i in range(30)]
+    mgr = DatasetManager.with_defaults(str(tmp_path), "sh")
+    ds = mgr.get_or_create_dataset("sh")
+    ds.batch_upsert(
+        [
+            ObjectRecord(
+                id=f"r{i}", text=" ".join(rng.choice(words, size=7))
+            )
+            for i in range(3000)
+        ]
+    )
+    idx = ds._docs
+    idx.enable_sharding(make_mesh(4))
+    stats = idx.stats()
+    segs = idx.searcher_segments()
+    plans = make_plans(rng, 6)
+    for plan in plans:
+        hits = idx.search_topk(plan, 10)
+        exp = oracle.search(segs, plan, 10, stats)
+        got = [(np.float32(h.score), h.doc) for h in hits]
+        want = [(np.float32(h.score), h.doc) for h in exp]
+        assert len(got) == len(want)
+        for (gs, gd), (ws, wd) in zip(got, want):
+            assert gd == wd or abs(gs - ws) <= 1e-5 * max(abs(ws), 1.0)

@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fugu_tpu import jax_setup
 from fugu_tpu.index.segment import Segment
 from fugu_tpu.ops import buckets
+from fugu_tpu.ops.rescore import rescore_hits
 from fugu_tpu.ops.scoring import NEG_INF, stage_clauses
 from fugu_tpu.query import Occur, QueryPlan
 
@@ -481,7 +482,7 @@ def pallas_search_begin(
     serializing at each batch's sync point."""
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
     if limit > MAX_K:
-        return (results, [], limit, 0.0)
+        return (results, [], limit, 0.0, segment, plans, stats)
     prof_t0 = time.perf_counter()
     prof_dispatches = 0
     # finer k ladder than the global one: the per-block merge unrolls k
@@ -511,7 +512,7 @@ def pallas_search_begin(
         staged.append((i, t_pad, args, must, mustnot, should, need_bits))
 
     if not staged:
-        return (results, [], limit, time.perf_counter() - prof_t0)
+        return (results, [], limit, time.perf_counter() - prof_t0, segment, plans, stats)
 
     by_t: dict = {}
     for item in staged:
@@ -561,7 +562,7 @@ def pallas_search_begin(
             )
     prof_dispatches = sum(1 for _ in pending)
     PROFILE["dispatches"] += prof_dispatches
-    return (results, pending, limit, time.perf_counter() - prof_t0)
+    return (results, pending, limit, time.perf_counter() - prof_t0, segment, plans, stats)
 
 
 def pallas_search_collect(handles):
@@ -570,11 +571,11 @@ def pallas_search_collect(handles):
     full relay round trip each on this host)."""
     dev_t0 = time.perf_counter()
     flat = jax_setup.fetch_np(
-        [p for _res, pending, _lim, _st in handles for _c, p in pending]
+        [p for h in handles for _c, p in h[1]]
     )
     it = iter(flat)
     out = []
-    for results, pending, limit, stage_s in handles:
+    for results, pending, limit, stage_s, segment, plans, stats in handles:
         partial: dict = {}
         for chunk, _p in pending:
             packed = next(it)
@@ -588,10 +589,10 @@ def pallas_search_collect(handles):
                     for s, d in zip(top_s[bi][keep], top_d[bi][keep])
                 )
         for i, hits in partial.items():
-            # slices partition doc space, so concatenating per-slice
-            # top-k lists and re-ranking reproduces the global order
-            hits.sort(key=lambda sd: (-sd[0], sd[1]))
-            results[i] = hits[:limit]
+            # slices partition doc space; scores are then replaced with
+            # oracle-exact host floats (TPU division is not IEEE-exact)
+            # and re-ranked, so ordering is bit-identical to the oracle
+            results[i] = rescore_hits(segment, plans[i], stats, hits)[:limit]
         PROFILE["stage_s"] += stage_s
         out.append(results)
     PROFILE["device_s"] += time.perf_counter() - dev_t0

@@ -46,6 +46,7 @@ from fugu_tpu.ops import buckets
 from fugu_tpu.query import (
     Occur,
     QueryPlan,
+    bm25_denom_consts,
     bm25_weight,
     idf,
 )
@@ -246,8 +247,11 @@ def stage_clauses(
                 weights.append(
                     float(bm25_weight(df, stats.doc_count, clause.boost, k1))
                 )
-                c1s.append(k1 * (1.0 - b))
-                c2s.append(k1 * b / avg if avg > 0 else 0.0)
+                # shared f32 constants: the kernel's c1 + c2*norm must
+                # reproduce the host fieldnorm_cache bit-for-bit
+                cc1, cc2 = bm25_denom_consts(avg, k1, b)
+                c1s.append(float(cc1))
+                c2s.append(float(cc2))
             starts.append(info.start if info else 0)
             lens.append(info.doc_freq if info else 0)
             gbits.append(bit)
@@ -413,10 +417,17 @@ def device_search_batch(
             docs = np.asarray(docs)
             for j, (i, *_rest) in enumerate(chunk):
                 keep = np.isfinite(scores[j])
-                results[i] = [
+                hits = [
                     (float(s), int(d))
                     for s, d in zip(scores[j][keep], docs[j][keep])
-                ][:limit]
+                ]
+                # device floats -> oracle-exact host floats before the
+                # final ranking (TPU division is not IEEE-exact)
+                from fugu_tpu.ops.rescore import rescore_hits
+
+                results[i] = rescore_hits(segment, plans[i], stats, hits)[
+                    :limit
+                ]
     return results
 
 

@@ -359,8 +359,13 @@ def pallas_sharded_search_batch(
                 (float(s), int(dd))
                 for s, dd in zip(top_s[bi][keep], top_d[bi][keep])
             )
+    from fugu_tpu.ops.rescore import rescore_hits
+
     for i, hits in partial.items():
-        # block-slice rows partition doc space; concat + re-rank is exact
-        hits.sort(key=lambda sd: (-sd[0], sd[1]))
-        results[i] = hits[:limit]
+        # block-slice rows partition doc space; device floats are then
+        # replaced with oracle-exact host floats before the final
+        # ranking (TPU division is not IEEE-exact); docs are global ids
+        results[i] = rescore_hits(pack.segment, plans[i], stats, hits)[
+            :limit
+        ]
     return results

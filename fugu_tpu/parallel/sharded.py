@@ -34,7 +34,7 @@ from jax import shard_map
 from fugu_tpu.index.segment import DOC_SENTINEL, FACET_FIELD_KEY, Segment
 from fugu_tpu.ops import buckets
 from fugu_tpu.ops.scoring import NEG_INF
-from fugu_tpu.query import Occur, QueryPlan, bm25_weight, idf
+from fugu_tpu.query import Occur, QueryPlan, bm25_denom_consts, bm25_weight, idf
 
 
 def make_mesh(n_devices: Optional[int] = None, n_slices: int = 1) -> Mesh:
@@ -180,8 +180,8 @@ class ShardedPack:
                     weights[ti] = float(
                         bm25_weight(df, stats.doc_count, clause.boost, k1)
                     )
-                    c1[ti] = k1 * (1.0 - b)
-                    c2[ti] = k1 * b / avg if avg > 0 else 0.0
+                    cc1, cc2 = bm25_denom_consts(avg, k1, b)
+                    c1[ti], c2[ti] = cc1, cc2
                     field, term = clause.field, clause.term
                 for s in range(d):
                     entry = self._term_tables[s].get(field, {}).get(term)
@@ -298,8 +298,9 @@ def sharded_search(
     scores = np.asarray(scores)[0]
     docs = np.asarray(docs)[0]
     keep = np.isfinite(scores) & (docs != DOC_SENTINEL)
-    out = sorted(
-        ((float(s), int(d)) for s, d in zip(scores[keep], docs[keep])),
-        key=lambda x: (-x[0], x[1]),
-    )
-    return out[:limit]
+    hits = [(float(s), int(d)) for s, d in zip(scores[keep], docs[keep])]
+    # device floats -> oracle-exact host floats before the final
+    # ranking (TPU division is not IEEE-exact); docs are global ids
+    from fugu_tpu.ops.rescore import rescore_hits
+
+    return rescore_hits(pack.segment, plan, stats, hits)[:limit]

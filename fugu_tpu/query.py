@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -148,6 +149,7 @@ class FieldStats:
     # doc_freq is looked up per term by the caller
 
 
+@functools.lru_cache(maxsize=65536)
 def idf(doc_freq: int, doc_count: int) -> np.float32:
     """Tantivy bm25.rs: ln(1 + (N - df + 0.5) / (df + 0.5)), all f32."""
     x = (np.float32(doc_count - doc_freq) + np.float32(0.5)) / (
@@ -156,6 +158,7 @@ def idf(doc_freq: int, doc_count: int) -> np.float32:
     return np.float32(np.log(np.float32(1.0) + x))
 
 
+@functools.lru_cache(maxsize=65536)
 def bm25_weight(
     doc_freq: int, doc_count: int, boost: float = 1.0, k1: float = None
 ) -> np.float32:
@@ -166,18 +169,39 @@ def bm25_weight(
     )
 
 
+def bm25_denom_consts(
+    avg_fieldnorm: float, k1: float = None, b: float = None
+):
+    """(c1, c2) f32 with c1 = k1*(1-b), c2 = k1*b/avg — the denominator
+    decomposition every engine shares: denom = tf + c1 + c2*decode(fid).
+
+    One definition, computed in f32 here, keeps the HOST cache and the
+    DEVICE kernels (which receive c1/c2 as staged operands and evaluate
+    c1 + c2*norm per entry) bit-for-bit identical."""
+    k1f = K1 if k1 is None else np.float32(k1)
+    bf = B if b is None else np.float32(b)
+    avg = np.float32(avg_fieldnorm) if avg_fieldnorm > 0 else np.float32(1.0)
+    c1 = np.float32(k1f * (np.float32(1.0) - bf))
+    c2 = np.float32(np.float32(k1f * bf) / avg)
+    return c1, c2
+
+
+@functools.lru_cache(maxsize=256)
 def fieldnorm_cache(
     avg_fieldnorm: float, k1: float = None, b: float = None
 ) -> np.ndarray:
-    """cache[fid] = k1 * (1 - b + b * decode(fid) / avg)  (f32[256]).
+    """cache[fid] = c1 + c2 * decode(fid)  (f32[256]).
 
-    Tantivy precomputes this 256-entry table per (field, searcher).
-    """
-    k1f = K1 if k1 is None else np.float32(k1)
-    bf = B if b is None else np.float32(b)
+    Tantivy precomputes the equivalent 256-entry table per (field,
+    searcher) as ``k1 * (1 - b + b*decode(fid)/avg)``; this build uses
+    the c1 + c2*norm association (see :func:`bm25_denom_consts`) so the
+    host oracle and the device kernels produce BIT-IDENTICAL scores —
+    mathematically equal to Tantivy's expression, possibly differing in
+    the last f32 ulp of rounding (the reference cannot be built in this
+    image to compare, and the deviation is documented)."""
+    c1, c2 = bm25_denom_consts(avg_fieldnorm, k1, b)
     decoded = ids_to_fieldnorms(np.arange(256)).astype(np.float32)
-    avg = np.float32(avg_fieldnorm) if avg_fieldnorm > 0 else np.float32(1.0)
-    return (k1f * (np.float32(1.0) - bf + bf * decoded / avg)).astype(np.float32)
+    return (c1 + c2 * decoded).astype(np.float32)
 
 
 def tf_component(tf: np.ndarray, cache_vals: np.ndarray) -> np.ndarray:

@@ -88,12 +88,11 @@ def test_sharded_two_phase_parity(seg, n_dev):
             continue
         n_handled += 1
         exp = [(h.score, h.doc) for h in oracle.search([seg], plan, lim, stats)]
-        assert len(r) == len(exp), (r[:4], exp[:4])
-        for (gs, gd), (ws, wd) in zip(r, exp):
-            assert gd == wd or abs(gs - ws) <= 1e-5 * max(abs(ws), 1.0), (
-                r[:4],
-                exp[:4],
-            )
+        # engines host-rescore with the oracle's float sequence: on CPU
+        # results are bit-identical, not merely tie-tolerant
+        assert [(np.float32(s), d) for s, d in r] == [
+            (np.float32(s), d) for s, d in exp
+        ], (r[:4], exp[:4])
     assert n_handled >= len(plans) // 2  # the engine takes most plans
 
 
@@ -125,6 +124,4 @@ def test_sharded_two_phase_through_named_index(tmp_path):
         exp = oracle.search(segs, plan, 10, stats)
         got = [(np.float32(h.score), h.doc) for h in hits]
         want = [(np.float32(h.score), h.doc) for h in exp]
-        assert len(got) == len(want)
-        for (gs, gd), (ws, wd) in zip(got, want):
-            assert gd == wd or abs(gs - ws) <= 1e-5 * max(abs(ws), 1.0)
+        assert got == want

@@ -150,3 +150,50 @@ def test_concurrent_upserts_same_ids(ds):
     hits = ds.search("payload", [], 0, 200)
     ids = [h.id for h in hits]
     assert len(ids) == len(set(ids)) == 40
+
+
+def test_search_during_ingest_sharded(tmp_path):
+    """Mesh mode: readers race ingest while the sharded two-phase engine's
+    per-segment pack caches (ShardedBlockMajor / PallasShardedPack) get
+    invalidated by every commit — searches must stay consistent."""
+    from fugu_tpu.parallel.sharded import make_mesh
+
+    cfg = ServerConfig.with_defaults(str(tmp_path), "default")
+    mgr = DatasetManager(cfg, use_device=True)
+    ds = mgr.get_dataset("default")
+    ds.upsert([rec(i, f"seed body w{i % 6}") for i in range(200)])
+    ds.docs().enable_sharding(make_mesh(4))
+
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                hits = ds.search("body w1", [], 0, 10)
+                for h in hits:
+                    assert h.score > 0
+        except Exception as e:
+            errors.append(e)
+
+    def writer():
+        try:
+            for b in range(6):
+                ds.upsert(
+                    [rec(200 + b * 20 + j, f"fresh body w{j % 6}") for j in range(20)]
+                )
+        except Exception as e:
+            errors.append(e)
+
+    rt = [threading.Thread(target=reader) for _ in range(2)]
+    wt = threading.Thread(target=writer)
+    for t in rt:
+        t.start()
+    wt.start()
+    wt.join(120)
+    stop.set()
+    for t in rt:
+        t.join(60)
+    assert not errors, errors
+    hits = ds.search("fresh", [], 0, 200)
+    assert len(hits) == 120

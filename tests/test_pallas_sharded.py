@@ -66,18 +66,13 @@ PLANS = [
 
 
 def _assert_parity(got, plan, seg, limit=10):
+    """Bit-exact: the sharded scorer host-rescores its top-k with the
+    oracle's float sequence, so CPU-backend results must be identical."""
     stats = oracle.IndexStats([seg])
     exp = oracle.search([seg], plan, limit, stats)
-    got_docs = [d for _, d in (got or [])]
-    exp_docs = [h.doc for h in exp]
-    if got_docs == exp_docs:
-        return
-    gs = np.array([s for s, _ in (got or [])])
-    ws = np.array([h.score for h in exp])
-    assert len(gs) == len(ws) and np.allclose(gs, ws, rtol=1e-5), (
-        got,
-        [(h.score, h.doc) for h in exp],
-    )
+    assert [(np.float32(s), d) for s, d in (got or [])] == [
+        (np.float32(h.score), h.doc) for h in exp
+    ], (got, [(h.score, h.doc) for h in exp])
 
 
 @pytest.mark.parametrize("n_slices", [1, 2])
@@ -187,8 +182,5 @@ def test_block_heavy_shards_split_into_slice_rows(seg, monkeypatch):
     for plan, r in zip(PLANS, res):
         if r is None:
             continue
-        exp = [(h.score, h.doc) for h in oracle.search([seg], plan, 10, stats)]
-        assert len(r) == len(exp), (r[:4], exp[:4])
-        for (gs, gd), (ws, wd) in zip(r, exp):
-            assert gd == wd or abs(gs - ws) <= 1e-5 * max(abs(ws), 1.0)
+        _assert_parity(r, plan, seg)
     assert any(r is not None for r in res)

@@ -239,9 +239,19 @@ def search_blockmax(
 
     order = np.argsort(-ub)
     tomb = segment.tombstones
-    top_scores = np.full(limit, -np.inf, dtype=np.float32)
-    top_docs = np.full(limit, 2**31 - 1, dtype=np.int64)
+    # the traversal accumulates clause contributions in FLAT clause
+    # order, while the exact (oracle/Tantivy) score nests per-group
+    # sums — identical math, ulp-different rounding for docs matching
+    # >=3 clauses across >=2 groups.  So: select with an ulp-margin
+    # threshold into a padded running set, then rescore the survivors
+    # with the oracle-exact float sequence (ops/rescore) and truncate.
+    pad = limit + 8
+    top_scores = np.full(pad, -np.inf, dtype=np.float32)
+    top_docs = np.full(pad, 2**31 - 1, dtype=np.int64)
     kth = -np.inf
+
+    def relaxed(k):
+        return k - abs(k) * np.float32(1e-6) - np.float32(1e-12)
 
     scores = np.zeros(BM_BLOCK, dtype=np.float32)
     bits = np.zeros(BM_BLOCK, dtype=np.int64)
@@ -249,7 +259,7 @@ def search_blockmax(
         bound = ub[blk]
         # strict <: a block whose bound equals kth can still contain an
         # equal-score doc with a lower id, which the tiebreak must keep
-        if not np.isfinite(bound) or bound < kth:
+        if not np.isfinite(bound) or bound < relaxed(kth):
             break
         base = blk * BM_BLOCK
         scores[:] = 0.0
@@ -275,22 +285,31 @@ def search_blockmax(
         n_here = min(BM_BLOCK, segment.doc_count - base)
         ok[n_here:] = False
         ok[:n_here] &= ~tomb[base : base + n_here]
-        cand = np.nonzero(ok & (scores >= kth))[0]
+        cand = np.nonzero(ok & (scores >= relaxed(kth)))[0]
         if len(cand) == 0:
             continue
         cs = scores[cand]
-        if len(cand) > limit:
+        if len(cand) > pad:
             # keep kth ties so the lexsort's doc-asc tiebreak stays exact
-            part = np.argpartition(-cs, limit - 1)
-            kth_v = cs[part[limit - 1]]
-            keep2 = cs >= kth_v
+            part = np.argpartition(-cs, pad - 1)
+            kth_v = cs[part[pad - 1]]
+            keep2 = cs >= relaxed(kth_v)
             cand, cs = cand[keep2], cs[keep2]
-        # merge into the running top-k (score desc, doc asc)
+        # merge into the padded running top set (score desc, doc asc)
         all_s = np.concatenate([top_scores, cs])
         all_d = np.concatenate([top_docs, cand + base])
-        sel = np.lexsort((all_d, -all_s))[:limit]
+        sel = np.lexsort((all_d, -all_s))[:pad]
         top_scores, top_docs = all_s[sel], all_d[sel]
-        kth = top_scores[-1] if len(top_scores) == limit else -np.inf
+        # the pruning threshold is the LIMIT-th best (not pad-th): the
+        # pad slots only hold ulp-margin boundary candidates
+        kth = (
+            top_scores[limit - 1]
+            if np.isfinite(top_scores[limit - 1])
+            else -np.inf
+        )
+
+    from fugu_tpu.ops.rescore import rescore_hits
 
     keep = np.isfinite(top_scores)
-    return [(float(s), int(d)) for s, d in zip(top_scores[keep], top_docs[keep])]
+    hits = [(float(s), int(d)) for s, d in zip(top_scores[keep], top_docs[keep])]
+    return rescore_hits(segment, plan, stats, hits)[:limit]

@@ -60,7 +60,9 @@ def exact_scores(
             if clause.is_facet:
                 fdocs = segment.facet_docs(clause.term)
                 df = stats.facet_doc_freq(clause.term)
-                if len(fdocs) == 0 and df == 0:
+                # df can be >0 via OTHER segments while this one carries
+                # no postings for the term — nothing to add here then
+                if len(fdocs) == 0 or df == 0:
                     continue
                 w = np.float32(idf(df, stats.doc_count)) * np.float32(
                     clause.boost
@@ -73,7 +75,7 @@ def exact_scores(
             else:
                 cdocs, tfs, fids = segment.postings(clause.field, clause.term)
                 df = stats.doc_freq(clause.field, clause.term)
-                if df == 0:
+                if df == 0 or len(cdocs) == 0:
                     continue
                 w = bm25_weight(df, stats.doc_count, clause.boost, plan.k1)
                 pos = np.searchsorted(cdocs, docs32)

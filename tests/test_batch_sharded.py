@@ -70,9 +70,13 @@ def make_plans(rng, n):
     return plans
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
-def test_sharded_two_phase_parity(seg, n_dev):
-    mesh = make_mesh(n_dev)
+@pytest.mark.parametrize(
+    "n_dev,n_slices", [(2, 1), (4, 1), (4, 2)]
+)
+def test_sharded_two_phase_parity(seg, n_dev, n_slices):
+    # (4, 2) = the 2-D ("dcn", "d") multi-slice mesh: phase A shards over
+    # the flattened grid and the maxima gather crosses both axes
+    mesh = make_mesh(n_dev, n_slices=n_slices)
     stats = oracle.IndexStats([seg])
     pack2 = ShardedBlockMajor(seg, mesh, stats)
     spack = PallasShardedPack(seg, mesh)

@@ -202,7 +202,7 @@ class NamedIndex:
     def _sharded_block_major(self, segment: Segment, stats):
         from fugu_tpu.parallel.batch_sharded import ShardedBlockMajor
 
-        key = (stats.doc_count, tuple(sorted(stats.total_tokens.items())))
+        key = stats.fingerprint
         cached = self._sharded_bm.get(segment.segment_id)
         if cached is None or cached[0] != key or cached[1].segment is not segment:
             cached = (key, ShardedBlockMajor(segment, self._mesh, stats))

@@ -489,8 +489,9 @@ class Segment:
 
     def block_major(self, stats) -> "BlockMajorPack":
         """Cached BlockMajorPack (rebuilt after deletes; keyed on the
-        index-wide stats fingerprint since fieldnorm caches are global)."""
-        key = (stats.doc_count, tuple(sorted(stats.total_tokens.items())))
+        index-wide df-sensitive stats fingerprint since per-term idf and
+        fieldnorm caches are global — see IndexStats.fingerprint)."""
+        key = stats.fingerprint
         cached = getattr(self, "_block_major", None)
         if cached is not None and cached[0] == key:
             return cached[1]

@@ -131,18 +131,15 @@ class BlockMaxIndex:
 def get_blockmax(segment: Segment, stats: IndexStats, k1: float, b: float):
     """Segment-cached BlockMaxIndex.
 
-    The cache key includes the INDEX-WIDE stats fingerprint, not just
-    (k1, b): contributions bake in idf(doc_count) and the average
-    fieldnorm, both of which change when other segments are ingested,
+    The cache key is the INDEX-WIDE stats fingerprint, not just (k1, b):
+    contributions bake in per-term idf(df, doc_count) and the average
+    fieldnorm, all of which change when other segments are ingested,
     deleted from, or merged — a stale cache would silently score this
     segment with outdated statistics (same scheme as
-    Segment.block_major)."""
-    key = (
-        stats.doc_count,
-        tuple(sorted(stats.total_tokens.items())),
-        k1,
-        b,
-    )
+    Segment.block_major).  The fingerprint is df-sensitive (segment
+    identities + tombstone counts), so churn that preserves doc_count
+    and total_tokens while moving a term's df still invalidates."""
+    key = (stats.fingerprint, k1, b)
     cached = getattr(segment, "_blockmax", None)
     if cached is not None and getattr(cached, "cache_key", None) == key:
         return cached

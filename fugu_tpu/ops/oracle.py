@@ -54,6 +54,18 @@ class IndexStats:
         for s in segments:
             for field, n in s.total_tokens.items():
                 self.total_tokens[field] = self.total_tokens.get(field, 0) + n
+        #: df-sensitive cache fingerprint: per-term index-wide doc
+        #: frequencies are baked into every derived score/bound structure
+        #: (BlockMaxIndex contribs, BlockMajorPack), and (doc_count,
+        #: total_tokens) alone can collide across churn that changes a
+        #: term's df (e.g. offsetting upserts with identical token
+        #: counts).  Segment ids are fresh per freeze/merge and tombstone
+        #: counts only grow, so this tuple changes on ANY ingest, delete,
+        #: or merge that could move a df.
+        self.fingerprint = tuple(
+            (s.segment_id or f"@{id(s)}", s.doc_count, int(s.tombstones.sum()))
+            for s in self.segments
+        )
 
     def doc_freq(self, field: str, term: str) -> int:
         return sum(s.doc_freq(field, term) for s in self.segments)

@@ -486,8 +486,13 @@ def pallas_search_begin(
     prof_t0 = time.perf_counter()
     prof_dispatches = 0
     # finer k ladder than the global one: the per-block merge unrolls k
-    # extraction iterations, so k should track the requested limit
-    k = next(v for v in (16, 32, 64, MAX_K) if limit <= v)
+    # extraction iterations, so k should track the requested limit.
+    # When limit lands EXACTLY on a bucket, extract at the next step so
+    # the host rescore always sees slack candidates past the boundary —
+    # a last-ulp TPU-vs-IEEE rounding flip at the k-th/(k+1)-th boundary
+    # could otherwise exclude the true k-th doc before rescore runs.  At
+    # limit == MAX_K there is no headroom (documented zero-slack case).
+    k = next((v for v in (16, 32, 64) if limit < v), MAX_K)
 
     n_blocks = max((segment.doc_count + BLOCK - 1) // BLOCK, 1)
     staged = []

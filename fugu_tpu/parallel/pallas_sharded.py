@@ -215,7 +215,9 @@ def pallas_sharded_search_batch(
         # Pallas TPU kernels require interpret mode on the CPU backend
         # (tests / multi-chip dryrun on the virtual device mesh)
         interpret = pack.mesh.devices.flat[0].platform == "cpu"
-    k = next(v for v in (16, 32, 64, MAX_K) if limit <= v)
+    # strict <: at limit == bucket extract one ladder step above so host
+    # rescoring sees slack candidates (see ops/pallas_scorer.py)
+    k = next((v for v in (16, 32, 64) if limit < v), MAX_K)
     d = pack.n_shards
 
     staged = []

@@ -420,6 +420,19 @@ class Dataset:
     def schema_info(self) -> Dict[str, Dict[str, str]]:
         return {idx.name: idx.schema_info() for idx in self.all_indexes()}
 
+    # -- lifecycle -------------------------------------------------------------
+
+    def wait_compaction(self, timeout=None) -> bool:
+        """Barrier for background compaction across all three indexes."""
+        ok = True
+        for idx in self.all_indexes():
+            ok = idx.wait_compaction(timeout) and ok
+        return ok
+
+    def close(self) -> None:
+        for idx in self.all_indexes():
+            idx.close()
+
     # -- compaction ------------------------------------------------------------
 
     def compact(self) -> Dict[str, int]:

@@ -150,12 +150,20 @@ class DatasetManager:
             ds = self.datasets.pop(namespace, None)
             if ds is None:
                 return False
+            # stop background compaction before the files go away
+            ds.close()
             if remove_files:
                 validate_namespace_name(namespace)
                 ns_dir = _contained_ns_dir(ds.base_path, namespace)
                 if ns_dir.exists():
                     shutil.rmtree(ns_dir)
             return True
+
+    def close(self) -> None:
+        """Shut down background workers for every dataset (graceful
+        server shutdown; joins in-flight merges)."""
+        for ds in list(self.datasets.values()):
+            ds.close()
 
     # -- introspection --------------------------------------------------------
 

@@ -22,8 +22,9 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from fugu_tpu.engine import documents as docbuild
+from fugu_tpu.index.compactor import BackgroundCompactor, LogMergePolicy
 from fugu_tpu.index.manifest import Manifest, load_segment, save_segment, save_tombstones
-from fugu_tpu.index.merge import merge_segments
+from fugu_tpu.index.merge import MergePlan, merge_segments
 from fugu_tpu.index.schema import REQUIRED_FIELDS, IndexSchema, IndexType, SCHEMAS
 from fugu_tpu.index.segment import Segment, SegmentBuilder
 from fugu_tpu.ops import oracle as oracle_ops
@@ -35,7 +36,9 @@ from fugu_tpu.records import ObjectRecord
 #: (device dispatch overhead dominates tiny queries)
 DEVICE_MIN_ENTRIES = 4096
 
-#: merge when the segment count exceeds this (Tantivy LogMergePolicy analog)
+#: force-merge keeps this name for backward compatibility; the live
+#: policy is LogMergePolicy (index/compactor.py) — 8 is its
+#: min_num_segments default (Tantivy LogMergePolicy)
 MAX_SEGMENTS = 8
 
 #: above this many docs the XLA merge network's bucket-padded posting
@@ -117,6 +120,7 @@ class NamedIndex:
         index_type: IndexType,
         writer_memory_budget: int = 50_000_000,
         use_device: bool = True,
+        compaction: Optional[str] = None,
     ):
         self.name = name
         self.path = Path(path)
@@ -125,6 +129,23 @@ class NamedIndex:
         self.writer_memory_budget = writer_memory_budget
         self.use_device = use_device
         self._lock = threading.RLock()
+        if compaction is None:
+            import os
+
+            compaction = os.environ.get("FUGU_COMPACTION", "background")
+        if compaction not in ("background", "sync", "off"):
+            raise ValueError(f"unknown compaction mode: {compaction!r}")
+        self.compaction_mode = compaction
+        self.merge_policy = LogMergePolicy()
+        self._compactor = BackgroundCompactor(self.run_compaction_pass)
+        #: write-amplification accounting: docs_written counts docs
+        #: rewritten by merges; write_amp = (ingested+written)/ingested
+        self.compaction_stats: Dict[str, int] = {
+            "merges": 0,
+            "docs_written": 0,
+            "entries_written": 0,
+            "docs_ingested": 0,
+        }
         self.path.mkdir(parents=True, exist_ok=True)
         self.manifest = Manifest(self.path)
         self.segments: List[Segment] = []
@@ -461,6 +482,7 @@ class NamedIndex:
             seg.tombstones[sorted(kill_local)] = True
         save_segment(seg, self.path)
         self.segments.append(seg)
+        self.compaction_stats["docs_ingested"] += seg.doc_count
 
     def _commit(
         self, builder: SegmentBuilder, kill_local: set, touched_committed: bool
@@ -472,22 +494,150 @@ class NamedIndex:
                 save_tombstones(seg, self.path)
         self._manifest_commit()
         self._invalidate()
-        self.maybe_merge()
+        # compaction runs OFF the writer's critical path: the commit only
+        # publishes; the worker merges and swaps the manifest atomically
+        if self.compaction_mode == "background":
+            self._compactor.notify()
+        elif self.compaction_mode == "sync":
+            while self.run_compaction_pass():
+                pass
+
+    def wait_compaction(self, timeout: Optional[float] = None) -> bool:
+        """Barrier: block until background compaction is fully drained
+        (tests / shutdown / deterministic benchmarks)."""
+        return self._compactor.wait_idle(timeout)
+
+    def close(self) -> None:
+        """Stop the background compactor (joins an in-flight merge)."""
+        self._compactor.close()
 
     def maybe_merge(self, force: bool = False) -> bool:
-        """Compact when the segment count exceeds the policy threshold."""
+        """Explicit compaction entry point.
+
+        ``force=True`` merges ALL live segments into one (the /compact
+        endpoint semantics); otherwise runs one tiered policy pass."""
+        if not force:
+            return self.run_compaction_pass()
         with self._lock:
-            if not force and len(self.segments) <= MAX_SEGMENTS:
-                return False
             if not self.segments:
                 return False
-            merged = merge_segments(self.segments, self.schema)
-            save_segment(merged, self.path)
-            self.segments = [merged]
+            srcs = list(self.segments)
+            snaps = [s.tombstones.copy() for s in srcs]
+        merged, plan = merge_segments(
+            srcs, self.schema, tombstones=snaps, return_plan=True
+        )
+        return self._swap_merged(srcs, merged, plan)
+
+    def run_compaction_pass(self) -> bool:
+        """One tiered-policy pass: select, merge off-lock, swap.
+
+        Returns True when state changed (callers loop until False)."""
+        with self._lock:
+            candidates = self.merge_policy.select(self.segments)
+            if not candidates:
+                return False
+            srcs = [self.segments[i] for i in candidates[0]]
+            snaps = [s.tombstones.copy() for s in srcs]
+        from fugu_tpu import telemetry
+
+        with telemetry.compactor_span(self.name):
+            merged, plan = merge_segments(
+                srcs, self.schema, tombstones=snaps, return_plan=True
+            )
+            entries = self._maybe_device_merge(srcs, plan, merged)
+            return self._swap_merged(srcs, merged, plan, entries)
+
+    def _maybe_device_merge(self, srcs, plan, merged):
+        """Rebuild the merged device pack in HBM (ops/device_merge) when
+        the sources are already resident — the merged segment then serves
+        its first query without re-uploading the pack from host.
+
+        FUGU_DEVICE_MERGE: auto (default; only when every source pack is
+        resident, so compaction never forces uploads), on, off."""
+        import os
+
+        mode = os.environ.get("FUGU_DEVICE_MERGE", "auto")
+        if mode == "off" or not self.use_device:
+            return None
+        if mode != "on" and any(s._device_pack is None for s in srcs):
+            return None
+        try:
+            from fugu_tpu.ops.device_merge import device_merge_entries
+
+            return device_merge_entries(srcs, plan, merged)
+        except Exception as e:  # device unavailable: host upload path
+            import logging
+
+            logging.getLogger("fugu_tpu").warning(
+                "device merge unavailable (%s); merged pack will upload "
+                "from host on first query",
+                e,
+            )
+            return None
+
+    def _swap_merged(
+        self,
+        srcs: List[Segment],
+        merged: Segment,
+        plan: MergePlan,
+        device_entries=None,
+    ) -> bool:
+        """Atomically replace ``srcs`` with ``merged`` in the live list.
+
+        The segment pack is persisted outside the lock (the heavy I/O);
+        under the lock the swap (a) verifies every source is still live
+        — a concurrent force-merge or spill may have consumed them, in
+        which case this merge is discarded — and (b) forwards deletes
+        that landed after the merge's tombstone snapshot through the
+        doc remap, so a racing ``delete_document`` is never lost."""
+        save_segment(merged, self.path)
+        with self._lock:
+            positions = []
+            for s in srcs:
+                pos = next(
+                    (j for j, t in enumerate(self.segments) if t is s), None
+                )
+                if pos is None:
+                    # source vanished (force-merge/spill raced us): the
+                    # merged result is stale — drop its files and report
+                    # "changed" so the worker re-selects from fresh state
+                    self.manifest.gc(
+                        [t.segment_id for t in self.segments]
+                        + list(self.cold_segments)
+                    )
+                    return True
+                positions.append(pos)
+            changed_tombs = False
+            for s, snap, remap in zip(srcs, plan.tomb_snapshots, plan.remaps):
+                newly = s.tombstones & ~snap
+                if newly.any():
+                    merged.tombstones[remap[np.nonzero(newly)[0]]] = True
+                    changed_tombs = True
+            if changed_tombs:
+                save_tombstones(merged, self.path)
+            if device_entries is not None:
+                # attach AFTER delete reconciliation so the pack's
+                # tombstone words include any forwarded deletes
+                from fugu_tpu.ops.device_merge import attach_device_pack
+
+                attach_device_pack(merged, device_entries)
+            pos0 = min(positions)
+            drop = set(positions)
+            self.segments = [
+                (merged if j == pos0 else t)
+                for j, t in enumerate(self.segments)
+                if j == pos0 or j not in drop
+            ]
             self._manifest_commit()
-            self.manifest.gc([merged.segment_id] + list(self.cold_segments))
+            self.manifest.gc(
+                [t.segment_id for t in self.segments]
+                + list(self.cold_segments)
+            )
             self._invalidate()
-            return True
+            self.compaction_stats["merges"] += 1
+            self.compaction_stats["docs_written"] += merged.doc_count
+            self.compaction_stats["entries_written"] += merged.n_entries
+        return True
 
     # -- spill / restore (cold-namespace tier, storage.spill) ----------------
 

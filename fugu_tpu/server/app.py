@@ -895,5 +895,8 @@ def start_http_server(
         await stop.wait()
         logger.info("shutting down (graceful)")
         await runner.cleanup()
+        # join in-flight background merges so no half-written segment
+        # files are left behind (manifest swaps are atomic regardless)
+        db.close()
 
     asyncio.run(_run())

@@ -386,6 +386,12 @@ def main() -> None:
         ws = np.array([s for s, _ in want], dtype=np.float64)
         if len(gs) == len(ws) and np.allclose(gs, ws, rtol=1e-5):
             tie_ok += 1
+            diffs = [
+                (i, g, w)
+                for i, (g, w) in enumerate(zip(got, want))
+                if g != w
+            ]
+            log(f"  TIE-ONLY [{cls}] {len(diffs)} slots differ: {diffs[:4]}")
         else:
             log(f"  PARITY FAIL [{cls}] got={got[:3]} want={want[:3]}")
     log(

@@ -114,6 +114,30 @@ def search_namespace(server: str, name: str, query: str) -> None:
         )
 
 
+def spill_namespace(server: str, name: str, prefix: Optional[str]) -> None:
+    with telemetry.cli_span("spill_namespace"):
+        body = {"prefix": prefix} if prefix else {}
+        _print(
+            _request(
+                "POST",
+                f"{server}/namespaces/{urllib.parse.quote(name)}/spill",
+                body,
+            )
+        )
+
+
+def restore_namespace(server: str, name: str, prefix: Optional[str]) -> None:
+    with telemetry.cli_span("restore_namespace"):
+        body = {"prefix": prefix} if prefix else {}
+        _print(
+            _request(
+                "POST",
+                f"{server}/namespaces/{urllib.parse.quote(name)}/restore",
+                body,
+            )
+        )
+
+
 def add_file(server: str, namespace: str, path: str) -> None:
     with telemetry.cli_span("add_file"):
         p = Path(path)
@@ -176,6 +200,16 @@ def build_parser() -> argparse.ArgumentParser:
     p = ns_sub.add_parser("add-file", help="index a file into a namespace")
     p.add_argument("name")
     p.add_argument("file")
+    p = ns_sub.add_parser(
+        "spill", help="offload a namespace's segments to the cold tier"
+    )
+    p.add_argument("name")
+    p.add_argument("--prefix", help="remote prefix (defaults to server config)")
+    p = ns_sub.add_parser(
+        "restore", help="restore a namespace's cold segments"
+    )
+    p.add_argument("name")
+    p.add_argument("--prefix", help="remote prefix (markers used if omitted)")
 
     p = sub.add_parser("dummy-item", help="create a demo item")
     p.add_argument("--id")
@@ -240,6 +274,10 @@ def run_cli(argv: Optional[list] = None) -> int:
                 search_namespace(server, args.name, " ".join(args.query))
             elif args.action == "add-file":
                 add_file(server, args.name, args.file)
+            elif args.action == "spill":
+                spill_namespace(server, args.name, args.prefix)
+            elif args.action == "restore":
+                restore_namespace(server, args.name, args.prefix)
         elif args.command == "dummy-item":
             create_dummy_item(server, args.id, args.suffix)
         elif args.command == "get-object":

@@ -42,6 +42,12 @@ ENV_DEFAULT_NAMESPACE = "FUGU_DEFAULT_NAMESPACE"
 ENV_SHARD_DEVICES = "FUGU_SHARD_DEVICES"
 #: multi-slice meshes: outer (DCN) axis size; devices must divide evenly
 ENV_SHARD_SLICES = "FUGU_SHARD_SLICES"
+#: cold-namespace spill tier: remote prefix (s3://bucket/prefix or a
+#: file:///path for the filesystem backend); unset = spill disabled
+ENV_SPILL_PREFIX = "FUGU_SPILL_PREFIX"
+#: auto-spill namespaces idle longer than this many seconds (needs a
+#: spill prefix); unset/0 = no idle-based auto-spill
+ENV_SPILL_IDLE_TTL = "FUGU_SPILL_IDLE_TTL"
 
 INVALID_NAMESPACE_CHARS = set('/\\:*?"<>|')
 
@@ -124,6 +130,11 @@ class ServerConfig:
     #: 0 = single-chip.  shard_slices > 1 builds a 2-D (DCN x ICI) mesh.
     shard_devices: int = 0
     shard_slices: int = 1
+    #: cold-namespace spill tier (storage/spill.py): remote prefix for
+    #: segment offload; None disables the spill surface
+    spill_prefix: Optional[str] = None
+    #: idle seconds before a namespace auto-spills (requires a prefix)
+    spill_idle_ttl_secs: Optional[float] = None
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ServerConfig":
@@ -144,6 +155,10 @@ class ServerConfig:
             cfg.shard_devices = int(d["shard_devices"] or 0)
         if "shard_slices" in d:
             cfg.shard_slices = max(int(d["shard_slices"] or 1), 1)
+        if "spill_prefix" in d:
+            cfg.spill_prefix = d["spill_prefix"] or None
+        if "spill_idle_ttl_secs" in d and d["spill_idle_ttl_secs"]:
+            cfg.spill_idle_ttl_secs = float(d["spill_idle_ttl_secs"])
         cfg._apply_shard_env()
         return cfg
 
@@ -161,6 +176,15 @@ class ServerConfig:
                 self.shard_slices = max(int(env_slices), 1)
             except ValueError:
                 raise ConfigError(f"{ENV_SHARD_SLICES} must be an int: {env_slices!r}")
+        env_prefix = os.environ.get(ENV_SPILL_PREFIX)
+        if env_prefix is not None:
+            self.spill_prefix = env_prefix or None
+        env_ttl = os.environ.get(ENV_SPILL_IDLE_TTL)
+        if env_ttl is not None:
+            try:
+                self.spill_idle_ttl_secs = float(env_ttl) or None
+            except ValueError:
+                raise ConfigError(f"{ENV_SPILL_IDLE_TTL} must be a number: {env_ttl!r}")
 
     @classmethod
     def from_file(cls, path: str | Path) -> "ServerConfig":
@@ -232,4 +256,6 @@ class ServerConfig:
             "validation": dataclasses.asdict(self.validation),
             "shard_devices": self.shard_devices,
             "shard_slices": self.shard_slices,
+            "spill_prefix": self.spill_prefix,
+            "spill_idle_ttl_secs": self.spill_idle_ttl_secs,
         }

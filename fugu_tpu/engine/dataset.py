@@ -7,6 +7,7 @@ Parity layer for `/root/reference/src/db/core.rs` (Dataset part) and
 from __future__ import annotations
 
 import dataclasses
+import time
 import enum
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -62,6 +63,12 @@ class FacetFilter:
     value: Optional[str] = None
 
 
+class ColdNamespaceError(RuntimeError):
+    """A query touched a namespace whose segments are offloaded to the
+    cold tier and auto-restore is disabled or failed — surfaced instead
+    of silently returning partial results (HTTP layer maps it to 409)."""
+
+
 def parse_filters(filters: Sequence[str]) -> List[FacetFilter]:
     """Filter-string parsing (search.rs:292-324), with the *intended*
     wildcard detection: the reference's enum has a Wildcard arm and its
@@ -108,9 +115,16 @@ class Dataset:
         base_path: str | Path,
         writer_memory_budget: int = 50_000_000,
         use_device: bool = True,
+        spill_prefix: Optional[str] = None,
     ):
         self.namespace = namespace
         self.base_path = Path(base_path)
+        #: configured remote prefix for the cold tier (ServerConfig
+        #: spill_prefix); per-segment .spilled markers make restore
+        #: self-describing even without it
+        self.spill_prefix = spill_prefix
+        #: last read/write touch, for idle-based auto-spill
+        self.last_access = time.time()
         ns_dir = self.base_path / namespace
         self._docs = NamedIndex(
             "docs", ns_dir / "docs", IndexType.DOCS, writer_memory_budget, use_device
@@ -145,6 +159,10 @@ class Dataset:
     # -- document operations (document.rs Dataset impl) ----------------------
 
     def upsert(self, records: Sequence[ObjectRecord]) -> None:
+        # writes to a cold namespace do NOT force a restore: cold
+        # manifest entries are carried through every commit (see
+        # NamedIndex.cold_segments), and the next READ restores
+        self._touch()
         self._docs.upsert(records)
         self._filter_index.upsert(records)
         self._query_index.upsert(records)
@@ -161,6 +179,40 @@ class Dataset:
         # (document.rs:444-455 — documented reference behavior).
         self._docs.delete_document(doc_id)
 
+    def _ensure_loaded(self, *indexes: NamedIndex) -> None:
+        """Result-completeness guard: a read against an index with cold
+        (spilled) segments must never silently serve partial answers.
+        Default policy is restore-on-query (markers carry the remote
+        prefix); FUGU_SPILL_AUTORESTORE=0 turns a cold read into a
+        ColdNamespaceError instead."""
+        import os
+
+        for idx in indexes:
+            if not idx.has_cold and idx.is_loaded:
+                continue
+            if os.environ.get("FUGU_SPILL_AUTORESTORE", "1") == "0":
+                raise ColdNamespaceError(
+                    f"namespace {self.namespace!r} has cold (spilled) "
+                    f"segments in its {idx.name} index; restore it first "
+                    "(POST /namespaces/{ns}/restore)"
+                )
+            try:
+                idx.restore()
+                ok = not idx.has_cold and idx.is_loaded
+            except Exception as e:
+                raise ColdNamespaceError(
+                    f"namespace {self.namespace!r}: restore of cold "
+                    f"segments failed for the {idx.name} index: {e}"
+                ) from e
+            if not ok:
+                raise ColdNamespaceError(
+                    f"namespace {self.namespace!r}: restore of cold "
+                    f"segments failed for the {idx.name} index"
+                )
+
+    def _touch(self) -> None:
+        self.last_access = time.time()
+
     # -- search (search.rs) ---------------------------------------------------
 
     def simple_search(self, query: str) -> List[FuguSearchResult]:
@@ -176,6 +228,8 @@ class Dataset:
         b: Optional[float] = None,
         min_score: Optional[float] = None,
     ) -> List[FuguSearchResult]:
+        self._touch()
+        self._ensure_loaded(self._docs)
         parsed = parse_filters(filters)
         wildcard_patterns = [
             f.path.lower() for f in parsed if f.operator is FilterOperator.WILDCARD
@@ -229,6 +283,8 @@ class Dataset:
         """Batched search: one device dispatch per bucket for the whole
         query batch (the serving-throughput path; no reference analog —
         Tantivy executes queries one at a time)."""
+        self._touch()
+        self._ensure_loaded(self._docs)
         plans = []
         metas = []
         for query, filters in queries:
@@ -315,6 +371,8 @@ class Dataset:
 
     def get(self, doc_id: str) -> List[Dict[str, Any]]:
         """Point lookup via a parsed query on the id field (search.rs:457-470)."""
+        self._touch()
+        self._ensure_loaded(self._docs)
         try:
             plan = queryparser.parse_with_fallback(
                 doc_id, default_fields=("id",), known_fields=("id",)
@@ -449,22 +507,53 @@ class Dataset:
 
     # -- spill / restore (BASELINE config #5: cold-namespace S3 spill) -------
 
-    def spill(self, remote_prefix: str) -> None:
+    def spill(self, remote_prefix: Optional[str] = None) -> Dict[str, int]:
+        """Offload every committed segment to the cold tier; returns
+        per-index spilled segment counts.  The prefix defaults to the
+        configured ServerConfig.spill_prefix."""
         from fugu_tpu.storage.spill import SegmentSpiller
 
+        prefix = remote_prefix or self.spill_prefix
+        if not prefix:
+            raise ValueError(
+                "no spill prefix: pass one or set spill_prefix/"
+                "FUGU_SPILL_PREFIX in the server config"
+            )
+        out = {}
         for idx in self.all_indexes():
-            idx.spill(SegmentSpiller(f"{remote_prefix}/{self.namespace}/{idx.name}"))
+            n = len(idx.segments)
+            idx.spill(SegmentSpiller(f"{prefix}/{self.namespace}/{idx.name}"))
+            out[idx.name] = n
+        return out
 
-    def restore(self, remote_prefix: str) -> None:
+    def restore(self, remote_prefix: Optional[str] = None) -> Dict[str, int]:
+        """Restore cold segments (marker-driven when no prefix given);
+        returns per-index restored counts."""
         from fugu_tpu.storage.spill import SegmentSpiller
 
+        prefix = remote_prefix or self.spill_prefix
+        out = {}
         for idx in self.all_indexes():
-            idx.restore(SegmentSpiller(f"{remote_prefix}/{self.namespace}/{idx.name}"))
+            sp = (
+                SegmentSpiller(f"{prefix}/{self.namespace}/{idx.name}")
+                if prefix
+                else None
+            )
+            out[idx.name] = idx.restore(sp)
+        return out
+
+    @property
+    def has_cold_segments(self) -> bool:
+        return any(
+            idx.has_cold or not idx.is_loaded for idx in self.all_indexes()
+        )
 
     # -- suggestions (query_index read path; no reference route reads it,
     #    SURVEY.md §2a — provided for completeness) --------------------------
 
     def suggest(self, prefix: str, limit: int = 10) -> List[str]:
+        self._touch()
+        self._ensure_loaded(self._query_index)
         plan = queryparser.parse_with_fallback(
             prefix, default_fields=("text",), known_fields=("text",)
         )

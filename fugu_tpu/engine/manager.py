@@ -121,6 +121,7 @@ class DatasetManager:
             base_path,
             writer_memory_budget=self.config.writer_memory_budget or 50_000_000,
             use_device=self.use_device,
+            spill_prefix=getattr(self.config, "spill_prefix", None),
         )
         ds.validate_all_schemas()
         if self._mesh is not None:
@@ -164,6 +165,37 @@ class DatasetManager:
         server shutdown; joins in-flight merges)."""
         for ds in list(self.datasets.values()):
             ds.close()
+
+    def spill_idle(self, idle_ttl_secs: Optional[float] = None) -> List[str]:
+        """Offload namespaces idle longer than the TTL to the cold tier
+        (requires a configured spill prefix).  Returns the spilled
+        namespace names; the server's idle sweeper calls this
+        periodically when ServerConfig.spill_idle_ttl_secs is set."""
+        import time
+
+        ttl = idle_ttl_secs or getattr(self.config, "spill_idle_ttl_secs", None)
+        prefix = getattr(self.config, "spill_prefix", None)
+        if not ttl or not prefix:
+            return []
+        now = time.time()
+        spilled = []
+        for ns, ds in list(self.datasets.items()):
+            if now - ds.last_access < ttl:
+                continue
+            if ds.has_cold_segments:
+                continue  # already cold
+            if not any(idx.segments for idx in ds.all_indexes()):
+                continue  # nothing to offload
+            try:
+                ds.spill(prefix)
+                spilled.append(ns)
+            except Exception as e:
+                import logging
+
+                logging.getLogger("fugu_tpu").warning(
+                    "idle spill of %s failed: %s", ns, e
+                )
+        return spilled
 
     # -- introspection --------------------------------------------------------
 

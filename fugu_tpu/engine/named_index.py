@@ -654,19 +654,45 @@ class NamedIndex:
             self.segments = []
             self._invalidate()
 
-    def restore(self, spiller) -> None:
+    def restore(self, spiller=None) -> int:
+        """Bring every cold segment back from the remote tier.
+
+        Without an explicit ``spiller``, each segment's ``.spilled``
+        marker (which records the remote prefix it was spilled to) is
+        used — restore is self-describing across restarts.  Returns the
+        number of segments restored from remote."""
+        from fugu_tpu.storage.spill import SegmentSpiller
+
         with self._lock:
             self.manifest.load()
             from fugu_tpu.index.manifest import load_segment
 
             segs = []
+            restored = 0
             for sid in self.manifest.segment_ids:
-                if spiller.is_spilled(self.path, sid):
-                    spiller.restore(self.path, sid)
-                self.cold_segments.pop(sid, None)
+                marker = self.path / f"seg-{sid}.spilled"
+                sp = spiller
+                if sp is None and marker.exists():
+                    prefix = marker.read_text().strip()
+                    if prefix:
+                        sp = SegmentSpiller(prefix)
+                if sp is not None and sp.is_spilled(self.path, sid):
+                    sp.restore(self.path, sid)
+                    restored += 1
+                # a failed fetch leaves the marker in place and the pack
+                # absent; load_segment then raises and the state below is
+                # never committed (the segment stays recorded as cold)
                 segs.append(load_segment(self.path, sid, self.schema))
             self.segments = segs
+            self.cold_segments.clear()
             self._invalidate()
+            return restored
+
+    @property
+    def has_cold(self) -> bool:
+        """True when any committed segment is offloaded (queries served
+        now would be silently partial)."""
+        return bool(self.cold_segments)
 
     @property
     def is_loaded(self) -> bool:

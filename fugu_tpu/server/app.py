@@ -43,6 +43,15 @@ def _json(data: Any, status: int = 200) -> web.Response:
     return web.json_response(data, status=status, dumps=lambda d: json.dumps(d, ensure_ascii=False))
 
 
+def _exc_status(e: Exception, default: int = 500) -> int:
+    """ColdNamespaceError -> 409 (the namespace exists but its segments
+    are offloaded and could not be auto-restored — never silently serve
+    partial results); everything else keeps the caller's default."""
+    from fugu_tpu.engine.dataset import ColdNamespaceError
+
+    return 409 if isinstance(e, ColdNamespaceError) else default
+
+
 def _err(message: str, status: int = 500) -> web.Response:
     return _json({"status": "error", "error": message}, status=status)
 
@@ -136,7 +145,7 @@ async def query_text_get(request: web.Request) -> web.Response:
         try:
             payload = await _perform_search(state, namespace, q, [], 0, limit)
         except Exception as e:  # parse/engine errors -> 500 envelope
-            return _json({"error": f"Search failed: {e}"}, status=500)
+            return _json({"error": f"Search failed: {e}"}, status=_exc_status(e))
         return _json(_strip_text(payload, include_text))
 
 
@@ -151,7 +160,7 @@ async def query_text_path(request: web.Request) -> web.Response:
         try:
             payload = await _perform_search(state, namespace, query, [], 0, 20)
         except Exception as e:  # parse/engine errors -> 500 envelope
-            return _json({"error": f"Search failed: {e}"}, status=500)
+            return _json({"error": f"Search failed: {e}"}, status=_exc_status(e))
         return _json(_strip_text(payload, include_text))
 
 
@@ -288,7 +297,7 @@ async def query_json_post(request: web.Request) -> web.Response:
                     )
                 out = _search_response(results, payload["query"], page, pp, t.took_ms)
         except Exception as e:  # parse/engine errors -> 500 envelope
-            return _json({"error": f"Search failed: {e}"}, status=500)
+            return _json({"error": f"Search failed: {e}"}, status=_exc_status(e))
 
         if want_highlights:
             from fugu_tpu import analysis
@@ -767,6 +776,68 @@ async def compact_endpoint(request: web.Request) -> web.Response:
         )
 
 
+async def spill_namespace(request: web.Request) -> web.Response:
+    """POST /namespaces/{ns}/spill — offload the namespace's segments to
+    the cold tier (storage/spill.py; SURVEY §2a S3 row: first-class in
+    the rebuild).  Body (optional JSON): {"prefix": "..."} overriding
+    the configured ServerConfig.spill_prefix."""
+    state = _state(request)
+    namespace = request.match_info["namespace"]
+    ds = state.db.get_dataset(namespace)
+    if ds is None:
+        return _err(f"Namespace '{namespace}' not found", 404)
+    prefix = None
+    if request.can_read_body:
+        try:
+            body = await request.json()
+            prefix = (body or {}).get("prefix")
+        except Exception:
+            pass
+    try:
+        with telemetry.Timer() as t:
+            counts = await state.run_sync(lambda: ds.spill(prefix))
+    except ValueError as e:  # no prefix configured
+        return _err(str(e), 400)
+    return _json(
+        {
+            "status": "success",
+            "namespace": namespace,
+            "spilled_segments": counts,
+            "took_ms": t.took_ms,
+        }
+    )
+
+
+async def restore_namespace(request: web.Request) -> web.Response:
+    """POST /namespaces/{ns}/restore — bring cold segments back from the
+    remote tier (marker-driven; body may override the prefix)."""
+    state = _state(request)
+    namespace = request.match_info["namespace"]
+    ds = state.db.get_dataset(namespace)
+    if ds is None:
+        return _err(f"Namespace '{namespace}' not found", 404)
+    prefix = None
+    if request.can_read_body:
+        try:
+            body = await request.json()
+            prefix = (body or {}).get("prefix")
+        except Exception:
+            pass
+    try:
+        with telemetry.Timer() as t:
+            counts = await state.run_sync(lambda: ds.restore(prefix))
+    except Exception as e:
+        return _err(f"Restore failed: {e}", 500)
+    return _json(
+        {
+            "status": "success",
+            "namespace": namespace,
+            "restored_segments": counts,
+            "took_ms": t.took_ms,
+        }
+    )
+
+
 async def metrics_endpoint(request: web.Request) -> web.Response:
     from fugu_tpu.server.metrics import REGISTRY
 
@@ -827,6 +898,8 @@ def create_app(db: DatasetManager) -> web.Application:
     # maintenance
     r.add_post("/compact", compact_endpoint)
     r.add_post("/compact/{namespace}", compact_endpoint)
+    r.add_post("/namespaces/{namespace}/spill", spill_namespace)
+    r.add_post("/namespaces/{namespace}/restore", restore_namespace)
     # observability
     r.add_get("/metrics", metrics_endpoint)
     # docs
@@ -892,7 +965,24 @@ def start_http_server(
                 loop.add_signal_handler(sig, stop.set)
             except NotImplementedError:  # pragma: no cover
                 pass
+        sweeper = None
+        ttl = getattr(db.config, "spill_idle_ttl_secs", None)
+        if ttl and getattr(db.config, "spill_prefix", None):
+
+            async def _idle_sweep():
+                # offload idle namespaces to the cold tier; the next
+                # query auto-restores (Dataset._ensure_loaded)
+                period = min(max(ttl / 2.0, 1.0), 60.0)
+                while True:
+                    await asyncio.sleep(period)
+                    spilled = await loop.run_in_executor(None, db.spill_idle)
+                    if spilled:
+                        logger.info("idle-spilled namespaces: %s", spilled)
+
+            sweeper = asyncio.create_task(_idle_sweep())
         await stop.wait()
+        if sweeper is not None:
+            sweeper.cancel()
         logger.info("shutting down (graceful)")
         await runner.cleanup()
         # join in-flight background merges so no half-written segment

@@ -253,6 +253,24 @@ def build_openapi(version: str) -> Dict[str, Any]:
         "/namespaces/{namespace}/data": {
             "get": _op("Namespace data types.", parameters=[ns_param])
         },
+        "/namespaces/{namespace}/spill": {
+            "post": _op(
+                "Offload the namespace's segments to the cold (remote) "
+                "tier; body may carry {\"prefix\": ...} overriding the "
+                "configured spill prefix.",
+                parameters=[ns_param],
+            )
+        },
+        "/namespaces/{namespace}/restore": {
+            "post": _op(
+                "Restore the namespace's cold segments from the remote "
+                "tier (marker-driven when no prefix is given). Queries "
+                "against a cold namespace auto-restore by default; with "
+                "auto-restore disabled they return 409 rather than "
+                "silently-partial results.",
+                parameters=[ns_param],
+            )
+        },
         "/filters": {"get": _op("List all filters.")},
         "/filters/all": {"get": _op("All filter paths with leaf values.")},
         "/filters/namespace/{namespace}": {

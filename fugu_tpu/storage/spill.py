@@ -266,9 +266,13 @@ class SegmentSpiller:
                 continue
             (index_dir / name).write_bytes(data)
             restored.append(name)
-        marker = index_dir / f"seg-{segment_id}.spilled"
-        if marker.exists():
-            marker.unlink()
+        # the marker only comes off once the segment pack itself is back
+        # — a failed fetch must leave the segment recorded as cold, not
+        # half-restored with its remote pointer lost
+        if f"seg-{segment_id}.npz" in restored:
+            marker = index_dir / f"seg-{segment_id}.spilled"
+            if marker.exists():
+                marker.unlink()
         return restored
 
     def is_spilled(self, index_dir: Union[str, Path], segment_id: str) -> bool:

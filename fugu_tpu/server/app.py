@@ -186,7 +186,7 @@ async def search_endpoint(request: web.Request) -> web.Response:
                     ds, query, filters, page, per_page
                 )
         except Exception as e:  # engine errors -> 500 envelope
-            return _err(f"Search failed: {e}")
+            return _err(f"Search failed: {e}", _exc_status(e))
         return _json(
             {
                 "status": "success",
@@ -225,7 +225,7 @@ async def search_namespace_post(request: web.Request) -> web.Response:
                     ds, query, filters, page, _clamp_per_page(per_page)
                 )
         except Exception as e:
-            return _err(f"Search failed: {e}")
+            return _err(f"Search failed: {e}", _exc_status(e))
         return _json(
             _search_response(results, query, page, _clamp_per_page(per_page), t.took_ms)
         )
@@ -854,8 +854,23 @@ async def swagger_ui(request: web.Request) -> web.Response:
     return web.Response(text=SWAGGER_HTML, content_type="text/html")
 
 
+@web.middleware
+async def _otel_middleware(request: web.Request, handler):
+    """OtelAxumLayer parity (server_main.rs:71-73): join the caller's
+    W3C trace context and wrap the request in a span.  No-op overhead
+    when the OTLP pipeline is inactive."""
+    if telemetry._otel_tracer is None:
+        return await handler(request)
+    with telemetry.request_span(
+        request.method, request.path, request.headers
+    ):
+        return await handler(request)
+
+
 def create_app(db: DatasetManager) -> web.Application:
-    app = web.Application(client_max_size=256 * 1024 * 1024)
+    app = web.Application(
+        client_max_size=256 * 1024 * 1024, middlewares=[_otel_middleware]
+    )
     app["state"] = AppState(db)
     r = app.router
     r.add_get("/health", health)
@@ -988,5 +1003,7 @@ def start_http_server(
         # join in-flight background merges so no half-written segment
         # files are left behind (manifest swaps are atomic regardless)
         db.close()
+        # flush buffered OTLP spans (BatchSpanProcessor) before exit
+        telemetry.shutdown_tracing()
 
     asyncio.run(_run())

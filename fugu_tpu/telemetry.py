@@ -8,9 +8,16 @@ pipeline (`/root/reference/src/otel_setup.rs`).  Here:
 - the same span taxonomy via a contextvar-based Span that logs structured
   enter/exit lines with durations (console + optional logs/fugu.log file,
   mirroring tracing_utils.rs:14-95)
-- OTLP export is gated: if the `opentelemetry` package is importable and
-  OTEL_EXPORTER_OTLP_ENDPOINT is set, spans are mirrored into it; this
-  image ships without it, so it degrades to logging (documented)
+- a REAL OTLP pipeline (otel_setup.rs:28-62 parity): when
+  OTEL_EXPORTER_OTLP_ENDPOINT is set and the `opentelemetry` SDK is
+  importable, init assembles TracerProvider + Resource (service
+  name/version detection) + BatchSpanProcessor + OTLP exporter, installs
+  the global provider and a W3C TraceContext+Baggage composite
+  propagator, and every span() mirrors into it;
+  ``extract_context``/``request_span`` give the HTTP layer the
+  OtelAxumLayer-equivalent (incoming traceparent joins the trace).  The
+  CI image ships without the SDK, so it degrades to logging (tested
+  against a recording stub SDK in test_observability)
 - `took_ms` timing helper — the response field API.md promises but the
   reference never implemented (API.md:108-115); we do.
 """
@@ -32,6 +39,7 @@ _current_span: contextvars.ContextVar[Optional[str]] = contextvars.ContextVar(
 )
 
 _otel_tracer = None
+_otel_provider = None
 
 
 def init_tracing(
@@ -72,19 +80,104 @@ def init_tracing(
 
 
 def _init_otel():
-    """OTLP gating: a tracer only when the endpoint is configured AND the
-    opentelemetry package imports; else spans stay log-only.  Split out
-    so tests can exercise both gates with a stubbed module."""
-    if not os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT"):
+    """Assemble the OTLP pipeline (otel_setup.rs:28-62 parity): resource
+    detection -> TracerProvider -> BatchSpanProcessor(OTLP exporter) ->
+    global provider + W3C composite propagator.  Returns the tracer, or
+    None when the endpoint is unset / the SDK is missing (log-only
+    degrade).  Split out so tests can exercise the full assembly with a
+    stubbed SDK."""
+    global _otel_provider
+    endpoint = os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT")
+    if not endpoint:
         return None
     try:
-        from opentelemetry import trace
+        from opentelemetry import propagate, trace
+        from opentelemetry.baggage.propagation import W3CBaggagePropagator
+        from opentelemetry.exporter.otlp.proto.grpc.trace_exporter import (
+            OTLPSpanExporter,
+        )
+        from opentelemetry.propagators.composite import CompositePropagator
+        from opentelemetry.sdk.resources import Resource
+        from opentelemetry.sdk.trace import TracerProvider
+        from opentelemetry.sdk.trace.export import BatchSpanProcessor
+        from opentelemetry.trace.propagation.tracecontext import (
+            TraceContextTextMapPropagator,
+        )
     except ImportError:
         logger.info(
             "OTLP endpoint set but opentelemetry not installed; spans log-only"
         )
         return None
+
+    try:
+        from fugu_tpu import __version__ as _version
+    except Exception:
+        _version = "0"
+    resource = Resource.create(
+        {
+            "service.name": os.environ.get("OTEL_SERVICE_NAME", "fugu"),
+            "service.version": _version,
+        }
+    )
+    provider = TracerProvider(resource=resource)
+    provider.add_span_processor(
+        BatchSpanProcessor(OTLPSpanExporter(endpoint=endpoint))
+    )
+    trace.set_tracer_provider(provider)
+    propagate.set_global_textmap(
+        CompositePropagator(
+            [TraceContextTextMapPropagator(), W3CBaggagePropagator()]
+        )
+    )
+    _otel_provider = provider
     return trace.get_tracer("fugu_tpu")
+
+
+def shutdown_tracing() -> None:
+    """Flush + shut down the OTLP pipeline (graceful server shutdown —
+    BatchSpanProcessor buffers spans; a hard exit would drop them)."""
+    global _otel_provider, _otel_tracer
+    if _otel_provider is not None:
+        try:
+            _otel_provider.shutdown()
+        except Exception:
+            logger.exception("otel provider shutdown failed")
+        _otel_provider = None
+        _otel_tracer = None
+
+
+def extract_context(headers) -> Optional[object]:
+    """Incoming W3C trace context (traceparent/baggage headers) via the
+    installed propagator — the OtelAxumLayer-extraction analog.  None
+    when the pipeline is inactive."""
+    if _otel_provider is None:
+        return None
+    try:
+        from opentelemetry import propagate
+
+        return propagate.extract(dict(headers))
+    except Exception:
+        return None
+
+
+@contextlib.contextmanager
+def request_span(method: str, path: str, headers=None) -> Iterator[None]:
+    """HTTP request span joined to the caller's trace when a traceparent
+    header is present (OtelAxumLayer parity, server_main.rs:71-73)."""
+    ctx = extract_context(headers or {})
+    if _otel_tracer is None:
+        with span("server", f"{method} {path}"):
+            yield
+        return
+    otel_ctx = _otel_tracer.start_as_current_span(
+        f"{method} {path}", context=ctx
+    )
+    otel_ctx.__enter__()
+    try:
+        with span("server", f"{method} {path}"):
+            yield
+    finally:
+        otel_ctx.__exit__(None, None, None)
 
 
 @contextlib.contextmanager

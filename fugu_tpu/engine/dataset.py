@@ -163,9 +163,31 @@ class Dataset:
         # manifest entries are carried through every commit (see
         # NamedIndex.cold_segments), and the next READ restores
         self._touch()
-        self._docs.upsert(records)
-        self._filter_index.upsert(records)
-        self._query_index.upsert(records)
+        # the three per-namespace indexes are independent until their own
+        # manifest commits (each has its own writer lock/dir) — build
+        # them concurrently; the native tokenizer, numpy pack assembly
+        # and segment I/O all release the GIL.  The reference commits
+        # them sequentially (document.rs:426-432).
+        import os as _os
+
+        if len(records) >= 64 and (_os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as ex:
+                futs = [
+                    ex.submit(idx.upsert, records)
+                    for idx in (
+                        self._docs,
+                        self._filter_index,
+                        self._query_index,
+                    )
+                ]
+                for f in futs:
+                    f.result()
+        else:
+            self._docs.upsert(records)
+            self._filter_index.upsert(records)
+            self._query_index.upsert(records)
 
     def batch_upsert(self, records: Sequence[ObjectRecord]) -> int:
         self.upsert(records)

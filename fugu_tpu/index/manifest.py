@@ -78,11 +78,20 @@ def save_segment(segment: Segment, dir_path: Path) -> str:
     arrays["meta_json"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
+    # uncompressed npz: zlib was ~28% of the whole ingest path for ~2-3x
+    # disk, and posting packs re-read far more often than they're written
+    # (np.load reads both formats, so old segments stay loadable)
     with open(dir_path / f"seg-{seg_id}.npz", "wb") as f:
-        np.savez_compressed(f, **arrays)
+        np.savez(f, **arrays)
     with open(dir_path / f"seg-{seg_id}.store.jsonl", "w") as f:
-        for doc in segment.stored:
-            f.write(json.dumps(doc, ensure_ascii=False) + "\n")
+        # one join + one write (per-line writes measured ~2x slower)
+        f.write(
+            "\n".join(
+                json.dumps(doc, ensure_ascii=False) for doc in segment.stored
+            )
+        )
+        if segment.stored:
+            f.write("\n")
     save_tombstones(segment, dir_path)
     return seg_id
 

@@ -79,9 +79,10 @@ class SegmentBuilder:
         self._postings: Dict[str, Dict[str, List[Tuple[int, int]]]] = {}
         self._positions: Dict[str, Dict[str, List[List[int]]]] = {}
         self._fieldnorms: Dict[str, Dict[int, int]] = {}  # field -> doc -> tokens
-        # native path: field -> NativeFieldAccumulator (+ id-term side table
-        # for in-batch upsert dedupe)
-        self._native_accs: Dict[str, Any] = {}
+        # native path: SPARSE per-field value buffers [(doc, values)],
+        # aligned and fed to the C++ accumulator in ONE batched FFI call
+        # at build() (+ id-term side table for in-batch upsert dedupe)
+        self._native_buf: Dict[str, List[Tuple[int, List[str]]]] = {}
         self._id_docs: Dict[str, List[int]] = {}
         self._facet_postings: Dict[str, List[int]] = {}  # expanded path -> docs
         self._stored: List[Dict[str, Any]] = []
@@ -138,18 +139,19 @@ class SegmentBuilder:
     def _add_document_native(
         self, doc: int, text_fields: Dict[str, Sequence[str]]
     ) -> None:
-        from fugu_tpu.native import NativeFieldAccumulator
-
-        for field in text_fields:
-            if field not in self._native_accs:
-                acc = NativeFieldAccumulator()
-                for _ in range(doc):  # backfill docs missing this field
-                    acc.add_doc([])
-                self._native_accs[field] = acc
-        for field, acc in self._native_accs.items():
-            vals = [str(v) for v in text_fields.get(field, [])]
-            acc.add_doc(vals)
-            self.approx_bytes += sum(len(v) for v in vals) * 2 + 16
+        # values are only BUFFERED here (sparsely: absent fields cost
+        # nothing); the C++ accumulator ingests the whole buffer in one
+        # FFI call at build() (fugu_builder_add_docs) — per-doc ctypes
+        # crossings measured ~40us each, the single largest ingest cost
+        # before batching
+        nb = self._native_buf
+        approx = 16
+        for field, values in text_fields.items():
+            vals = [v if type(v) is str else str(v) for v in values]
+            nb.setdefault(field, []).append((doc, vals))
+            for v in vals:
+                approx += len(v) * 2
+        self.approx_bytes += approx
         if "id" in text_fields:
             # raw-id-token side table for in-batch upsert dedupe
             for v in text_fields["id"]:
@@ -196,8 +198,16 @@ class SegmentBuilder:
         offset = 0
         max_posting = 1
 
-        for field in sorted(self._native_accs.keys()):
-            acc = self._native_accs[field]
+        from fugu_tpu.native import NativeFieldAccumulator
+
+        for field in sorted(self._native_buf.keys()):
+            # align the sparse buffer: docs missing this field get []
+            sparse = self._native_buf[field]
+            aligned: List[List[str]] = [[]] * self._doc_count
+            for d, vals in sparse:
+                aligned[d] = vals
+            acc = NativeFieldAccumulator()
+            acc.add_docs(aligned)
             (tlist, dfs, docs, tfs, poffs, pdata, tok_counts) = acc.finish()
             norms = np.zeros(self._doc_count, dtype=np.int64)
             norms[: len(tok_counts)] = tok_counts

@@ -88,6 +88,13 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
     ]
+    lib.fugu_builder_add_docs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
     lib.fugu_builder_finish.restype = ctypes.c_void_p
     lib.fugu_builder_finish.argtypes = [ctypes.c_void_p]
     lib.fugu_builder_free.argtypes = [ctypes.c_void_p]
@@ -169,6 +176,33 @@ class NativeFieldAccumulator:
             len(values),
         )
         self.n_docs += 1
+
+    def add_docs(self, docs_values: List[List[str]]) -> None:
+        """Batched ingestion: ONE FFI call for many documents (the
+        per-call ctypes overhead dominates the per-doc path)."""
+        if not docs_values:
+            return
+        parts: List[bytes] = []
+        value_offsets = [0]
+        counts = np.zeros(len(docs_values), dtype=np.int64)
+        acc = 0
+        for d, values in enumerate(docs_values):
+            counts[d] = len(values)
+            for v in values:
+                raw = v.encode("utf-8")
+                parts.append(raw)
+                acc += len(raw)
+                value_offsets.append(acc)
+        data = b"".join(parts)
+        offs = np.array(value_offsets, dtype=np.int64)
+        self._lib.fugu_builder_add_docs(
+            self._h,
+            data,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(docs_values),
+        )
+        self.n_docs += len(docs_values)
 
     def finish(self):
         """-> (terms, dfs, docs, tfs, pos_offsets, pos_data, token_counts)."""

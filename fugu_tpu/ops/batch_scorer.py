@@ -86,6 +86,28 @@ MARGIN_ABS = 3e-3
 #: eligible queries the single-phase engine is cheaper
 MIN_BATCH = 24
 
+#: score-lane gating constants ("neg"/"gate" kinds — boolean constraints
+#: WITHOUT the lane-doubling count matmul):
+#: - a MUST facet clause contributes its weight EXACTLY (facet entries
+#:   carry contribution 1.0), so weighting it GATE_BIG makes "all n
+#:   facet MUSTs present" detectable as scores > (n-0.5)*GATE_BIG; the
+#:   real idf moves to the host-side shift.  2^14 keeps f32 accumulation
+#:   granularity at <= 2^-7 for n <= 4 gates (GATE_MARGIN absorbs it)
+#:   while any realistic BM25 score stays far below GATE_BIG/2.
+#: - a MUST_NOT clause weighted W_MUSTNOT drives any matching doc's
+#:   score hard negative (below every gate/zero threshold): the minimum
+#:   entry contribution is tf/(tf+cache) >= ~2^-13 (tf=1, 5000-token
+#:   field), so the penalty is >= 2^26 * 2^-13 = 2^13 = GATE_BIG/2,
+#:   which clears the worst case (a doc missing half a gate step).
+GATE_BIG = 2.0 ** 14
+W_MUSTNOT = -(2.0 ** 26)
+#: extra absolute margin for gate-kind thresholds: f32 rounding of
+#: score + n*GATE_BIG quantizes the score part by up to ~2^-5
+GATE_MARGIN = 0.0625
+
+#: kinds served by the narrow (no count lanes) kernel
+NARROW_KINDS = ("pure", "neg", "gate")
+
 
 #: each extra corpus stream costs ~40-50ms of fixed grid/DMA overhead at
 #: 1M docs — roughly what 96 query lanes of matmul flops cost — so a
@@ -220,7 +242,10 @@ def _phasea_kernel(
         ok = (scores > 0.0) & (counts > nm_ref[0:1, :] - 0.5)
     else:
         scores = S
-        ok = scores > 0.0
+        # nm carries a per-query score threshold: 0 for pure plans,
+        # (n_gates - 0.5) * GATE_BIG for gate-kind plans (all-facet
+        # MUSTs encoded as GATE_BIG score contributions)
+        ok = scores > nm_ref[0:1, :]
     amax = jnp.max(jnp.where(ok, scores, NEG_INF), axis=0)
     out_ref[0, 0:1, :] = amax[None, :]
     del u_iota  # slot-index variant unused (kept for layout reference)
@@ -295,7 +320,7 @@ def _build_postproc(nb_pad: int, b_pad: int):
     """
     k_top = min(128, nb_pad)
 
-    def post(amax, shift, limidx):
+    def post(amax, shift, limidx, margin):
         col = amax[:, 0, :]                             # [NB, B]
         finite = jnp.isfinite(col)
         col = jnp.where(finite, col + shift[None, :], NEG_INF)
@@ -306,8 +331,11 @@ def _build_postproc(nb_pad: int, b_pad: int):
         # limidx -1 flags limit > k_top (or an inactive pad lane): no
         # valid kth exists, fall through to the full-sweep mask
         have = (limidx >= 0) & (count > li)
+        # per-query extra absolute margin (gate-kind f32 quantization)
         thresh = jnp.where(
-            have, kth - jnp.abs(kth) * MARGIN_REL - MARGIN_ABS, NEG_INF
+            have,
+            kth - jnp.abs(kth) * MARGIN_REL - MARGIN_ABS - margin,
+            NEG_INF,
         )
         # under-filled queries get thresh=-inf and an all-true mask (the
         # host's "full candidate sweep, never a wrong answer" fallback);
@@ -358,11 +386,19 @@ def _classify(plan: QueryPlan) -> Optional[str]:
     """Phase-A pruning class for one plan.
 
     - "pure": all-SHOULD — block maxima are achievable doc scores, one
-      phase-B wave.
+      phase-B wave, narrow kernel.
+    - "neg": SHOULDs + MUST_NOTs only — narrow kernel; each MUST_NOT
+      term carries W_MUSTNOT in the SCORE lane, so excluded docs go hard
+      negative and ``scores > 0`` drops them (no count lanes).
+    - "gate": every MUST group is a single FACET clause (+ optional
+      SHOULDs/MUST_NOTs) — narrow kernel; each facet MUST contributes
+      exactly GATE_BIG (facet contributions are 1.0), eligibility is the
+      per-query threshold ``scores > (n-0.5)*GATE_BIG``, and the host
+      shift (-n*GATE_BIG + sum(idf)) turns maxima back into real scores.
     - "exact": boolean plan whose count mask reproduces the match set
       exactly (every MUST group single-clause, and the require-should
       constraint either absent or implied by ``scores > 0``) — the masked
-      maxima are achievable constrained scores, one wave.
+      maxima are achievable constrained scores, one wave (wide kernel).
     - "upper": boolean plan where the mask is only an upper bound
       (multi-clause MUST groups are uncountable; require_should with
       both MUST and SHOULD groups is not encoded) — two waves.
@@ -378,15 +414,22 @@ def _classify(plan: QueryPlan) -> Optional[str]:
     n_clauses = 0
     n_must = n_should = 0
     must_countable = True
+    gate_ok = True  # every MUST a single facet clause
     has_scoring = False
+    max_boost = 0.0
     for g in plan.groups:
         if g.phrases or g.ranges or g.subplan is not None:
             return None
         n_clauses += len(g.clauses)
+        for c in g.clauses:
+            max_boost = max(max_boost, abs(c.boost))
         if g.occur is Occur.MUST:
             n_must += 1
             if len(g.clauses) != 1:
                 must_countable = False
+                gate_ok = False
+            elif not g.clauses[0].is_facet:
+                gate_ok = False
             if g.clauses:
                 has_scoring = True
         elif g.occur is Occur.MUST_NOT:
@@ -396,14 +439,26 @@ def _classify(plan: QueryPlan) -> Optional[str]:
             has_scoring = True
     if not has_scoring:
         return None  # nothing produces a positive bound
-    if n_must == 0 and not any(
-        g.occur is Occur.MUST_NOT for g in plan.groups
-    ):
+    has_not = any(g.occur is Occur.MUST_NOT for g in plan.groups)
+    if n_must == 0 and not has_not:
         return "pure"
     # constrained plans re-score through the block kernel: respect its
     # staging limits (t_pad <= 16, <= 32 boolean groups)
     if n_clauses > 16 or len(plan.groups) > 32:
         return None
+    if n_must == 0:
+        return "neg"  # MUST_NOTs alone gate through the score lane
+    if gate_ok and n_must <= 4 and max_boost <= 8.0:
+        # gate-soundness bounds: n <= 4 keeps f32 granularity at
+        # score+n*GATE_BIG under GATE_MARGIN; bounded boosts keep every
+        # real score far below GATE_BIG/2 (an ineligible doc must not
+        # out-score half a gate step).  require_should is safe at this
+        # threshold: a should-less gated doc reports exactly n*GATE_BIG
+        # (facet contributions are exact), which never exceeds any
+        # eligible doc's value in any block, so the kth-of-maxima stays
+        # a valid lower bound and phase B enforces the true
+        # "at least one SHOULD" semantics.
+        return "gate"
     if must_countable and not (
         plan.require_should and n_should > 0 and n_must > 0
     ):
@@ -461,7 +516,9 @@ def plan_batches(plans, elig, kinds, tid_of):
     for i in elig:
         tids = _plan_tids(plans[i], tid_of)
         new = [t for t in tids if t not in cur_terms]
-        boundary = cur and (kinds[cur[0]] == "pure") != (kinds[i] == "pure")
+        boundary = cur and (
+            (kinds[cur[0]] in NARROW_KINDS) != (kinds[i] in NARROW_KINDS)
+        )
         if len(cur) >= B_PAD or boundary or (
             cur and len(cur_terms) + len(new) > U_BUCKETS[-1]
         ):
@@ -495,9 +552,14 @@ def plan_batches(plans, elig, kinds, tid_of):
 def stage_batch_weights(
     plans, kinds, q_idx, terms, stats, tid_of, b_pad, wide, k1, shifts
 ):
-    """(w2, nmust, tid_arr) operand staging for one phase-A batch; fills
-    ``shifts`` for "shift"-kind plans (constant MUST-facet scores added
-    back to the maxima after the stream)."""
+    """(w2, nmust, tid_arr) operand staging for one phase-A batch.
+
+    Fills ``shifts`` for "shift"-kind plans (constant MUST-facet scores
+    added back to the maxima after the stream) and for "gate"-kind plans
+    (sum(idf) - n*GATE_BIG: the gates come OFF and the real facet scores
+    go ON).  For narrow batches the nm row carries the per-query score
+    threshold ((n-0.5)*GATE_BIG for gate plans, 0 otherwise); for wide
+    batches it keeps the required MUST count."""
     u_pad = next(u for u in U_BUCKETS if len(terms) <= u)
     w2 = np.zeros((u_pad, 2 * b_pad if wide else b_pad), dtype=np.float32)
     nmust = np.zeros((8, b_pad), dtype=np.float32)
@@ -505,28 +567,51 @@ def stage_batch_weights(
     for t, slot in terms.items():
         tid_arr[0, slot] = t
     for qi, i in enumerate(q_idx):
+        kind = kinds[i]
+        narrow = kind in NARROW_KINDS
+        n_gates = 0
+        gate_idf = 0.0
         for g in plans[i].groups:
             # multi-clause MUST groups are uncountable (any-of match);
             # leaving them out of the count loosens but never breaks
             # the bound — such plans are classified "upper"
             count_group = g.occur is Occur.MUST and len(g.clauses) == 1
-            if count_group:
+            if count_group and not narrow:
                 nmust[0, qi] += 1.0
             for c in g.clauses:
                 field = FACET_FIELD_KEY if c.is_facet else c.field
                 t = tid_of.get((field, c.term))
+                if g.occur is Occur.MUST_NOT:
+                    if t is None:
+                        continue
+                    if narrow:
+                        # score-lane exclusion: any match goes hard
+                        # negative, below every gate/zero threshold
+                        w2[terms[t], qi] += W_MUSTNOT
+                    else:
+                        w2[terms[t], b_pad + qi] += -64.0
+                    continue
+                if kind == "gate" and count_group:
+                    # facet MUST: GATE_BIG in the lane (facet entries
+                    # contribute exactly 1.0), real idf on the shift.
+                    # An absent facet term means nothing can pass the
+                    # gate threshold — matches the empty result the
+                    # boolean semantics require.
+                    n_gates += 1
+                    df = stats.facet_doc_freq(c.term)
+                    gate_idf += float(idf(df, stats.doc_count)) * c.boost
+                    if t is not None:
+                        w2[terms[t], qi] += GATE_BIG
+                    continue
                 if t is None:
                     continue
                 slot = terms[t]
-                if g.occur is Occur.MUST_NOT:
-                    w2[slot, b_pad + qi] += -64.0
-                    continue
-                if count_group:
+                if count_group and not narrow:
                     w2[slot, b_pad + qi] += 1.0
                 if c.is_facet:
                     df = stats.facet_doc_freq(c.term)
                     wv = float(idf(df, stats.doc_count)) * c.boost
-                    if count_group and kinds[i] == "shift":
+                    if count_group and kind == "shift":
                         # constant facet score moves to the host-side
                         # shift so scores>0 == "some SHOULD matched"
                         shifts[i] = shifts.get(i, 0.0) + wv
@@ -537,6 +622,9 @@ def stage_batch_weights(
                     w2[slot, qi] += float(
                         bm25_weight(df, stats.doc_count, c.boost, k1)
                     )
+        if kind == "gate":
+            nmust[0, qi] = (n_gates - 0.5) * GATE_BIG
+            shifts[i] = gate_idf - n_gates * GATE_BIG
     return w2, nmust, tid_arr
 
 
@@ -567,10 +655,14 @@ def batch_search(
         kind = _classify(p)
         if kind is not None:
             kinds[i] = kind
-    # pure plans batch first so they ride narrow (no-count) kernels; the
-    # wide count lanes double phase A's MXU work and only constrained
-    # batches should pay for them
-    elig = sorted(kinds, key=lambda i: (kinds[i] != "pure", i))
+    # narrow-kind plans (pure/neg/gate) batch first so they ride narrow
+    # (no-count) kernels; the wide count lanes double phase A's MXU work
+    # and only count-needing batches should pay for them
+    elig = sorted(kinds, key=lambda i: (kinds[i] not in NARROW_KINDS, i))
+    # (measured: even deep-extraction limit=100 batches of 16 run ~45%
+    # FASTER through the single-phase sweep than through a dedicated
+    # phase-A stream — the stream + candidate staging overhead needs a
+    # real batch to amortize, regardless of limit)
     if len(elig) < (1 if interpret else MIN_BATCH):
         return results
 
@@ -591,7 +683,7 @@ def batch_search(
         if u_pad is None:
             continue  # single over-wide query set: single-phase fallback
         b_pad = next(v for v in B_BUCKETS if len(q_idx) <= v)
-        wide = any(kinds[i] != "pure" for i in q_idx)
+        wide = any(kinds[i] not in NARROW_KINDS for i in q_idx)
         # lane-concat [weights | must-counts]: one kernel matmul serves
         # both the score sum and the constraint count (wide batches only)
         w2, nmust, tid_arr = stage_batch_weights(
@@ -619,11 +711,19 @@ def batch_search(
             k_top = min(128, nb_pad)
             shift_v = np.zeros(b_pad, dtype=np.float32)
             limidx = np.full(b_pad, -1, dtype=np.int32)
+            margin_v = np.zeros(b_pad, dtype=np.float32)
             for qi, i in enumerate(q_idx):
                 shift_v[qi] = shifts.get(i, 0.0)
                 limidx[qi] = limits[i] - 1 if limits[i] <= k_top else -1
+                if kinds[i] == "gate":
+                    margin_v[qi] = GATE_MARGIN
             post = _get_postproc(nb_pad, b_pad)
-            packed = post(amax, jnp.asarray(shift_v), jnp.asarray(limidx))
+            packed = post(
+                amax,
+                jnp.asarray(shift_v),
+                jnp.asarray(limidx),
+                jnp.asarray(margin_v),
+            )
             pending.append(("compact", q_idx, packed, None))
 
     # phase B: per-query candidate 2048-blocks from the maxima

@@ -51,7 +51,9 @@ from fugu_tpu.index.segment import (
 )
 from fugu_tpu.ops.batch_scorer import (
     B_BUCKETS,
+    GATE_MARGIN,
     MIN_BATCH,
+    NARROW_KINDS,
     U_BUCKETS,
     _classify,
     _get_postproc,
@@ -153,11 +155,11 @@ def _get_sharded_phasea(mesh, nbs_pad, u_pad, b_pad, wide, interpret):
     )
 
     @jax.jit
-    def run(offs, doc, tid, con, w, tids, nm, shift, limidx):
+    def run(offs, doc, tid, con, w, tids, nm, shift, limidx, margin):
         amax = sharded(offs, doc, tid, con, w, tids, nm)  # [d*nbs, 1, B]
         # the postproc's global top_k gathers the block axis over the
         # mesh collectives (GSPMD); only the packed mask leaves sharded
-        return post(amax, shift, limidx)
+        return post(amax, shift, limidx, margin)
 
     _SHARDED_PHASEA_CACHE[key] = run
     return run
@@ -208,16 +210,19 @@ def batch_search_sharded(
         if u_pad is None:
             continue  # over-wide union: caller fallback
         b_pad = next(v for v in B_BUCKETS if len(q_idx) <= v)
-        wide = any(kinds[i] != "pure" for i in q_idx)
+        wide = any(kinds[i] not in NARROW_KINDS for i in q_idx)
         w2, nmust, tid_arr = stage_batch_weights(
             plans, kinds, q_idx, terms, stats, pack2.tid_of, b_pad, wide,
             k1, shifts,
         )
         shift_v = np.zeros(b_pad, dtype=np.float32)
         limidx = np.full(b_pad, -1, dtype=np.int32)
+        margin_v = np.zeros(b_pad, dtype=np.float32)
         for qi, i in enumerate(q_idx):
             shift_v[qi] = shifts.get(i, 0.0)
             limidx[qi] = limits[i] - 1 if limits[i] <= k_top else -1
+            if kinds[i] == "gate":
+                margin_v[qi] = GATE_MARGIN
         fn = _get_sharded_phasea(
             pack2.mesh, nbs_pad, u_pad, b_pad, wide, interpret
         )
@@ -231,6 +236,7 @@ def batch_search_sharded(
             jnp.asarray(nmust),
             jnp.asarray(shift_v),
             jnp.asarray(limidx),
+            jnp.asarray(margin_v),
         )
         pending.append((q_idx, packed))
 

@@ -30,6 +30,10 @@ constexpr size_t kLongTokenByteLimit = 40;
 constexpr int kPositionGap = 2;
 
 bool is_alnum(uint32_t cp) {
+  if (cp < 128) {  // ASCII fast path (str.isalnum semantics)
+    return (cp >= '0' && cp <= '9') || (cp >= 'A' && cp <= 'Z') ||
+           (cp >= 'a' && cp <= 'z');
+  }
   int lo = 0, hi = ALNUM_RANGES_N - 1;
   while (lo <= hi) {
     int mid = (lo + hi) / 2;
@@ -116,24 +120,55 @@ inline int decode_utf8(const uint8_t* p, const uint8_t* end, uint32_t* cp) {
   return 1;
 }
 
+// Per-term postings in term-id space: positions live in ONE flat arena
+// per term (entries arrive in doc order, so per-(term, doc) position
+// runs are naturally contiguous — no nested vectors, no per-doc map).
 struct Posting {
   std::vector<int32_t> docs;
   std::vector<int32_t> tfs;
-  std::vector<std::vector<int32_t>> positions;
+  std::vector<int32_t> pos_data;   // flat, grouped by doc
+  std::vector<int64_t> pos_ends;   // per posting entry: end offset
+  int32_t last_doc = -1;
 };
 
 struct Builder {
-  std::unordered_map<std::string, Posting> postings;
+  std::unordered_map<std::string, int32_t> term_ids;
+  std::vector<const std::string*> term_strs;  // id -> key (stable in map)
+  std::vector<Posting> postings;
   std::vector<int64_t> doc_token_counts;
   int32_t next_doc = 0;
 
   // scratch reused across docs
-  std::unordered_map<std::string, std::vector<int32_t>> doc_terms;
+  std::string token;
+
+  inline void emit(int32_t doc, int32_t pos) {
+    auto it = term_ids.find(token);
+    int32_t id;
+    if (it == term_ids.end()) {
+      id = static_cast<int32_t>(postings.size());
+      auto ins = term_ids.emplace(token, id);
+      term_strs.push_back(&ins.first->first);
+      postings.emplace_back();
+    } else {
+      id = it->second;
+    }
+    Posting& p = postings[id];
+    if (p.last_doc != doc) {
+      p.last_doc = doc;
+      p.docs.push_back(doc);
+      p.tfs.push_back(1);
+      p.pos_data.push_back(pos);
+      p.pos_ends.push_back(static_cast<int64_t>(p.pos_data.size()));
+    } else {
+      ++p.tfs.back();
+      p.pos_data.push_back(pos);
+      p.pos_ends.back() = static_cast<int64_t>(p.pos_data.size());
+    }
+  }
 
   void add_doc(const char* data, int64_t len, int64_t n_values,
                const int64_t* value_offsets) {
     int32_t doc = next_doc++;
-    doc_terms.clear();
     int64_t n_tokens = 0;
     int pos_base = 0;
     for (int64_t v = 0; v < n_values; ++v) {
@@ -143,12 +178,17 @@ struct Builder {
           reinterpret_cast<const uint8_t*>(data) + value_offsets[v + 1];
       int pos = 0;
       int last_pos = -1;
-      std::string token;
       size_t raw_bytes = 0;
       bool in_token = false;
       while (p < end) {
         uint32_t cp;
-        int n = decode_utf8(p, end, &cp);
+        int n;
+        if (*p < 0x80) {  // ASCII fast path (the overwhelming majority)
+          cp = *p;
+          n = 1;
+        } else {
+          n = decode_utf8(p, end, &cp);
+        }
         if (is_alnum(cp)) {
           if (!in_token) {
             in_token = true;
@@ -160,7 +200,7 @@ struct Builder {
         } else if (in_token) {
           in_token = false;
           if (raw_bytes < kLongTokenByteLimit) {
-            doc_terms[token].push_back(pos_base + pos);
+            emit(doc, pos_base + pos);
             ++n_tokens;
             last_pos = std::max(last_pos, pos);
           }
@@ -170,7 +210,7 @@ struct Builder {
       }
       if (in_token) {
         if (raw_bytes < kLongTokenByteLimit) {
-          doc_terms[token].push_back(pos_base + pos);
+          emit(doc, pos_base + pos);
           ++n_tokens;
           last_pos = std::max(last_pos, pos);
         }
@@ -181,12 +221,6 @@ struct Builder {
       if (last_pos >= 0) pos_base += last_pos + kPositionGap;
     }
     doc_token_counts.push_back(n_tokens);
-    for (auto& kv : doc_terms) {
-      Posting& p = postings[kv.first];
-      p.docs.push_back(doc);
-      p.tfs.push_back(static_cast<int32_t>(kv.second.size()));
-      p.positions.push_back(std::move(kv.second));
-    }
   }
 };
 
@@ -213,27 +247,59 @@ void fugu_builder_add_doc(void* h, const char* data, const int64_t* offsets,
                                     offsets);
 }
 
+// Batched ingestion: the whole batch's values concatenated in `data`,
+// `value_offsets` (n_values_total + 1) delimiting each value, and
+// `doc_value_counts` (n_docs) giving how many values each doc owns.
+// One FFI crossing instead of one per document (the per-call ctypes
+// overhead measured ~40us/doc — the ingest hot loop's largest cost).
+void fugu_builder_add_docs(void* h, const char* data,
+                           const int64_t* value_offsets,
+                           const int64_t* doc_value_counts, int64_t n_docs) {
+  Builder* b = static_cast<Builder*>(h);
+  int64_t v = 0;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    int64_t nv = doc_value_counts[d];
+    const int64_t* offs = value_offsets + v;
+    int64_t base = offs[0];
+    // add_doc expects value-relative offsets starting at 0; rebase the
+    // slice of the shared offset table on the stack for small nv
+    if (nv <= 15) {
+      int64_t local[16];
+      for (int64_t i = 0; i <= nv; ++i) local[i] = offs[i] - base;
+      b->add_doc(data + base, local[nv], nv, local);
+    } else {
+      std::vector<int64_t> local(nv + 1);
+      for (int64_t i = 0; i <= nv; ++i) local[i] = offs[i] - base;
+      b->add_doc(data + base, local[nv], nv, local.data());
+    }
+    v += nv;
+  }
+}
+
 void* fugu_builder_finish(void* h) {
   Builder* b = static_cast<Builder*>(h);
   Result* r = new Result();
-  std::vector<const std::string*> terms;
-  terms.reserve(b->postings.size());
-  for (auto& kv : b->postings) terms.push_back(&kv.first);
-  std::sort(terms.begin(), terms.end(),
-            [](const std::string* a, const std::string* c) { return *a < *c; });
+  std::vector<int32_t> order(b->postings.size());
+  for (size_t i = 0; i < order.size(); ++i)
+    order[i] = static_cast<int32_t>(i);
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t c) {
+    return *b->term_strs[a] < *b->term_strs[c];
+  });
   r->pos_offsets.push_back(0);
-  for (const std::string* t : terms) {
-    Posting& p = b->postings[*t];
-    r->term_blob += *t;
-    r->term_lens.push_back(static_cast<int32_t>(t->size()));
+  for (int32_t id : order) {
+    Posting& p = b->postings[id];
+    const std::string& t = *b->term_strs[id];
+    r->term_blob += t;
+    r->term_lens.push_back(static_cast<int32_t>(t.size()));
     r->term_dfs.push_back(static_cast<int32_t>(p.docs.size()));
-    // docs were appended in increasing doc order already
-    for (size_t i = 0; i < p.docs.size(); ++i) {
-      r->post_docs.push_back(p.docs[i]);
-      r->post_tfs.push_back(p.tfs[i]);
-      for (int32_t pos : p.positions[i]) r->pos_data.push_back(pos);
-      r->pos_offsets.push_back(static_cast<int64_t>(r->pos_data.size()));
-    }
+    // docs were appended in increasing doc order already; the term's
+    // flat position arena is grouped per doc in the same order
+    r->post_docs.insert(r->post_docs.end(), p.docs.begin(), p.docs.end());
+    r->post_tfs.insert(r->post_tfs.end(), p.tfs.begin(), p.tfs.end());
+    int64_t base = static_cast<int64_t>(r->pos_data.size());
+    r->pos_data.insert(r->pos_data.end(), p.pos_data.begin(),
+                       p.pos_data.end());
+    for (int64_t e : p.pos_ends) r->pos_offsets.push_back(base + e);
   }
   r->doc_token_counts = b->doc_token_counts;
   return r;

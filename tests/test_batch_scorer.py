@@ -220,7 +220,130 @@ def test_batch_scorer_shift_kind_parity(seg):
             )
         ]
         plans.append(QueryPlan(groups=tuple(groups), require_should=True))
-    assert all(_classify(p) == "shift" for p in plans)
+    # round 3: these narrow-gate now (was "shift"); the parity assert
+    # below still pins the require_should semantics bit-exactly
+    assert all(_classify(p) == "gate" for p in plans)
     res = batch_search_should(seg, plans, stats, 10, interpret=True)
     for plan, r in zip(plans, res):
         assert_tie_tolerant(r, plan, seg, stats, 10)
+
+
+def test_classify_narrow_kinds(seg):
+    from fugu_tpu.ops.batch_scorer import _classify
+
+    def P(*groups, **kw):
+        return QueryPlan(groups=tuple(groups), **kw)
+
+    S = lambda t: QueryGroup(Occur.SHOULD, (TermClause("text", t),))
+    N = lambda t: QueryGroup(Occur.MUST_NOT, (TermClause("text", t),))
+    M = lambda t: QueryGroup(Occur.MUST, (TermClause("text", t),))
+    F = lambda p: QueryGroup(Occur.MUST, (TermClause("", p, is_facet=True),))
+
+    assert _classify(P(S("w1"), S("w2"))) == "pure"
+    assert _classify(P(S("w1"), N("w2"))) == "neg"
+    assert _classify(P(S("w1"), F("/cat/1"))) == "gate"
+    assert _classify(P(S("w1"), F("/cat/1"), F("/cat/2"), N("w3"))) == "gate"
+    assert _classify(P(M("w1"), M("w2"))) == "exact"
+    # require_should + facet MUST gates too (threshold (n-0.5)*BIG keeps
+    # the kth a valid lower bound; phase B enforces the true semantics)
+    assert (
+        _classify(P(S("w1"), F("/cat/1"), require_should=True)) == "gate"
+    )
+    # >4 gates: f32 granularity at score + n*GATE_BIG too coarse -> the
+    # wide "shift" path (require_should) keeps it exact
+    five = [F(f"/cat/{i}") for i in range(5)]
+    assert _classify(P(S("w1"), *five, require_should=True)) == "shift"
+    assert _classify(P(S("w1"), *five, require_should=False)) == "exact"
+
+
+def test_neg_kind_parity_and_exclusion(seg):
+    """MUST_NOT via score-lane W_MUSTNOT: excluded docs (including ones
+    that would otherwise top the list) must vanish, everything else
+    bit-identical to the oracle."""
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(11)
+    plans = []
+    for _ in range(12):
+        terms = rng.choice(50, size=3, replace=False)
+        plans.append(
+            QueryPlan(
+                groups=(
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{terms[0]}"),)),
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{terms[1]}"),)),
+                    QueryGroup(Occur.MUST_NOT, (TermClause("text", f"w{terms[2]}"),)),
+                )
+            )
+        )
+    # multi-clause MUST_NOT (any-of exclusion)
+    plans.append(
+        QueryPlan(
+            groups=(
+                QueryGroup(Occur.SHOULD, (TermClause("text", "w3"),)),
+                QueryGroup(
+                    Occur.MUST_NOT,
+                    (TermClause("text", "w4"), TermClause("text", "w5")),
+                ),
+            )
+        )
+    )
+    res = batch_search_should(seg, plans, stats, 10, interpret=True)
+    for plan, r in zip(plans, res):
+        assert_tie_tolerant(r, plan, seg, stats, 10)
+
+
+def test_gate_kind_parity(seg):
+    """Facet MUSTs via GATE_BIG score gating: single and double gates,
+    gate+mustnot combos, absent facets -> empty."""
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(12)
+    plans = []
+    for _ in range(10):
+        terms = rng.choice(50, size=2, replace=False)
+        cat = int(rng.integers(0, 6))
+        plans.append(
+            QueryPlan(
+                groups=(
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{terms[0]}"),)),
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{terms[1]}"),)),
+                    QueryGroup(
+                        Occur.MUST,
+                        (TermClause("", f"/cat/{cat}", is_facet=True),),
+                    ),
+                )
+            )
+        )
+    # double gate: ancestor + leaf facet both required
+    plans.append(
+        QueryPlan(
+            groups=(
+                QueryGroup(Occur.SHOULD, (TermClause("text", "w7"),)),
+                QueryGroup(Occur.MUST, (TermClause("", "/cat", is_facet=True),)),
+                QueryGroup(Occur.MUST, (TermClause("", "/cat/2", is_facet=True),)),
+            )
+        )
+    )
+    # gate + mustnot
+    plans.append(
+        QueryPlan(
+            groups=(
+                QueryGroup(Occur.SHOULD, (TermClause("text", "w8"),)),
+                QueryGroup(Occur.MUST, (TermClause("", "/cat/3", is_facet=True),)),
+                QueryGroup(Occur.MUST_NOT, (TermClause("text", "w9"),)),
+            )
+        )
+    )
+    # absent facet: MUST on a path nothing carries -> no hits
+    plans.append(
+        QueryPlan(
+            groups=(
+                QueryGroup(Occur.SHOULD, (TermClause("text", "w1"),)),
+                QueryGroup(
+                    Occur.MUST, (TermClause("", "/nope/zzz", is_facet=True),)
+                ),
+            )
+        )
+    )
+    res = batch_search_should(seg, plans, stats, 10, interpret=True)
+    for plan, r in zip(plans, res):
+        assert_tie_tolerant(r, plan, seg, stats, 10)
+    assert res[-1] == []

@@ -89,11 +89,11 @@ def test_device_failure_backoff_grows(tmp_path, monkeypatch):
 def test_otel_gating_with_stub_exporter(monkeypatch):
     from fugu_tpu import telemetry
 
-    # 1) endpoint unset -> no tracer
+    # 1) endpoint unset -> no pipeline
     monkeypatch.delenv("OTEL_EXPORTER_OTLP_ENDPOINT", raising=False)
     assert telemetry._init_otel() is None
 
-    # 2) endpoint set, package missing -> logged, no tracer
+    # 2) endpoint set, package missing -> logged, no pipeline
     monkeypatch.setenv("OTEL_EXPORTER_OTLP_ENDPOINT", "http://otel:4317")
     monkeypatch.setitem(sys.modules, "opentelemetry", None)
     try:
@@ -101,34 +101,17 @@ def test_otel_gating_with_stub_exporter(monkeypatch):
     finally:
         sys.modules.pop("opentelemetry", None)
 
-    # 3) endpoint set, stub package present -> tracer built and spans
-    #    open/close through it
-    entered = []
-
-    class _Ctx:
-        def __enter__(self):
-            entered.append("enter")
-            return self
-
-        def __exit__(self, *exc):
-            entered.append("exit")
-            return False
-
-    class _Tracer:
-        def start_as_current_span(self, label):
-            entered.append(label)
-            return _Ctx()
-
-    stub_trace = types.SimpleNamespace(get_tracer=lambda name: _Tracer())
+    # 3) endpoint set but only the API surface importable (no SDK):
+    #    the full pipeline (provider/exporter/propagator) can't assemble,
+    #    so init degrades to log-only instead of returning a tracer that
+    #    would never export (round-2 behavior; VERDICT r2 missing #2).
+    stub_trace = types.SimpleNamespace(get_tracer=lambda name: object())
     stub = types.ModuleType("opentelemetry")
     stub.trace = stub_trace
     monkeypatch.setitem(sys.modules, "opentelemetry", stub)
-    tracer = telemetry._init_otel()
-    assert tracer is not None
-    monkeypatch.setattr(telemetry, "_otel_tracer", tracer)
-    with telemetry.query_span("probe"):
-        pass
-    assert entered == ["query:probe", "enter", "exit"]
+    assert telemetry._init_otel() is None
+    # the FULL assembly path is covered by tests/test_otel.py with a
+    # complete recording stub SDK
 
 
 def test_spilled_index_num_docs_zero(tmp_path):

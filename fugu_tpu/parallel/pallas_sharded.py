@@ -280,72 +280,79 @@ def pallas_sharded_search_batch(
                 )
         if not rows:
             continue
-        nb_pad = nb_bucket(max(max(r[6] for r in rows), 1))
-        smem_cap = max(1, 16384 // (nb_pad * t_pad))
-        b_pad = max([x for x in buckets.B_BUCKETS if x <= smem_cap] or [1])
+        # group rows by their own nb bucket (mirrors the single-chip
+        # dispatcher): one global max-nb_pad forced every row into the
+        # widest signature — 4x SMEM per row, smaller query batches,
+        # extra dispatches (measured 2x wave time on the 1M should mix)
+        rows_by_nb: Dict[int, list] = {}
+        for r in rows:
+            rows_by_nb.setdefault(nb_bucket(max(r[6], 1)), []).append(r)
+        for nb_pad, nrows in sorted(rows_by_nb.items()):
+            smem_cap = max(1, 16384 // (nb_pad * t_pad))
+            b_pad = max([x for x in buckets.B_BUCKETS if x <= smem_cap] or [1])
 
-        pos = 0
-        while pos < len(rows):
-            chunk = rows[pos : pos + b_pad]
-            pos += len(chunk)
-            nblocks = np.zeros((d, b_pad), dtype=np.int32)
-            block_ids = np.zeros((d, b_pad, nb_pad), dtype=np.int32)
-            startsA = np.zeros((d, b_pad, nb_pad, t_pad), dtype=np.int32)
-            countsA = np.zeros((d, b_pad, nb_pad, t_pad), dtype=np.int32)
-            weights = np.zeros((b_pad, t_pad), dtype=np.float32)
-            c1 = np.ones((b_pad, t_pad), dtype=np.float32)
-            c2 = np.zeros((b_pad, t_pad), dtype=np.float32)
-            gbits = np.full((b_pad, t_pad), -1, dtype=np.int32)
-            masks = np.zeros((b_pad, 3), dtype=np.int32)
-            for bi, (i, shard_args, must, mustnot, should, tables, _m) in enumerate(
-                chunk
-            ):
-                weights[bi] = shard_args[0].weights
-                c1[bi] = shard_args[0].c1
-                c2[bi] = shard_args[0].c2
-                for t in range(t_pad):
-                    bits = int(shard_args[0].gbits[t])
-                    gbits[bi, t] = bits.bit_length() - 1 if bits else -1
-                masks[bi] = (must, mustnot, should)
-                for s in range(d):
-                    st, ct, nonempty = tables[s]
-                    nb = len(nonempty)
-                    nblocks[s, bi] = nb
-                    block_ids[s, bi, :nb] = nonempty
-                    startsA[s, bi, :nb] = st[nonempty]
-                    countsA[s, bi, :nb] = ct[nonempty]
+            pos = 0
+            while pos < len(nrows):
+                chunk = nrows[pos : pos + b_pad]
+                pos += len(chunk)
+                nblocks = np.zeros((d, b_pad), dtype=np.int32)
+                block_ids = np.zeros((d, b_pad, nb_pad), dtype=np.int32)
+                startsA = np.zeros((d, b_pad, nb_pad, t_pad), dtype=np.int32)
+                countsA = np.zeros((d, b_pad, nb_pad, t_pad), dtype=np.int32)
+                weights = np.zeros((b_pad, t_pad), dtype=np.float32)
+                c1 = np.ones((b_pad, t_pad), dtype=np.float32)
+                c2 = np.zeros((b_pad, t_pad), dtype=np.float32)
+                gbits = np.full((b_pad, t_pad), -1, dtype=np.int32)
+                masks = np.zeros((b_pad, 3), dtype=np.int32)
+                for bi, (i, shard_args, must, mustnot, should, tables, _m) in enumerate(
+                    chunk
+                ):
+                    weights[bi] = shard_args[0].weights
+                    c1[bi] = shard_args[0].c1
+                    c2[bi] = shard_args[0].c2
+                    for t in range(t_pad):
+                        bits = int(shard_args[0].gbits[t])
+                        gbits[bi, t] = bits.bit_length() - 1 if bits else -1
+                    masks[bi] = (must, mustnot, should)
+                    for s in range(d):
+                        st, ct, nonempty = tables[s]
+                        nb = len(nonempty)
+                        nblocks[s, bi] = nb
+                        block_ids[s, bi, :nb] = nonempty
+                        startsA[s, bi, :nb] = st[nonempty]
+                        countsA[s, bi, :nb] = ct[nonempty]
 
-            spec = NamedSharding(pack.mesh, P(shard_axes(pack.mesh), None))
-            spec3 = NamedSharding(
-                pack.mesh, P(shard_axes(pack.mesh), None, None)
-            )
-            top_s, top_d = _sharded_scorer(
-                jax.device_put(nblocks, spec),
-                jax.device_put(block_ids, spec3),
-                jax.device_put(
-                    startsA.reshape(d, b_pad, nb_pad * t_pad), spec3
-                ),
-                jax.device_put(
-                    countsA.reshape(d, b_pad, nb_pad * t_pad), spec3
-                ),
-                jnp.asarray(weights),
-                jnp.asarray(c1),
-                jnp.asarray(c2),
-                jnp.asarray(gbits),
-                jnp.asarray(masks),
-                pack.p_doc,
-                pack.p_pk,
-                pack.p_flags,
-                pack.d_offsets,
-                mesh=pack.mesh,
-                t_pad=t_pad,
-                nb_pad=nb_pad,
-                k=k,
-                b_pad=b_pad,
-                need_bits=need_bits,
-                interpret=interpret,
-            )
-            pending.append((chunk, top_s, top_d))
+                spec = NamedSharding(pack.mesh, P(shard_axes(pack.mesh), None))
+                spec3 = NamedSharding(
+                    pack.mesh, P(shard_axes(pack.mesh), None, None)
+                )
+                top_s, top_d = _sharded_scorer(
+                    jax.device_put(nblocks, spec),
+                    jax.device_put(block_ids, spec3),
+                    jax.device_put(
+                        startsA.reshape(d, b_pad, nb_pad * t_pad), spec3
+                    ),
+                    jax.device_put(
+                        countsA.reshape(d, b_pad, nb_pad * t_pad), spec3
+                    ),
+                    jnp.asarray(weights),
+                    jnp.asarray(c1),
+                    jnp.asarray(c2),
+                    jnp.asarray(gbits),
+                    jnp.asarray(masks),
+                    pack.p_doc,
+                    pack.p_pk,
+                    pack.p_flags,
+                    pack.d_offsets,
+                    mesh=pack.mesh,
+                    t_pad=t_pad,
+                    nb_pad=nb_pad,
+                    k=k,
+                    b_pad=b_pad,
+                    need_bits=need_bits,
+                    interpret=interpret,
+                )
+                pending.append((chunk, top_s, top_d))
 
     partial: dict = {}
     # one overlapped transfer for all dispatches (each separate device

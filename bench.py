@@ -211,6 +211,24 @@ def device_run(seg, stats, mix):
         return r
 
     host_is = [i for i, p in enumerate(plans) if p.host_only]
+    # device phrase execution: eligible phrase plans dispatch to the
+    # device up front (ops/device_phrase); the host matcher keeps the
+    # rest and runs under the device waits as before
+    phrase_handle = None
+    if host_is:
+        from fugu_tpu.ops.device_phrase import (
+            device_phrase_begin,
+            device_phrase_collect,
+        )
+
+        phrase_handle = device_phrase_begin(
+            seg, [plans[i] for i in host_is], stats, max(lims[i] for i in host_is)
+        )
+        pre, staged = phrase_handle[0], phrase_handle[1]
+        covered = {qi for qi, _ in staged} | {
+            j for j, r in enumerate(pre) if r is not None
+        }
+        host_is = [i for j, i in enumerate(host_is) if j not in covered]
     th = None
     if host_is:
         def host_work():
@@ -237,6 +255,14 @@ def device_run(seg, stats, mix):
     for (limit, idxs), fill in zip(groups, pallas_search_collect(handles)):
         for i, r in zip(idxs, fill):
             results[i] = r
+    if phrase_handle is not None:
+        from fugu_tpu.ops.device_phrase import device_phrase_collect
+
+        phrase_res = device_phrase_collect(phrase_handle)
+        all_host = [i for i, p in enumerate(plans) if p.host_only]
+        for j, i in enumerate(all_host):
+            if phrase_res[j] is not None:
+                results[i] = phrase_res[j][: lims[i]]
     if th is not None:
         th.join()
     for i, r in enumerate(results):

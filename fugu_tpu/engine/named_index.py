@@ -313,9 +313,39 @@ class NamedIndex:
             host_only_idx = [i for i in runnable if plans[i].host_only]
             host_map: Dict[int, Any] = {}
             host_thread = None
-            if host_only_idx and device_idx:
+            # device phrase execution (ops/device_phrase): eligible
+            # phrase plans queue device dispatches up front; their
+            # results collect together with the main device batch.  The
+            # host matcher keeps everything the device declines.
+            phrase_handle = None
+            phrase_host_idx = list(host_only_idx)
+            if (
+                host_only_idx
+                and device_ok
+                and seg.n_entries >= DEVICE_MIN_ENTRIES
+            ):
+                try:
+                    from fugu_tpu.ops.device_phrase import (
+                        device_phrase_begin,
+                    )
+
+                    phrase_handle = device_phrase_begin(
+                        seg, [plans[i] for i in host_only_idx], stats, limit
+                    )
+                    pre, staged = phrase_handle[0], phrase_handle[1]
+                    covered = {qi for qi, _ in staged} | {
+                        j for j, r in enumerate(pre) if r is not None
+                    }
+                    phrase_host_idx = [
+                        i
+                        for j, i in enumerate(host_only_idx)
+                        if j not in covered
+                    ]
+                except Exception:
+                    phrase_handle = None
+            if phrase_host_idx and device_idx:
                 def _host_work():
-                    for i in host_only_idx:
+                    for i in phrase_host_idx:
                         try:
                             host_map[i] = host_segment_hits(seg, plans[i])
                         except Exception as e:  # surface after join
@@ -353,6 +383,23 @@ class NamedIndex:
                         e,
                         backoff,
                         self._device_failures,
+                    )
+            if phrase_handle is not None:
+                try:
+                    from fugu_tpu.ops.device_phrase import (
+                        device_phrase_collect,
+                    )
+
+                    phrase_res = device_phrase_collect(phrase_handle)
+                    for j, i in enumerate(host_only_idx):
+                        if phrase_res[j] is not None:
+                            host_map.setdefault(i, phrase_res[j])
+                except Exception as e:
+                    import logging
+
+                    logging.getLogger("fugu_tpu").warning(
+                        "device phrase collect failed (%s); host matcher",
+                        e,
                     )
             if host_thread is not None:
                 host_thread.join()

@@ -211,11 +211,11 @@ def device_run(seg, stats, mix):
         return r
 
     host_is = [i for i, p in enumerate(plans) if p.host_only]
-    # device phrase execution: eligible phrase plans dispatch to the
-    # device up front (ops/device_phrase); the host matcher keeps the
-    # rest and runs under the device waits as before
+    # device phrase execution (opt-in: FUGU_DEVICE_PHRASE=1 — the host
+    # matcher measured faster in every regime on this chip; see
+    # ops/device_phrase.py)
     phrase_handle = None
-    if host_is:
+    if host_is and os.environ.get("FUGU_DEVICE_PHRASE") == "1":
         from fugu_tpu.ops.device_phrase import (
             device_phrase_begin,
             device_phrase_collect,

@@ -313,15 +313,22 @@ class NamedIndex:
             host_only_idx = [i for i in runnable if plans[i].host_only]
             host_map: Dict[int, Any] = {}
             host_thread = None
-            # device phrase execution (ops/device_phrase): eligible
-            # phrase plans queue device dispatches up front; their
-            # results collect together with the main device batch.  The
-            # host matcher keeps everything the device declines.
+            # device phrase execution (ops/device_phrase): opt-in via
+            # FUGU_DEVICE_PHRASE=1.  Measured on this v5e: the host
+            # matcher's bound-ordered pruning beats the device's
+            # gather-bound searchsorted in EVERY regime (3,764 vs 3 QPS
+            # on selective 2-3 term phrases at 1M docs), so the default
+            # keeps phrases on the host; the device path stays for
+            # hardware where gathers are cheaper and as the multi-chip
+            # scaling story (parity-tested either way).
+            import os as _os
+
             phrase_handle = None
             phrase_host_idx = list(host_only_idx)
             if (
                 host_only_idx
                 and device_ok
+                and _os.environ.get("FUGU_DEVICE_PHRASE") == "1"
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
             ):
                 try:

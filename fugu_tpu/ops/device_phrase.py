@@ -2,7 +2,18 @@
 
 Round 2 ran every phrase on the host (ops/phrase.py's pruned matcher),
 which scales with host cores — this box has ONE — while term queries
-scale with chips (VERDICT r2 missing #4).  This module ships each
+scale with chips (VERDICT r2 missing #4).
+
+**Status: implemented, parity-proven, and OFF by default**
+(FUGU_DEVICE_PHRASE=1 enables).  Measured on this v5e via the axon
+relay, the host matcher's bound-ordered pruning beats this path in
+every regime — 3,764 vs 3 QPS on selective 2-3 term phrases at 1M docs
+— because XLA ``searchsorted``/gather on TPU executes as serialized
+dynamic gathers, exactly the memory-access pattern the MXU/VPU design
+trades away.  The implementation stays as the scale-out story (phrase
+work bound to chips instead of host cores on gather-friendlier
+hardware, or with a future Pallas merge-path kernel that streams both
+lists with sequential DMA instead of random gathers).  This module ships each
 field's position arrays to the device once (cached on the segment, like
 the posting packs) and executes the common phrase shapes as one fused
 XLA program per query:

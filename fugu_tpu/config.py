@@ -130,6 +130,9 @@ class ServerConfig:
     #: 0 = single-chip.  shard_slices > 1 builds a 2-D (DCN x ICI) mesh.
     shard_devices: int = 0
     shard_slices: int = 1
+    #: compaction mode for every index: background (default) | sync | off
+    #: (env FUGU_COMPACTION overrides)
+    compaction: Optional[str] = None
     #: cold-namespace spill tier (storage/spill.py): remote prefix for
     #: segment offload; None disables the spill surface
     spill_prefix: Optional[str] = None
@@ -155,6 +158,8 @@ class ServerConfig:
             cfg.shard_devices = int(d["shard_devices"] or 0)
         if "shard_slices" in d:
             cfg.shard_slices = max(int(d["shard_slices"] or 1), 1)
+        if "compaction" in d and d["compaction"]:
+            cfg.compaction = str(d["compaction"])
         if "spill_prefix" in d:
             cfg.spill_prefix = d["spill_prefix"] or None
         if "spill_idle_ttl_secs" in d and d["spill_idle_ttl_secs"]:
@@ -256,6 +261,7 @@ class ServerConfig:
             "validation": dataclasses.asdict(self.validation),
             "shard_devices": self.shard_devices,
             "shard_slices": self.shard_slices,
+            "compaction": self.compaction,
             "spill_prefix": self.spill_prefix,
             "spill_idle_ttl_secs": self.spill_idle_ttl_secs,
         }

@@ -116,6 +116,7 @@ class Dataset:
         writer_memory_budget: int = 50_000_000,
         use_device: bool = True,
         spill_prefix: Optional[str] = None,
+        compaction: Optional[str] = None,
     ):
         self.namespace = namespace
         self.base_path = Path(base_path)
@@ -127,7 +128,8 @@ class Dataset:
         self.last_access = time.time()
         ns_dir = self.base_path / namespace
         self._docs = NamedIndex(
-            "docs", ns_dir / "docs", IndexType.DOCS, writer_memory_budget, use_device
+            "docs", ns_dir / "docs", IndexType.DOCS, writer_memory_budget,
+            use_device, compaction=compaction,
         )
         self._filter_index = NamedIndex(
             "filter_index",
@@ -135,6 +137,7 @@ class Dataset:
             IndexType.FILTER_INDEX,
             writer_memory_budget,
             use_device,
+            compaction=compaction,
         )
         self._query_index = NamedIndex(
             "query_index",
@@ -142,6 +145,7 @@ class Dataset:
             IndexType.QUERY_INDEX,
             writer_memory_budget,
             use_device,
+            compaction=compaction,
         )
 
     def docs(self) -> NamedIndex:

@@ -122,6 +122,7 @@ class DatasetManager:
             writer_memory_budget=self.config.writer_memory_budget or 50_000_000,
             use_device=self.use_device,
             spill_prefix=getattr(self.config, "spill_prefix", None),
+            compaction=getattr(self.config, "compaction", None),
         )
         ds.validate_all_schemas()
         if self._mesh is not None:

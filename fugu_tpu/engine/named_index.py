@@ -129,10 +129,10 @@ class NamedIndex:
         self.writer_memory_budget = writer_memory_budget
         self.use_device = use_device
         self._lock = threading.RLock()
-        if compaction is None:
-            import os
+        import os
 
-            compaction = os.environ.get("FUGU_COMPACTION", "background")
+        # env override wins over config (main.rs:118-121 pattern)
+        compaction = os.environ.get("FUGU_COMPACTION") or compaction or "background"
         if compaction not in ("background", "sync", "off"):
             raise ValueError(f"unknown compaction mode: {compaction!r}")
         self.compaction_mode = compaction

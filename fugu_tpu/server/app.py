@@ -841,8 +841,26 @@ async def restore_namespace(request: web.Request) -> web.Response:
 async def metrics_endpoint(request: web.Request) -> web.Response:
     from fugu_tpu.server.metrics import REGISTRY
 
+    state = _state(request)
+    # live compaction gauges (write amplification accounting per index)
+    lines = []
+    for ns, ds in state.db.datasets.items():
+        for idx in ds.all_indexes():
+            st = idx.compaction_stats
+            lbl = f'namespace="{ns}",index="{idx.name}"'
+            lines.append(f"fugu_segments{{{lbl}}} {len(idx.segments)}")
+            lines.append(f"fugu_compaction_merges{{{lbl}}} {st['merges']}")
+            lines.append(
+                f"fugu_compaction_docs_written{{{lbl}}} {st['docs_written']}"
+            )
+            lines.append(
+                f"fugu_docs_ingested{{{lbl}}} {st['docs_ingested']}"
+            )
+    extra = ("\n".join(lines) + "\n") if lines else ""
     return web.Response(
-        text=REGISTRY.render(), content_type="text/plain", charset="utf-8"
+        text=REGISTRY.render() + extra,
+        content_type="text/plain",
+        charset="utf-8",
     )
 
 

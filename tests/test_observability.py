@@ -81,3 +81,23 @@ def test_spans_nest_and_log(caplog):
             with telemetry.query_span("inner"):
                 logging.getLogger("fugu_tpu").debug("inside")
     assert any("inside" in r.message for r in caplog.records)
+
+
+def test_metrics_exposes_compaction_gauges(tmp_path):
+    """/metrics carries live per-index segment and compaction counters
+    (write amplification is observable in production)."""
+    from tests.test_server import LiveServer
+
+    s = LiveServer(tmp_path)
+    try:
+        for i in range(3):
+            s.post_json(
+                "/ingest", {"data": [{"id": f"m{i}", "text": f"metric doc {i}"}]}
+            )
+        status, body = s.get("/metrics")
+        assert status == 200
+        assert 'fugu_segments{namespace="default",index="docs"}' in body
+        assert 'fugu_docs_ingested{namespace="default",index="docs"} 3' in body
+        assert "fugu_compaction_merges" in body
+    finally:
+        s.stop()

@@ -89,11 +89,17 @@ def build_corpus():
     return seg
 
 
-def make_query_mix(seg):
-    """The 256-query mixed workload: [(class, plan, limit)]."""
+def make_query_mix(seg, counts=None, seed_offset=1):
+    """The 256-query mixed workload: [(class, plan, limit)].
+
+    With `counts` given (e.g. {"must": 256}) the exact per-class counts
+    are generated unscaled — used for the full-batch per-class timing,
+    where each class is measured at the SAME batch size as the mixed
+    headline instead of its small share of the mix.
+    """
     from fugu_tpu.query import Occur, PhraseClause, QueryGroup, QueryPlan, TermClause
 
-    rng = np.random.default_rng(SEED + 1)
+    rng = np.random.default_rng(SEED + seed_offset)
     terms = sorted(seg.terms["text"].keys())
     dfs = np.array([seg.terms["text"][t].doc_freq for t in terms], dtype=np.float64)
     w = dfs / dfs.sum()
@@ -109,19 +115,26 @@ def make_query_mix(seg):
             )
         )
 
-    counts = {
-        "should": 120,
-        "must": 40,
-        "mustnot": 24,
-        "facet": 32,
-        "phrase": 24,
-        "limit100": 16,
-    }
-    scale = N_QUERIES / sum(counts.values())
+    explicit = counts is not None
+    if counts is None:
+        counts = {
+            "should": 120,
+            "must": 40,
+            "mustnot": 24,
+            "facet": 32,
+            "phrase": 24,
+            "limit100": 16,
+        }
+    scale = 1.0 if explicit else N_QUERIES / sum(counts.values())
+
+    def n_of(cls):
+        n = int(counts.get(cls, 0) * scale)
+        return n if explicit else max(n, 1)
+
     mix = []
-    for _ in range(max(int(counts["should"] * scale), 1)):
+    for _ in range(n_of("should")):
         mix.append(("should", should_plan(pick(int(rng.integers(1, 5)))), 10))
-    for _ in range(max(int(counts["must"] * scale), 1)):
+    for _ in range(n_of("must")):
         words = pick(int(rng.integers(2, 4)))
         mix.append(
             (
@@ -135,13 +148,13 @@ def make_query_mix(seg):
                 10,
             )
         )
-    for _ in range(max(int(counts["mustnot"] * scale), 1)):
+    for _ in range(n_of("mustnot")):
         words = pick(int(rng.integers(2, 4)))
         groups = [
             QueryGroup(Occur.SHOULD, (TermClause("text", t),)) for t in words[:-1]
         ] + [QueryGroup(Occur.MUST_NOT, (TermClause("text", words[-1]),))]
         mix.append(("mustnot", QueryPlan(groups=tuple(groups)), 10))
-    for _ in range(max(int(counts["facet"] * scale), 1)):
+    for _ in range(n_of("facet")):
         words = pick(int(rng.integers(1, 4)))
         groups = [
             QueryGroup(Occur.SHOULD, (TermClause("text", t),)) for t in words
@@ -156,7 +169,7 @@ def make_query_mix(seg):
             )
         ]
         mix.append(("facet", QueryPlan(groups=tuple(groups)), 10))
-    for _ in range(max(int(counts["phrase"] * scale), 1)):
+    for _ in range(n_of("phrase")):
         words = pick(2)
         mix.append(
             (
@@ -172,9 +185,9 @@ def make_query_mix(seg):
                 10,
             )
         )
-    for _ in range(max(int(counts["limit100"] * scale), 1)):
+    for _ in range(n_of("limit100")):
         mix.append(("limit100", should_plan(pick(int(rng.integers(1, 5)))), 100))
-    return mix[:N_QUERIES]
+    return mix if explicit else mix[:N_QUERIES]
 
 
 def device_run(seg, stats, mix):
@@ -325,6 +338,24 @@ def main() -> None:
         device_run(seg, stats, sub)
         dt = time.time() - t0
         log(f"  class {cls:9s}: {len(sub)/dt:8.1f} QPS ({len(sub)} queries)")
+
+    # per-class QPS at FULL batch size: each class's share of the mix is
+    # 16-120 queries, where ~2 relay syncs + one stream's fixed cost
+    # (~100ms) floor the isolated number regardless of kernel flops.
+    # Timing each class as its own N_QUERIES-sized batch is the
+    # apples-to-apples class throughput (same amortization as the mixed
+    # headline). Skippable for quick runs with BENCH_CLASS_FULL=0.
+    if os.environ.get("BENCH_CLASS_FULL", "1") != "0":
+        for cls in classes:
+            full = make_query_mix(seg, counts={cls: N_QUERIES}, seed_offset=2)
+            device_run(seg, stats, full)  # warm this batch's signatures
+            t0 = time.time()
+            device_run(seg, stats, full)
+            dt = time.time() - t0
+            log(
+                f"  class {cls:9s} @ full batch: {len(full)/dt:8.1f} QPS "
+                f"({len(full)} queries)"
+            )
 
     # single-stream latency through the production single-query path
     from fugu_tpu.ops.pallas_scorer import pallas_search_batch

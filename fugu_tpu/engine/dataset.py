@@ -174,12 +174,18 @@ class Dataset:
         # them sequentially (document.rs:426-432).
         import os as _os
 
+        # validate each record ONCE here instead of once per index (the
+        # reference validates inside each per-index add too; observable
+        # behavior — which record fails first — is identical)
+        for record in records:
+            record.validate()
+
         if len(records) >= 64 and (_os.cpu_count() or 1) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=3) as ex:
                 futs = [
-                    ex.submit(idx.upsert, records)
+                    ex.submit(idx.upsert, records, True)
                     for idx in (
                         self._docs,
                         self._filter_index,
@@ -189,9 +195,9 @@ class Dataset:
                 for f in futs:
                     f.result()
         else:
-            self._docs.upsert(records)
-            self._filter_index.upsert(records)
-            self._query_index.upsert(records)
+            self._docs.upsert(records, prevalidated=True)
+            self._filter_index.upsert(records, prevalidated=True)
+            self._query_index.upsert(records, prevalidated=True)
 
     def batch_upsert(self, records: Sequence[ObjectRecord]) -> int:
         self.upsert(records)

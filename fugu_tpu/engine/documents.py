@@ -20,6 +20,7 @@ yields just ``/metadata/details``.  We replicate that observable behavior.
 from __future__ import annotations
 
 import datetime
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 from fugu_tpu.metadata import create_metadata_facets_hashmap
@@ -100,23 +101,21 @@ def build_full_document(record: ObjectRecord) -> DocSpec:
     return text_fields, facets, stored
 
 
+_SENTENCE_SPLIT = re.compile(r"[.!?\n]")
+
+
 def extract_query_suggestions(text: str) -> List[str]:
     """2-3 word phrases, 3 < len < 50, max 10 (document.rs:384-403)."""
     suggestions: List[str] = []
-    for sentence in _split_any(text, ".!?\n"):
-        words = sentence.strip().split()
+    for sentence in _SENTENCE_SPLIT.split(text):
+        words = sentence.split()
         if len(words) >= 2:
-            phrase = " ".join(words[: min(3, len(words))])
+            phrase = " ".join(words[:3])
             if 3 < len(phrase) < 50:
                 suggestions.append(phrase)
-    return suggestions[:10]
-
-
-def _split_any(text: str, seps: str) -> List[str]:
-    out = [text]
-    for sep in seps:
-        out = [piece for chunk in out for piece in chunk.split(sep)]
-    return out
+                if len(suggestions) == 10:
+                    break
+    return suggestions
 
 
 def build_query_suggestion_documents(record: ObjectRecord) -> List[DocSpec]:

@@ -467,9 +467,15 @@ class NamedIndex:
 
     # -- writer side ---------------------------------------------------------
 
-    def upsert(self, records: Sequence[ObjectRecord]) -> None:
+    def upsert(
+        self, records: Sequence[ObjectRecord], prevalidated: bool = False
+    ) -> None:
         """Validate -> delete-by-id -> add -> synchronous commit
-        (document.rs:23-67)."""
+        (document.rs:23-67).
+
+        ``prevalidated`` lets Dataset.upsert validate each record ONCE for
+        all three per-namespace indexes instead of three times.
+        """
         self.validate_required_fields()
         with self._lock:
             builder = SegmentBuilder(self.schema)
@@ -478,7 +484,8 @@ class NamedIndex:
             for record in records:
                 if not record.id:
                     raise ValueError("Object ID cannot be empty")
-                record.validate()
+                if not prevalidated:
+                    record.validate()
 
                 if self.supports_full_documents():
                     # Tantivy delete_term: the raw id string as one term

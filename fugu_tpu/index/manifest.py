@@ -83,15 +83,14 @@ def save_segment(segment: Segment, dir_path: Path) -> str:
     # (np.load reads both formats, so old segments stay loadable)
     with open(dir_path / f"seg-{seg_id}.npz", "wb") as f:
         np.savez(f, **arrays)
-    with open(dir_path / f"seg-{seg_id}.store.jsonl", "w") as f:
-        # one join + one write (per-line writes measured ~2x slower)
-        f.write(
-            "\n".join(
-                json.dumps(doc, ensure_ascii=False) for doc in segment.stored
-            )
-        )
-        if segment.stored:
-            f.write("\n")
+    # doc store: one msgpack.packb of the whole list — ~7x faster than
+    # per-doc json.dumps lines (0.047s vs 0.335s per 78k docs) and ~2x
+    # faster to load; old .store.jsonl segments stay loadable (fallback
+    # in load_segment)
+    import msgpack
+
+    with open(dir_path / f"seg-{seg_id}.store.msgpack", "wb") as f:
+        f.write(msgpack.packb(list(segment.stored)))
     save_tombstones(segment, dir_path)
     return seg_id
 
@@ -143,9 +142,15 @@ def load_segment(dir_path: Path, seg_id: str, schema: IndexSchema) -> Segment:
         e_fid[:n_entries] = z["e_fid"]
 
     stored: List[Dict[str, Any]] = []
-    with open(dir_path / f"seg-{seg_id}.store.jsonl") as f:
-        for line in f:
-            stored.append(json.loads(line))
+    mp_path = dir_path / f"seg-{seg_id}.store.msgpack"
+    if mp_path.exists():
+        import msgpack
+
+        stored = msgpack.unpackb(mp_path.read_bytes())
+    else:  # pre-round-3 segments wrote one JSON line per doc
+        with open(dir_path / f"seg-{seg_id}.store.jsonl") as f:
+            for line in f:
+                stored.append(json.loads(line))
 
     tomb_path = dir_path / f"seg-{seg_id}.tomb.npy"
     if tomb_path.exists():
@@ -219,7 +224,7 @@ class Manifest:
         for f in self.dir_path.glob("seg-*.npz"):
             seg_id = f.name[len("seg-") : -len(".npz")]
             if seg_id not in live:
-                for suffix in (".npz", ".store.jsonl", ".tomb.npy"):
+                for suffix in (".npz", ".store.msgpack", ".store.jsonl", ".tomb.npy"):
                     p = self.dir_path / f"seg-{seg_id}{suffix}"
                     if p.exists():
                         p.unlink()

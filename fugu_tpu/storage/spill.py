@@ -229,7 +229,10 @@ class SegmentSpiller:
     both directions copy before deleting.
     """
 
-    SUFFIXES = (".npz", ".store.jsonl", ".tomb.npy")
+    # both store formats listed: msgpack is what new segments write,
+    # .store.jsonl keeps pre-round-3 spilled segments restorable (spill
+    # and restore both skip absent files)
+    SUFFIXES = (".npz", ".store.msgpack", ".store.jsonl", ".tomb.npy")
 
     def __init__(self, remote_prefix: str, cache: Optional[CachePolicy] = None):
         self.remote_prefix = remote_prefix.rstrip("/")

@@ -30,6 +30,7 @@ length and the sort pushes sentinels to the tail.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -48,10 +49,15 @@ DOC_SENTINEL = np.int32(2**31 - 1)
 POSITION_GAP = 2
 
 
-def facet_ancestors(path: str) -> List[str]:
-    """All ancestor paths of a facet, including itself: /a/b/c -> /a, /a/b, /a/b/c."""
+@functools.lru_cache(maxsize=4096)
+def facet_ancestors(path: str) -> Tuple[str, ...]:
+    """All ancestor paths of a facet, including itself: /a/b/c -> /a, /a/b, /a/b/c.
+
+    Cached: real corpora reuse a small set of facet paths across millions
+    of docs, and ingest calls this once per doc per path.
+    """
     parts = [p for p in path.split("/") if p != ""]
-    return ["/" + "/".join(parts[: i + 1]) for i in range(len(parts))]
+    return tuple("/" + "/".join(parts[: i + 1]) for i in range(len(parts)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,8 +161,14 @@ class SegmentBuilder:
         if "id" in text_fields:
             # raw-id-token side table for in-batch upsert dedupe
             for v in text_fields["id"]:
-                for tok in analysis.tokenize(str(v)):
-                    self._id_docs.setdefault(tok.text, []).append(doc)
+                v = str(v)
+                if v.isascii() and v.isalnum() and len(v) < 40:
+                    # common case: a plain alnum id IS its one token
+                    # (single maximal run, ascii byte length, lowercased)
+                    self._id_docs.setdefault(v.lower(), []).append(doc)
+                else:
+                    for tok in analysis.tokenize(v):
+                        self._id_docs.setdefault(tok.text, []).append(doc)
 
     def _add_document_python(
         self, doc: int, text_fields: Dict[str, Sequence[str]]

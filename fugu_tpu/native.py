@@ -182,19 +182,19 @@ class NativeFieldAccumulator:
         per-call ctypes overhead dominates the per-doc path)."""
         if not docs_values:
             return
-        parts: List[bytes] = []
-        value_offsets = [0]
-        counts = np.zeros(len(docs_values), dtype=np.int64)
-        acc = 0
-        for d, values in enumerate(docs_values):
-            counts[d] = len(values)
-            for v in values:
-                raw = v.encode("utf-8")
-                parts.append(raw)
-                acc += len(raw)
-                value_offsets.append(acc)
+        counts = np.fromiter(
+            (len(values) for values in docs_values),
+            dtype=np.int64,
+            count=len(docs_values),
+        )
+        parts = [v.encode("utf-8") for values in docs_values for v in values]
+        offs = np.zeros(len(parts) + 1, dtype=np.int64)
+        if parts:
+            np.cumsum(
+                np.fromiter(map(len, parts), dtype=np.int64, count=len(parts)),
+                out=offs[1:],
+            )
         data = b"".join(parts)
-        offs = np.array(value_offsets, dtype=np.int64)
         self._lib.fugu_builder_add_docs(
             self._h,
             data,

@@ -20,8 +20,8 @@ def build_tiny():
 
 
 def test_facet_ancestors():
-    assert facet_ancestors("/a/b/c") == ["/a", "/a/b", "/a/b/c"]
-    assert facet_ancestors("/x") == ["/x"]
+    assert list(facet_ancestors("/a/b/c")) == ["/a", "/a/b", "/a/b/c"]
+    assert list(facet_ancestors("/x")) == ["/x"]
 
 
 def test_postings_sorted_and_tf():

@@ -73,14 +73,19 @@ def build_corpus():
     b = SegmentBuilder(DOCS_SCHEMA)
     t0 = time.time()
     lens = np.clip(rng.poisson(MEAN_DOC_LEN, N_DOCS), 5, 200)
+    # draw every token in one vectorized pass (a per-doc rng.choice with
+    # a 30k-entry p is ~1ms/doc — hours at 8M docs), then slice per doc
+    starts = np.zeros(N_DOCS + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    all_words = vocab[rng.choice(VOCAB_SIZE, size=int(starts[-1]), p=p)]
+    srcs = rng.integers(0, 20, N_DOCS)
     for i in range(N_DOCS):
-        words = vocab[rng.choice(VOCAB_SIZE, size=lens[i], p=p)]
         b.add_document(
-            {"text": [" ".join(words)]},
-            facets=[f"/source/{int(rng.integers(0, 20))}"],
+            {"text": [" ".join(all_words[starts[i] : starts[i + 1]])]},
+            facets=[f"/source/{int(srcs[i])}"],
             stored={"id": f"d{i}"},
         )
-        if i % 20000 == 19999:
+        if i % 200000 == 199999:
             log(f"  {i + 1} docs ({time.time() - t0:.0f}s)")
     seg = b.build()
     seg.segment_id = seg_id

@@ -349,3 +349,31 @@ def test_multi_segment_scores_use_index_wide_stats(tmp_path):
     assert [(np.float32(h.score), h.segment_ord, h.doc) for h in hits] == [
         (np.float32(h.score), h.segment_ord, h.doc) for h in exp
     ]
+
+
+def test_legacy_jsonl_store_loads(tmp_path):
+    """Pre-round-3 segments persisted stored docs as JSON lines; new
+    segments write one msgpack blob.  A legacy segment must reload with
+    identical stored content (manifest.py load_segment fallback)."""
+    import json
+
+    ds = Dataset("legacy", tmp_path, use_device=False)
+    ds.ingest([rec(1, "legacy stored doc", ns="legacy")])
+    docs_dir = tmp_path / "legacy" / "docs"
+    mp_files = list(docs_dir.glob("seg-*.store.msgpack"))
+    assert mp_files, "new segments should write the msgpack store"
+    # rewrite the store in the legacy per-line JSON format
+    import msgpack
+
+    for mp in mp_files:
+        stored = msgpack.unpackb(mp.read_bytes())
+        legacy = mp.with_name(mp.name.replace(".store.msgpack", ".store.jsonl"))
+        legacy.write_text(
+            "".join(json.dumps(d, ensure_ascii=False) + "\n" for d in stored)
+        )
+        mp.unlink()
+
+    ds2 = Dataset("legacy", tmp_path, use_device=False)
+    res = ds2.search("legacy", [], 0, 10)
+    assert [r.id for r in res] == ["doc1"]
+    assert ds2.stats().docs_count == 1

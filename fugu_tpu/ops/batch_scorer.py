@@ -53,6 +53,7 @@ to the single-phase engine.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -107,6 +108,16 @@ GATE_MARGIN = 0.0625
 
 #: kinds served by the narrow (no count lanes) kernel
 NARROW_KINDS = ("pure", "neg", "gate")
+
+#: count-lane bit-packing: two queries' counts share one f32 lane as
+#: ``lo + hi * _PACK_FIELD``.  Counts are small exact integers (must +1,
+#: MUST_NOT -64; |value| <= 1024 per field), so the packed sum stays
+#: integer-exact in f32 (< 2^23) and the two fields separate by
+#: round-divide.  Lanes drop from 2B to 1.5B — but lane tiles are 128
+#: wide, so the flop saving is real only at b_pad=256 (512 -> 384
+#: lanes); smaller wide batches keep the unpacked layout.
+_PACK_FIELD = 4096.0
+_PACK_MIN_B = 256
 
 
 #: each extra corpus stream costs ~40-50ms of fixed grid/DMA overhead at
@@ -195,7 +206,7 @@ def _phasea_kernel(
         con = con_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
 
         b2 = w_ref.shape[-1]
-        wide = b2 == 2 * nm_ref.shape[-1]
+        wide = b2 > nm_ref.shape[-1]
         # one-hot against the REAL union term ids (global tids stay on
         # device untouched; pad entries carry tid=-1, empty slots -2)
         oh_t = (tid == tids_ref[0:1, :]).astype(jnp.bfloat16)  # [C, U]
@@ -204,12 +215,15 @@ def _phasea_kernel(
             w_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                    # [C, B or 2B]
+        )                                                    # [C, B..2B]
         if wide:
             # left lanes carry BM25 weights (scaled by the entry's
             # weight-free contribution); right lanes raw presence counts
+            # (one query per lane, or two bit-packed fields per lane)
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (BM_CHUNK, b2), 1)
-            v = (v * jnp.where(lane2 < b2 // 2, con, 1.0)).astype(jnp.bfloat16)
+            v = (
+                v * jnp.where(lane2 < nm_ref.shape[-1], con, 1.0)
+            ).astype(jnp.bfloat16)
         else:
             v = (v * con).astype(jnp.bfloat16)
         oh_d = ((doc - base) == d_iota).astype(jnp.bfloat16)  # [C, D]
@@ -232,10 +246,21 @@ def _phasea_kernel(
     )
     # a matched doc's score is > 0 (weights and contribs are positive);
     # unmatched/dead/padded rows stay exactly 0 -> excluded from the max
-    if b2 == 2 * nm_ref.shape[-1]:
-        b = b2 // 2
+    b = nm_ref.shape[-1]
+    if b2 > b:
         scores = S[:, :b]
-        counts = S[:, b:]
+        cnt = S[:, b:]
+        if cnt.shape[-1] == b // 2:
+            # bit-packed count lanes: query j rides the low field of
+            # lane b+j, query b//2+j the high field.  Fields are exact
+            # integers in [-1024, 16], so round-divide separates them
+            # (|lo|/FIELD <= 0.25 < 0.5) and the lane-concat restores
+            # one count column per query lane.
+            hi = jnp.round(cnt * (1.0 / _PACK_FIELD))
+            lo = cnt - hi * _PACK_FIELD
+            counts = jnp.concatenate([lo, hi], axis=1)
+        else:
+            counts = cnt
         # the count mask keeps only docs containing every single-clause
         # MUST term and no MUST_NOT term (those count -64); counts are
         # small exact integers in f32, so a 0.5 guard is safe
@@ -252,12 +277,20 @@ def _phasea_kernel(
 
 
 def phasea_callable(
-    nb_pad: int, u_pad: int, b_pad: int, wide: bool, interpret: bool
+    nb_pad: int,
+    u_pad: int,
+    b_pad: int,
+    wide: bool,
+    interpret: bool,
+    packed: bool = False,
 ):
     """The raw (unjitted) phase-A pallas call — jitted directly for the
     single-chip engine, wrapped in shard_map by parallel/batch_sharded."""
     kernel = functools.partial(_phasea_kernel, u_pad=u_pad)
-    w_lanes = 2 * b_pad if wide else b_pad
+    if packed:
+        w_lanes = b_pad + b_pad // 2
+    else:
+        w_lanes = 2 * b_pad if wide else b_pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb_pad,),
@@ -294,11 +327,11 @@ def phasea_callable(
 _PHASEA_CACHE: dict = {}
 
 
-def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret):
-    key = (nb_pad, u_pad, b_pad, wide, interpret)
+def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed=False):
+    key = (nb_pad, u_pad, b_pad, wide, interpret, packed)
     if key not in _PHASEA_CACHE:
         _PHASEA_CACHE[key] = jax.jit(
-            phasea_callable(nb_pad, u_pad, b_pad, wide, interpret)
+            phasea_callable(nb_pad, u_pad, b_pad, wide, interpret, packed)
         )
     return _PHASEA_CACHE[key]
 
@@ -550,7 +583,8 @@ def plan_batches(plans, elig, kinds, tid_of):
 
 
 def stage_batch_weights(
-    plans, kinds, q_idx, terms, stats, tid_of, b_pad, wide, k1, shifts
+    plans, kinds, q_idx, terms, stats, tid_of, b_pad, wide, k1, shifts,
+    packed=False,
 ):
     """(w2, nmust, tid_arr) operand staging for one phase-A batch.
 
@@ -559,14 +593,34 @@ def stage_batch_weights(
     (sum(idf) - n*GATE_BIG: the gates come OFF and the real facet scores
     go ON).  For narrow batches the nm row carries the per-query score
     threshold ((n-0.5)*GATE_BIG for gate plans, 0 otherwise); for wide
-    batches it keeps the required MUST count."""
+    batches it keeps the required MUST count.
+
+    With ``packed`` the count lanes are bit-packed two queries per lane
+    (query qi < b_pad//2 in the low field, qi >= b_pad//2 in the high
+    field of lane b_pad + qi % (b_pad//2)); ``q_idx`` may then contain
+    None entries (pad lanes keeping pair geometry)."""
     u_pad = next(u for u in U_BUCKETS if len(terms) <= u)
-    w2 = np.zeros((u_pad, 2 * b_pad if wide else b_pad), dtype=np.float32)
+    if packed:
+        w_lanes = b_pad + b_pad // 2
+    else:
+        w_lanes = 2 * b_pad if wide else b_pad
+    w2 = np.zeros((u_pad, w_lanes), dtype=np.float32)
     nmust = np.zeros((8, b_pad), dtype=np.float32)
     tid_arr = np.full((8, u_pad), -2, dtype=np.int32)
     for t, slot in terms.items():
         tid_arr[0, slot] = t
+    half = b_pad // 2
+
+    def add_count(slot, qi, wt):
+        if packed:
+            mult = 1.0 if qi < half else _PACK_FIELD
+            w2[slot, b_pad + qi % half] += wt * mult
+        else:
+            w2[slot, b_pad + qi] += wt
+
     for qi, i in enumerate(q_idx):
+        if i is None:
+            continue
         kind = kinds[i]
         narrow = kind in NARROW_KINDS
         n_gates = 0
@@ -589,7 +643,7 @@ def stage_batch_weights(
                         # negative, below every gate/zero threshold
                         w2[terms[t], qi] += W_MUSTNOT
                     else:
-                        w2[terms[t], b_pad + qi] += -64.0
+                        add_count(terms[t], qi, -64.0)
                     continue
                 if kind == "gate" and count_group:
                     # facet MUST: GATE_BIG in the lane (facet entries
@@ -607,7 +661,7 @@ def stage_batch_weights(
                     continue
                 slot = terms[t]
                 if count_group and not narrow:
-                    w2[slot, b_pad + qi] += 1.0
+                    add_count(slot, qi, 1.0)
                 if c.is_facet:
                     df = stats.facet_doc_freq(c.term)
                     wv = float(idf(df, stats.doc_count)) * c.boost
@@ -626,6 +680,103 @@ def stage_batch_weights(
             nmust[0, qi] = (n_gates - 0.5) * GATE_BIG
             shifts[i] = gate_idf - n_gates * GATE_BIG
     return w2, nmust, tid_arr
+
+
+def _count_weight_map(plan: QueryPlan, tid_of) -> Dict[int, float]:
+    """tid -> summed count-lane weight the wide staging writes for one
+    plan (+1 per single-clause MUST, -64 per MUST_NOT clause)."""
+    m: Dict[int, float] = {}
+    for g in plan.groups:
+        if g.occur is Occur.MUST_NOT:
+            for c in g.clauses:
+                field = FACET_FIELD_KEY if c.is_facet else c.field
+                t = tid_of.get((field, c.term))
+                if t is not None:
+                    m[t] = m.get(t, 0.0) - 64.0
+        elif g.occur is Occur.MUST and len(g.clauses) == 1:
+            c = g.clauses[0]
+            field = FACET_FIELD_KEY if c.is_facet else c.field
+            t = tid_of.get((field, c.term))
+            if t is not None:
+                m[t] = m.get(t, 0.0) + 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=4096)
+def _bf16_exact(x: float) -> bool:
+    # ml_dtypes numpy scalar — NOT jnp.bfloat16(x), which builds a device
+    # array whose float() costs a full relay round trip (~30ms each)
+    import ml_dtypes
+
+    return float(np.float32(x).astype(ml_dtypes.bfloat16)) == x
+
+
+def _pack_order(q_idx, plans, tid_of, half):
+    """Reorder a wide batch so count lanes can bit-pack two queries.
+
+    The query at position j (j < half) shares a count lane with the one
+    at position half + j; a term both write lands as lo + FIELD * hi in
+    ONE bf16 weight, which must round-trip exactly (e.g. two paired
+    MUSTs on the same term -> 4097: not representable).  Greedy
+    first-fit pairing plus a pair-splitting repair pass; returns the
+    reordered q_idx (None = pad lane keeping pair geometry) or None when
+    no safe arrangement fits (caller stages unpacked)."""
+    maps = {i: _count_weight_map(plans[i], tid_of) for i in q_idx}
+    for m in maps.values():
+        for w in m.values():
+            if not (_bf16_exact(w) and _bf16_exact(w * _PACK_FIELD)):
+                return None
+
+    def ok(lo_i, hi_i):
+        mh = maps[hi_i]
+        for t, wl in maps[lo_i].items():
+            wh = mh.get(t)
+            if wh is not None and not _bf16_exact(wl + _PACK_FIELD * wh):
+                return False
+        return True
+
+    lo: List[int] = []
+    hi: List[Optional[int]] = []
+    for i in q_idx:
+        for j in range(len(lo)):
+            if hi[j] is None and ok(lo[j], i):
+                hi[j] = i
+                break
+        else:
+            lo.append(i)
+            hi.append(None)
+    pairs = [(l, h) for l, h in zip(lo, hi) if h is not None]
+    solos = [l for l, h in zip(lo, hi) if h is None]
+    # repair: two leftover solos can displace into an existing pair
+    # ((l,h) + s1 + s2 -> (l,s1) + (s2,h): one lane slot freed)
+    while len(pairs) + len(solos) > half and len(solos) >= 2:
+        repaired = False
+        for si in range(len(solos)):
+            for sj in range(len(solos)):
+                if si == sj:
+                    continue
+                for pi, (l, h) in enumerate(pairs):
+                    if ok(l, solos[si]) and ok(solos[sj], h):
+                        pairs[pi] = (l, solos[si])
+                        pairs.append((solos[sj], h))
+                        for idx in sorted((si, sj), reverse=True):
+                            solos.pop(idx)
+                        repaired = True
+                        break
+                if repaired:
+                    break
+            if repaired:
+                break
+        if not repaired:
+            return None
+    if len(pairs) + len(solos) > half:
+        return None
+    lo_side = [l for l, _ in pairs] + solos
+    lo_side += [None] * (half - len(lo_side))
+    out = lo_side + [h for _, h in pairs]
+    while out and out[-1] is None:
+        out.pop()
+    return out
 
 
 def batch_search(
@@ -684,13 +835,24 @@ def batch_search(
             continue  # single over-wide query set: single-phase fallback
         b_pad = next(v for v in B_BUCKETS if len(q_idx) <= v)
         wide = any(kinds[i] not in NARROW_KINDS for i in q_idx)
+        # bit-pack two queries' count columns per lane when the saved
+        # lanes drop a whole 128-wide tile (b_pad=256: 512 -> 384)
+        packed = False
+        pack_env = os.environ.get("FUGU_PACK_COUNTS", "")
+        if wide and pack_env != "0" and (
+            b_pad >= _PACK_MIN_B or pack_env == "force"
+        ):
+            order = _pack_order(q_idx, plans, pack.tid_of, b_pad // 2)
+            if order is not None:
+                q_idx = order
+                packed = True
         # lane-concat [weights | must-counts]: one kernel matmul serves
         # both the score sum and the constraint count (wide batches only)
         w2, nmust, tid_arr = stage_batch_weights(
             plans, kinds, q_idx, terms, stats, pack.tid_of, b_pad, wide,
-            k1, shifts,
+            k1, shifts, packed=packed,
         )
-        fn = _get_phasea(nb_pad, u_pad, b_pad, wide, interpret)
+        fn = _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed)
         amax = fn(
             jnp.asarray(offs),
             pack.d_doc,
@@ -700,7 +862,7 @@ def batch_search(
             jnp.asarray(tid_arr),
             jnp.asarray(nmust),
         )
-        if any(kinds[i] == "upper" for i in q_idx):
+        if any(i is not None and kinds[i] == "upper" for i in q_idx):
             # "upper" bounds need the raw per-block maxima on the host
             # (wave-1 ordering + the post-wave-1 re-threshold), so this
             # batch ships the full [NB, B] array
@@ -713,6 +875,8 @@ def batch_search(
             limidx = np.full(b_pad, -1, dtype=np.int32)
             margin_v = np.zeros(b_pad, dtype=np.float32)
             for qi, i in enumerate(q_idx):
+                if i is None:
+                    continue
                 shift_v[qi] = shifts.get(i, 0.0)
                 limidx[qi] = limits[i] - 1 if limits[i] <= k_top else -1
                 if kinds[i] == "gate":
@@ -774,6 +938,8 @@ def batch_search(
             buf = next(it)     # [NB/16 + 1, b_pad] int32
             packed, count = buf[:-1], buf[-1]
             for qi, i in enumerate(q_idx):
+                if i is None:
+                    continue
                 if count[qi] == 0:
                     results[i] = []  # no doc scores any positive clause
                     continue
@@ -785,6 +951,8 @@ def batch_search(
             continue
         amax = next(it)[:nb, 0, :]  # [NB, b_pad]
         for qi, i in enumerate(q_idx):
+            if i is None:
+                continue
             col = amax[:, qi]
             if i in shifts:  # add back the constant MUST-facet score
                 col = np.where(np.isfinite(col), col + shifts[i], col)

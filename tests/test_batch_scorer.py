@@ -347,3 +347,75 @@ def test_gate_kind_parity(seg):
     for plan, r in zip(plans, res):
         assert_tie_tolerant(r, plan, seg, stats, 10)
     assert res[-1] == []
+
+
+def _must_plan(*terms, nots=()):
+    groups = [
+        QueryGroup(Occur.MUST, (TermClause("text", t),)) for t in terms
+    ] + [QueryGroup(Occur.MUST_NOT, (TermClause("text", t),)) for t in nots]
+    return QueryPlan(groups=tuple(groups))
+
+
+def test_packed_count_lanes_parity(seg, monkeypatch):
+    """FUGU_PACK_COUNTS=force bit-packs two queries' count columns per
+    f32 lane; results must stay bit-identical to the oracle even with
+    heavy term sharing across paired queries (bf16-conflicting pairs are
+    re-ordered or left solo by _pack_order)."""
+    import fugu_tpu.ops.batch_scorer as bs
+
+    monkeypatch.setenv("FUGU_PACK_COUNTS", "force")
+    engaged = {}
+    orig = bs._pack_order
+
+    def spy(q_idx, plans, tid_of, half):
+        out = orig(q_idx, plans, tid_of, half)
+        engaged["order"] = out
+        return out
+
+    monkeypatch.setattr(bs, "_pack_order", spy)
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(23)
+    plans = []
+    for _ in range(26):
+        # tiny term pool -> paired queries share MUST terms constantly
+        t = rng.choice(10, size=int(rng.integers(2, 4)), replace=False)
+        if rng.random() < 0.4:
+            plans.append(_must_plan(*(f"w{x}" for x in t[:-1]), nots=(f"w{t[-1]}",)))
+        else:
+            plans.append(_must_plan(*(f"w{x}" for x in t)))
+    res = batch_search_should(seg, plans, stats, 10, interpret=True)
+    assert engaged.get("order") is not None, "packing never engaged"
+    for plan, r in zip(plans, res):
+        assert_tie_tolerant(r, plan, seg, stats, 10)
+
+
+def test_pack_order_repair_and_fail():
+    from fugu_tpu.ops.batch_scorer import _count_weight_map, _pack_order
+
+    tid_of = {("text", w): i for i, w in enumerate("abcxyz")}
+
+    def compatible(p1, p2):
+        m1 = _count_weight_map(p1, tid_of)
+        m2 = _count_weight_map(p2, tid_of)
+        return not any(t in m2 for t in m1)
+
+    # greedy pairs (0,1) first; (2,3) conflict on x -> repair must split
+    # into (0,2) + (3,1) to fit half=2
+    plans = [
+        _must_plan("a"),
+        _must_plan("b"),
+        _must_plan("x", "c"),
+        _must_plan("x", "y"),
+    ]
+    out = _pack_order(list(range(4)), plans, tid_of, half=2)
+    assert out is not None and len(out) == 4 and set(out) == {0, 1, 2, 3}
+    for j in range(2):
+        assert compatible(plans[out[j]], plans[out[j + 2]])
+
+    # all four share a MUST term: no safe pairing fits half=2
+    plans = [_must_plan("a", f"{extra}") for extra in "xyzc"]
+    assert _pack_order(list(range(4)), plans, tid_of, half=2) is None
+
+    # but with room for solos (half=4) packing still engages
+    out = _pack_order(list(range(4)), plans, tid_of, half=4)
+    assert out is not None and [i for i in out if i is not None] == [0, 1, 2, 3]

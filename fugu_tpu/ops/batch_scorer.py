@@ -682,6 +682,97 @@ def stage_batch_weights(
     return w2, nmust, tid_arr
 
 
+def _effective_kinds(plans, kinds, q_idx, wide):
+    """Per-batch staging kinds.  In a WIDE batch the narrow score-lane
+    tricks are unavailable (the kernel extracts counts, and nm means
+    "required count", not a score threshold), so narrow kinds restate as
+    their counted equivalents: "neg" -> "exact" (MUST_NOT as -64 counts),
+    "gate" -> "exact"/"shift" (facet MUSTs as +1 counts with idf back on
+    the score lane / host shift).  Pure plans stage narrow-style either
+    way (no counts, nm=0)."""
+    if not wide:
+        return kinds
+    eff: Dict[int, str] = {}
+    for i in q_idx:
+        if i is None:
+            continue
+        k = kinds[i]
+        if k == "neg":
+            k = "exact"
+        elif k == "gate":
+            n_should = sum(
+                1
+                for g in plans[i].groups
+                if g.occur is Occur.SHOULD and g.clauses
+            )
+            k = "shift" if (plans[i].require_should and n_should) else "exact"
+        eff[i] = k
+    return eff
+
+
+def _stream_cost(n_queries: int, n_terms: int, wide: bool, packed: bool):
+    """Relative phase-A cost of one corpus stream, in flop units
+    (lanes x (u_pad + block docs)) plus the fixed per-stream overhead."""
+    u = next((u for u in U_BUCKETS if n_terms <= u), U_BUCKETS[-1])
+    b = next((v for v in B_BUCKETS if n_queries <= v), B_BUCKETS[-1])
+    if packed:
+        b2 = b + b // 2
+    else:
+        b2 = 2 * b if wide else b
+    fixed = _STREAM_PENALTY_LANES * (U_BUCKETS[1] + BM_BLOCK_DOCS)
+    return b2 * (u + BM_BLOCK_DOCS) + fixed
+
+
+def _merge_streams(batches, batch_terms, kinds):
+    """Fuse a (narrow, wide) batch pair into ONE wide stream when the
+    packed count lanes cost less than the second stream's fixed overhead
+    plus its lanes (mixed workloads: the 40-query MUST stream folds into
+    the 200-query narrow stream as 128 extra packed lanes instead of a
+    whole extra corpus stream).  Single-chip only — the sharded engine
+    keeps plan_batches' narrow/wide split."""
+    changed = True
+    while changed:
+        changed = False
+        for a in range(len(batches)):
+            for b in range(len(batches)):
+                if a == b:
+                    continue
+                qa, qb = batches[a], batches[b]
+                wa = any(kinds[i] not in NARROW_KINDS for i in qa)
+                wb = any(kinds[i] not in NARROW_KINDS for i in qb)
+                if wa == wb:
+                    continue  # only narrow+wide pairs fold
+                if len(qa) + len(qb) > B_PAD:
+                    continue
+                terms = set(batch_terms[a]) | set(batch_terms[b])
+                if len(terms) > U_BUCKETS[-1]:
+                    continue
+                n_m = len(qa) + len(qb)
+                b_m = next(v for v in B_BUCKETS if n_m <= v)
+                cost_m = _stream_cost(
+                    n_m, len(terms), True, b_m >= _PACK_MIN_B
+                )
+                cost_s = _stream_cost(
+                    len(qa), len(batch_terms[a]), wa, False
+                ) + _stream_cost(len(qb), len(batch_terms[b]), wb, False)
+                if cost_m >= cost_s:
+                    continue
+                # narrow queries lead: _pack_order pairs them freely
+                merged = (qa + qb) if wb else (qb + qa)
+                batches[a] = merged
+                tmap: Dict[int, int] = {}
+                for t in list(batch_terms[a]) + list(batch_terms[b]):
+                    if t not in tmap:
+                        tmap[t] = len(tmap)
+                batch_terms[a] = tmap
+                del batches[b], batch_terms[b]
+                changed = True
+                break
+            if changed:
+                break
+    return batches, batch_terms
+
+
 def _count_weight_map(plan: QueryPlan, tid_of) -> Dict[int, float]:
     """tid -> summed count-lane weight the wide staging writes for one
     plan (+1 per single-clause MUST, -64 per MUST_NOT clause)."""
@@ -820,6 +911,8 @@ def batch_search(
     pack = segment.block_major(stats)
     k1 = plans[elig[0]].k1
     batches, batch_terms = plan_batches(plans, elig, kinds, pack.tid_of)
+    if os.environ.get("FUGU_MERGE_STREAMS", "1") != "0":
+        batches, batch_terms = _merge_streams(batches, batch_terms, kinds)
 
     nb = pack.n_blocks
     nb_pad = _nb_pad(nb)
@@ -835,6 +928,7 @@ def batch_search(
             continue  # single over-wide query set: single-phase fallback
         b_pad = next(v for v in B_BUCKETS if len(q_idx) <= v)
         wide = any(kinds[i] not in NARROW_KINDS for i in q_idx)
+        eff = _effective_kinds(plans, kinds, q_idx, wide)
         # bit-pack two queries' count columns per lane when the saved
         # lanes drop a whole 128-wide tile (b_pad=256: 512 -> 384)
         packed = False
@@ -849,7 +943,7 @@ def batch_search(
         # lane-concat [weights | must-counts]: one kernel matmul serves
         # both the score sum and the constraint count (wide batches only)
         w2, nmust, tid_arr = stage_batch_weights(
-            plans, kinds, q_idx, terms, stats, pack.tid_of, b_pad, wide,
+            plans, eff, q_idx, terms, stats, pack.tid_of, b_pad, wide,
             k1, shifts, packed=packed,
         )
         fn = _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed)

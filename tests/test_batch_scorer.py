@@ -419,3 +419,103 @@ def test_pack_order_repair_and_fail():
     # but with room for solos (half=4) packing still engages
     out = _pack_order(list(range(4)), plans, tid_of, half=4)
     assert out is not None and [i for i in out if i is not None] == [0, 1, 2, 3]
+
+
+def test_merge_streams_folds_mixed_batch(seg, monkeypatch):
+    """A mixed narrow+wide workload folds into ONE wide stream when the
+    packed count lanes undercut the second stream's fixed cost; results
+    stay bit-identical to the oracle (narrow kinds re-stage as their
+    counted equivalents via _effective_kinds)."""
+    import fugu_tpu.ops.batch_scorer as bs
+
+    seen = {}
+    orig = bs.stage_batch_weights
+
+    def spy(plans, kinds, q_idx, *a, **kw):
+        seen.setdefault("batches", []).append(
+            [i for i in q_idx if i is not None]
+        )
+        return orig(plans, kinds, q_idx, *a, **kw)
+
+    monkeypatch.setattr(bs, "stage_batch_weights", spy)
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(31)
+    plans = []
+    for _ in range(10):  # pure
+        t = rng.choice(50, size=2, replace=False)
+        plans.append(
+            QueryPlan(
+                groups=tuple(
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{x}"),))
+                    for x in t
+                )
+            )
+        )
+    for _ in range(4):  # neg
+        t = rng.choice(50, size=2, replace=False)
+        plans.append(
+            QueryPlan(
+                groups=(
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{t[0]}"),)),
+                    QueryGroup(Occur.MUST_NOT, (TermClause("text", f"w{t[1]}"),)),
+                ),
+                require_should=True,
+            )
+        )
+    for _ in range(4):  # gate (facet MUST + should)
+        t = int(rng.integers(0, 50))
+        plans.append(
+            QueryPlan(
+                groups=(
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{t}"),)),
+                    QueryGroup(
+                        Occur.MUST,
+                        (TermClause("", f"/cat/{int(rng.integers(0, 6))}", is_facet=True),),
+                    ),
+                ),
+                require_should=True,
+            )
+        )
+    for _ in range(6):  # wide: text MUSTs
+        t = rng.choice(50, size=2, replace=False)
+        plans.append(_must_plan(*(f"w{x}" for x in t)))
+    res = batch_search_should(seg, plans, stats, 10, interpret=True)
+    # one merged stream, not a narrow + a wide one
+    assert len(seen["batches"]) == 1, seen["batches"]
+    assert sorted(seen["batches"][0]) == list(range(len(plans)))
+    for plan, r in zip(plans, res):
+        assert_tie_tolerant(r, plan, seg, stats, 10)
+
+
+def test_effective_kinds_remap():
+    from fugu_tpu.ops.batch_scorer import _classify, _effective_kinds
+
+    pure = QueryPlan(
+        groups=(QueryGroup(Occur.SHOULD, (TermClause("text", "a"),)),)
+    )
+    neg = QueryPlan(
+        groups=(
+            QueryGroup(Occur.SHOULD, (TermClause("text", "a"),)),
+            QueryGroup(Occur.MUST_NOT, (TermClause("text", "b"),)),
+        ),
+        require_should=True,
+    )
+    gate_rs = QueryPlan(
+        groups=(
+            QueryGroup(Occur.SHOULD, (TermClause("text", "a"),)),
+            QueryGroup(Occur.MUST, (TermClause("", "/c/1", is_facet=True),)),
+        ),
+        require_should=True,
+    )
+    gate = QueryPlan(
+        groups=(
+            QueryGroup(Occur.MUST, (TermClause("", "/c/1", is_facet=True),)),
+        )
+    )
+    plans = [pure, neg, gate_rs, gate]
+    kinds = {i: _classify(p) for i, p in enumerate(plans)}
+    assert [kinds[i] for i in range(4)] == ["pure", "neg", "gate", "gate"]
+    eff = _effective_kinds(plans, kinds, [0, 1, 2, 3], wide=True)
+    assert [eff[i] for i in range(4)] == ["pure", "exact", "shift", "exact"]
+    # narrow batches keep the score-lane kinds
+    assert _effective_kinds(plans, kinds, [0, 1], wide=False) is kinds

@@ -728,8 +728,9 @@ def _merge_streams(batches, batch_terms, kinds):
     packed count lanes cost less than the second stream's fixed overhead
     plus its lanes (mixed workloads: the 40-query MUST stream folds into
     the 200-query narrow stream as 128 extra packed lanes instead of a
-    whole extra corpus stream).  Single-chip only — the sharded engine
-    keeps plan_batches' narrow/wide split."""
+    whole extra corpus stream).  Shared with the sharded engine: every
+    shard runs the same lanes/streams, so the flop-model decision
+    transfers verbatim (batch_sharded.batch_search_sharded)."""
     changed = True
     while changed:
         changed = False

@@ -33,6 +33,7 @@ scorer, which is exact.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -55,9 +56,13 @@ from fugu_tpu.ops.batch_scorer import (
     MIN_BATCH,
     NARROW_KINDS,
     U_BUCKETS,
+    _PACK_MIN_B,
     _classify,
+    _effective_kinds,
     _get_postproc,
+    _merge_streams,
     _nb_pad,
+    _pack_order,
     _unpack_mask,
     phasea_callable,
     plan_batches,
@@ -129,14 +134,15 @@ class ShardedBlockMajor:
 _SHARDED_PHASEA_CACHE: dict = {}
 
 
-def _get_sharded_phasea(mesh, nbs_pad, u_pad, b_pad, wide, interpret):
+def _get_sharded_phasea(mesh, nbs_pad, u_pad, b_pad, wide, interpret,
+                        packed=False):
     """jit(shard_map(phase-A kernel)) + the device postprocessor over the
     gathered maxima, emitting only the packed candidate mask."""
-    key = (mesh, nbs_pad, u_pad, b_pad, wide, interpret)
+    key = (mesh, nbs_pad, u_pad, b_pad, wide, interpret, packed)
     fn = _SHARDED_PHASEA_CACHE.get(key)
     if fn is not None:
         return fn
-    call = phasea_callable(nbs_pad, u_pad, b_pad, wide, interpret)
+    call = phasea_callable(nbs_pad, u_pad, b_pad, wide, interpret, packed)
     d = mesh.devices.size
     axes = shard_axes(mesh)
     post = _get_postproc(d * nbs_pad, b_pad)
@@ -197,6 +203,10 @@ def batch_search_sharded(
 
     k1 = plans[elig[0]].k1
     batches, batch_terms = plan_batches(plans, elig, kinds, pack2.tid_of)
+    if os.environ.get("FUGU_MERGE_STREAMS", "1") != "0":
+        # every shard runs the same lanes/streams, so the single-chip
+        # flop model's merge decision transfers verbatim
+        batches, batch_terms = _merge_streams(batches, batch_terms, kinds)
 
     d = pack2.n_shards
     nbs_pad = pack2.nbs_pad
@@ -211,20 +221,32 @@ def batch_search_sharded(
             continue  # over-wide union: caller fallback
         b_pad = next(v for v in B_BUCKETS if len(q_idx) <= v)
         wide = any(kinds[i] not in NARROW_KINDS for i in q_idx)
+        eff = _effective_kinds(plans, kinds, q_idx, wide)
+        is_packed = False
+        pack_env = os.environ.get("FUGU_PACK_COUNTS", "")
+        if wide and pack_env != "0" and (
+            b_pad >= _PACK_MIN_B or pack_env == "force"
+        ):
+            order = _pack_order(q_idx, plans, pack2.tid_of, b_pad // 2)
+            if order is not None:
+                q_idx = order
+                is_packed = True
         w2, nmust, tid_arr = stage_batch_weights(
-            plans, kinds, q_idx, terms, stats, pack2.tid_of, b_pad, wide,
-            k1, shifts,
+            plans, eff, q_idx, terms, stats, pack2.tid_of, b_pad, wide,
+            k1, shifts, packed=is_packed,
         )
         shift_v = np.zeros(b_pad, dtype=np.float32)
         limidx = np.full(b_pad, -1, dtype=np.int32)
         margin_v = np.zeros(b_pad, dtype=np.float32)
         for qi, i in enumerate(q_idx):
+            if i is None:
+                continue
             shift_v[qi] = shifts.get(i, 0.0)
             limidx[qi] = limits[i] - 1 if limits[i] <= k_top else -1
             if kinds[i] == "gate":
                 margin_v[qi] = GATE_MARGIN
         fn = _get_sharded_phasea(
-            pack2.mesh, nbs_pad, u_pad, b_pad, wide, interpret
+            pack2.mesh, nbs_pad, u_pad, b_pad, wide, interpret, is_packed
         )
         packed = fn(
             pack2.d_offs,
@@ -251,6 +273,8 @@ def batch_search_sharded(
         buf = next(it)              # [nb_tot/16 + 1, b_pad] int32
         packed_np, count = buf[:-1], buf[-1]
         for qi, i in enumerate(q_idx):
+            if i is None:
+                continue
             if count[qi] == 0:
                 results[i] = []  # no doc scores any positive clause
                 continue

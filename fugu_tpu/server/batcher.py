@@ -34,7 +34,7 @@ class SearchBatcher:
     """One batcher per process; batches are grouped per (dataset, page,
     per_page) — mixed paging is rare enough to split batches on."""
 
-    def __init__(self, window_ms: float = 3.0, max_batch: int = 128):
+    def __init__(self, window_ms: float = 3.0, max_batch: int = 256):
         self.window_ms = window_ms
         self.max_batch = max_batch
         self._queues: Dict[int, List[_Pending]] = {}

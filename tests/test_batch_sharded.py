@@ -129,3 +129,64 @@ def test_sharded_two_phase_through_named_index(tmp_path):
         got = [(np.float32(h.score), h.doc) for h in hits]
         want = [(np.float32(h.score), h.doc) for h in exp]
         assert got == want
+
+
+def test_sharded_packed_and_merged_streams_parity(seg, monkeypatch):
+    """FUGU_PACK_COUNTS=force + stream merging through the SHARDED
+    engine: mixed narrow (SHOULD) + wide (MUST/MUST_NOT) plans fold into
+    one packed stream per the flop model; results stay bit-identical to
+    the oracle on the CPU mesh."""
+    import fugu_tpu.parallel.batch_sharded as bsh
+
+    monkeypatch.setenv("FUGU_PACK_COUNTS", "force")
+    engaged = {}
+    orig = bsh._pack_order
+
+    def spy(q_idx, plans, tid_of, half):
+        out = orig(q_idx, plans, tid_of, half)
+        engaged["order"] = out
+        return out
+
+    monkeypatch.setattr(bsh, "_pack_order", spy)
+    mesh = make_mesh(4)
+    stats = oracle.IndexStats([seg])
+    pack2 = ShardedBlockMajor(seg, mesh, stats)
+    spack = PallasShardedPack(seg, mesh)
+    rng = np.random.default_rng(11)
+    plans = []
+    for _ in range(24):
+        t = rng.choice(12, size=int(rng.integers(2, 4)), replace=False)
+        r = rng.random()
+        if r < 0.4:  # narrow SHOULD
+            groups = [
+                QueryGroup(Occur.SHOULD, (TermClause("text", f"w{x}"),))
+                for x in t
+            ]
+        elif r < 0.8:  # wide: MUST intersections (count lanes)
+            groups = [
+                QueryGroup(Occur.MUST, (TermClause("text", f"w{x}"),))
+                for x in t
+            ]
+        else:  # wide: MUST + MUST_NOT
+            groups = [
+                QueryGroup(Occur.MUST, (TermClause("text", f"w{x}"),))
+                for x in t[:-1]
+            ] + [
+                QueryGroup(Occur.MUST_NOT, (TermClause("text", f"w{t[-1]}"),))
+            ]
+        plans.append(QueryPlan(groups=tuple(groups)))
+    limits = [int(rng.choice([5, 10])) for _ in plans]
+    res = batch_search_sharded(
+        pack2, spack, plans, stats, limits, interpret=True
+    )
+    assert engaged.get("order") is not None, "packing never engaged"
+    n_handled = 0
+    for plan, lim, r in zip(plans, limits, res):
+        if r is None:
+            continue
+        n_handled += 1
+        exp = [(h.score, h.doc) for h in oracle.search([seg], plan, lim, stats)]
+        assert [(np.float32(s), d) for s, d in r] == [
+            (np.float32(s), d) for s, d in exp
+        ], (plan, r[:4], exp[:4])
+    assert n_handled >= len(plans) // 2

@@ -490,6 +490,7 @@ class Segment:
             self._device_pack = None  # device tombstone words are stale
             object.__setattr__(self, "_device_tomb_flags", None)
             object.__setattr__(self, "_block_major", None)
+            object.__setattr__(self, "_device_pos", None)  # phrase path
         return int(fresh.sum())
 
     # -- device --------------------------------------------------------------

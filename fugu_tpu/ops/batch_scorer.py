@@ -480,7 +480,14 @@ def _classify(plan: QueryPlan) -> Optional[str]:
     if n_clauses > 16 or len(plan.groups) > 32:
         return None
     if n_must == 0:
-        return "neg"  # MUST_NOTs alone gate through the score lane
+        # MUST_NOTs alone gate through the score lane — but only while
+        # no SHOULD can out-score the W_MUSTNOT*con penalty of the
+        # excluded term (worst case ~2^26 * 1e-3 ≈ 6.6e4 for a 10k-char
+        # doc vs <= 16 clauses * boost * idf * (k1+1) ≈ 740 unboosted).
+        # The same boost cap as "gate" keeps an order of magnitude of
+        # headroom; larger boosts reroute to the count-lane "exact"
+        # staging, whose -64 count penalty is boost-immune.
+        return "neg" if max_boost <= 8.0 else "exact"
     if gate_ok and n_must <= 4 and max_boost <= 8.0:
         # gate-soundness bounds: n <= 4 keeps f32 granularity at
         # score+n*GATE_BIG under GATE_MARGIN; bounded boosts keep every
@@ -723,14 +730,21 @@ def _stream_cost(n_queries: int, n_terms: int, wide: bool, packed: bool):
     return b2 * (u + BM_BLOCK_DOCS) + fixed
 
 
-def _merge_streams(batches, batch_terms, kinds):
+def _merge_streams(batches, batch_terms, kinds, plans=None, tid_of=None):
     """Fuse a (narrow, wide) batch pair into ONE wide stream when the
     packed count lanes cost less than the second stream's fixed overhead
     plus its lanes (mixed workloads: the 40-query MUST stream folds into
     the 200-query narrow stream as 128 extra packed lanes instead of a
     whole extra corpus stream).  Shared with the sharded engine: every
     shard runs the same lanes/streams, so the flop-model decision
-    transfers verbatim (batch_sharded.batch_search_sharded)."""
+    transfers verbatim (batch_sharded.batch_search_sharded).
+
+    With ``plans``/``tid_of`` the cost model verifies bit-packability
+    with a real :func:`_pack_order` dry run instead of assuming it;
+    batches containing an "upper" plan never fold (merging would drag
+    every query through the full raw-maxima host path, which the flop
+    units don't price)."""
+    pack_env = os.environ.get("FUGU_PACK_COUNTS", "")
     changed = True
     while changed:
         changed = False
@@ -739,6 +753,8 @@ def _merge_streams(batches, batch_terms, kinds):
                 if a == b:
                     continue
                 qa, qb = batches[a], batches[b]
+                if any(kinds[i] == "upper" for i in qa + qb):
+                    continue  # raw-maxima host path: never fold into it
                 wa = any(kinds[i] not in NARROW_KINDS for i in qa)
                 wb = any(kinds[i] not in NARROW_KINDS for i in qb)
                 if wa == wb:
@@ -750,16 +766,20 @@ def _merge_streams(batches, batch_terms, kinds):
                     continue
                 n_m = len(qa) + len(qb)
                 b_m = next(v for v in B_BUCKETS if n_m <= v)
-                cost_m = _stream_cost(
-                    n_m, len(terms), True, b_m >= _PACK_MIN_B
-                )
+                # narrow queries lead: _pack_order pairs them freely
+                merged = (qa + qb) if wb else (qb + qa)
+                packable = pack_env != "0" and b_m >= _PACK_MIN_B
+                if packable and plans is not None and tid_of is not None:
+                    packable = (
+                        _pack_order(merged, plans, tid_of, b_m // 2)
+                        is not None
+                    )
+                cost_m = _stream_cost(n_m, len(terms), True, packable)
                 cost_s = _stream_cost(
                     len(qa), len(batch_terms[a]), wa, False
                 ) + _stream_cost(len(qb), len(batch_terms[b]), wb, False)
                 if cost_m >= cost_s:
                     continue
-                # narrow queries lead: _pack_order pairs them freely
-                merged = (qa + qb) if wb else (qb + qa)
                 batches[a] = merged
                 tmap: Dict[int, int] = {}
                 for t in list(batch_terms[a]) + list(batch_terms[b]):
@@ -913,7 +933,9 @@ def batch_search(
     k1 = plans[elig[0]].k1
     batches, batch_terms = plan_batches(plans, elig, kinds, pack.tid_of)
     if os.environ.get("FUGU_MERGE_STREAMS", "1") != "0":
-        batches, batch_terms = _merge_streams(batches, batch_terms, kinds)
+        batches, batch_terms = _merge_streams(
+            batches, batch_terms, kinds, plans, pack.tid_of
+        )
 
     nb = pack.n_blocks
     nb_pad = _nb_pad(nb)

@@ -21,6 +21,7 @@ pipeline does not take (phrase queries resolve their postings here).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -43,6 +44,22 @@ class Hit:
     doc: int
 
 
+_SEG_UID = itertools.count(1)
+
+
+def _seg_uid(s: Segment) -> int:
+    """Process-unique id for unsaved segments.  ``id(s)`` is NOT safe
+    here: CPython reuses addresses after GC, so two different in-memory
+    segments with equal doc/tombstone counts could collide and serve
+    stale df-sensitive score caches.  A monotonic counter, stamped once
+    per object, never recurs."""
+    uid = getattr(s, "_fp_uid", None)
+    if uid is None:
+        uid = next(_SEG_UID)
+        object.__setattr__(s, "_fp_uid", uid)
+    return uid
+
+
 class IndexStats:
     """Searcher-wide statistics across a list of segments."""
 
@@ -63,7 +80,8 @@ class IndexStats:
         #: counts only grow, so this tuple changes on ANY ingest, delete,
         #: or merge that could move a df.
         self.fingerprint = tuple(
-            (s.segment_id or f"@{id(s)}", s.doc_count, int(s.tombstones.sum()))
+            (s.segment_id or f"@{_seg_uid(s)}", s.doc_count,
+             int(s.tombstones.sum()))
             for s in self.segments
         )
 

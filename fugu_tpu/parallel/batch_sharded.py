@@ -197,7 +197,9 @@ def batch_search_sharded(
         # sharded scorer handles those exactly
         if kind is not None and kind != "upper":
             kinds[i] = kind
-    elig = sorted(kinds, key=lambda i: (kinds[i] != "pure", i))
+    # narrow kinds first so plan_batches' narrow/wide boundary doesn't
+    # split the batch at every kind flip (mirrors the single-chip sort)
+    elig = sorted(kinds, key=lambda i: (kinds[i] not in NARROW_KINDS, i))
     if len(elig) < (1 if interpret else MIN_BATCH):
         return results
 
@@ -206,7 +208,9 @@ def batch_search_sharded(
     if os.environ.get("FUGU_MERGE_STREAMS", "1") != "0":
         # every shard runs the same lanes/streams, so the single-chip
         # flop model's merge decision transfers verbatim
-        batches, batch_terms = _merge_streams(batches, batch_terms, kinds)
+        batches, batch_terms = _merge_streams(
+            batches, batch_terms, kinds, plans, pack2.tid_of
+        )
 
     d = pack2.n_shards
     nbs_pad = pack2.nbs_pad

@@ -519,3 +519,37 @@ def test_effective_kinds_remap():
     assert [eff[i] for i in range(4)] == ["pure", "exact", "shift", "exact"]
     # narrow batches keep the score-lane kinds
     assert _effective_kinds(plans, kinds, [0, 1], wide=False) is kinds
+
+
+def test_boosted_should_vs_mustnot_penalty():
+    """A heavily boosted SHOULD must not out-score the "neg" kind's
+    score-lane MUST_NOT penalty: plans with boost > 8 reroute to the
+    count-lane "exact" staging (boost-immune -64 penalties).  Repro:
+    excluded docs carrying huge boosted scores inflate block maxima so
+    the kth-of-maxima threshold prunes every true match."""
+    from fugu_tpu.ops.batch_scorer import _classify
+
+    b = SegmentBuilder(DOCS_SCHEMA)
+    for blk in range(24):
+        for j in range(512):
+            if j == 0 and blk < 12:
+                # excluded doc: massive tf on the boosted term + 'bad'
+                text = " ".join(["rare"] * 2000) + " bad"
+            elif j < 4 and blk >= 12:
+                text = "rare other"      # true matches live here
+            else:
+                text = "other filler"
+            b.add_document({"text": [text]}, stored={"id": f"d{blk}-{j}"})
+    seg = b.build()
+    stats = oracle.IndexStats([seg])
+    plan = QueryPlan(
+        groups=(
+            QueryGroup(Occur.SHOULD, (TermClause("text", "rare", boost=50000.0),)),
+            QueryGroup(Occur.SHOULD, (TermClause("text", "other"),)),
+            QueryGroup(Occur.MUST_NOT, (TermClause("text", "bad"),)),
+        )
+    )
+    assert _classify(plan) == "exact"  # not "neg": boost cap exceeded
+    res = batch_search_should(seg, [plan], stats, 10, interpret=True)
+    assert_tie_tolerant(res[0], plan, seg, stats, 10)
+    assert len(res[0]) == 10

@@ -147,3 +147,28 @@ def test_overflow_falls_back_to_host(monkeypatch):
     plan = phrase_plan(["red", "blue"])
     res = dp.device_phrase_batch(seg, [plan], stats, 10)
     assert res == [None]
+
+
+def test_delete_invalidates_device_position_cache():
+    """delete_by_term after a device phrase query must invalidate the
+    cached _device_pos tombstone array, or the deleted doc keeps
+    matching until process restart."""
+    b = SegmentBuilder(DOCS_SCHEMA)
+    for i in range(600):
+        text = "alpha beta gamma" if i % 3 == 0 else "alpha delta gamma"
+        b.add_document(
+            {"text": [text], "id": [f"d{i}"]}, stored={"id": f"d{i}"}
+        )
+    seg = b.build()
+    stats = oracle.IndexStats([seg])
+    plan = phrase_plan(["alpha", "beta"])
+    res1 = device_phrase_batch(seg, [plan], stats, 5)[0]
+    assert res1, "phrase matched nothing pre-delete"
+    victim = res1[0][1]
+    n = seg.delete_by_term("id", f"d{victim}")
+    assert n == 1
+    stats2 = oracle.IndexStats([seg])
+    res2 = device_phrase_batch(seg, [plan], stats2, 5)[0]
+    assert victim not in [d for _s, d in res2]
+    exp = host_result(seg, plan, stats2, 5)
+    assert [(np.float32(s), d) for s, d in res2] == exp

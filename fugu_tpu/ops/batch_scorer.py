@@ -76,7 +76,12 @@ jax_setup.configure()
 
 B_PAD = 256          # max queries per phase-A dispatch
 B_BUCKETS = (64, 128, 256)  # query-lane ladder (flops scale with b_pad)
-U_BUCKETS = (256, 512, 1024)  # union-term ladder; beyond -> greedy split
+#: union-term ladder; beyond the last -> greedy split.  Multiples of 128
+#: (the lane tile) only; the 384/768 steps matter because the term-onehot
+#: matmul is ~u_pad/(u_pad+512) of phase-A flops — the bench's merged
+#: mixed stream lands at exactly 384 union terms, which a (256,512)
+#: ladder would pad 33% wide.
+U_BUCKETS = (256, 384, 512, 768, 1024)
 #: relative + absolute margin absorbing bf16 matmul error in the maxima.
 #: Correctness needs m >= 2*eps/(1+eps); measured eps(max) = 0.0059 on the
 #: 1M bench corpus, so 0.015 is a 2.5x-of-max cushion.  Looser margins
@@ -726,7 +731,9 @@ def _stream_cost(n_queries: int, n_terms: int, wide: bool, packed: bool):
         b2 = b + b // 2
     else:
         b2 = 2 * b if wide else b
-    fixed = _STREAM_PENALTY_LANES * (U_BUCKETS[1] + BM_BLOCK_DOCS)
+    # penalty calibrated at a typical u_pad of 512 (don't track ladder
+    # refinements: the fixed grid/DMA overhead doesn't shrink with u)
+    fixed = _STREAM_PENALTY_LANES * (512 + BM_BLOCK_DOCS)
     return b2 * (u + BM_BLOCK_DOCS) + fixed
 
 

@@ -131,6 +131,15 @@ _PACK_MIN_B = 256
 #: 136-query batch into 64+128 lanes LOST ~5% end-to-end)
 _STREAM_PENALTY_LANES = 96
 
+#: phase-A maxima granularity: FINE_PER_BLOCK maxima per 512-doc kernel
+#: block (256-doc halves).  Finer maxima are free in the kernel (the
+#: scatter already produces per-doc scores; the reduce just splits) and
+#: strictly tighten phase B: the kth-of-maxima over a SUPERSET of finer
+#: values is >= the coarse kth, and cold 256-doc halves of hot blocks
+#: drop out of the candidate mask.
+FINE_PER_BLOCK = 2
+BM_FINE_DOCS = BM_BLOCK_DOCS // FINE_PER_BLOCK
+
 
 @functools.lru_cache(maxsize=None)
 def _lane_plan(n: int) -> Tuple[int, ...]:
@@ -155,7 +164,7 @@ def _phasea_kernel(
     w_ref,         # bf16[U, 2B] lane-concat [weights | must-counts]
     tids_ref,      # int32[8, U] union term ids (row 0; sublane-padded)
     nm_ref,        # f32[8, B]   required must-count per query (row 0)
-    out_ref,       # f32[1, 1, B]
+    out_ref,       # f32[1, FINE_PER_BLOCK, B] per-256-doc-half maxima
     *scratch,
     u_pad: int,
 ):
@@ -276,8 +285,10 @@ def _phasea_kernel(
         # (n_gates - 0.5) * GATE_BIG for gate-kind plans (all-facet
         # MUSTs encoded as GATE_BIG score contributions)
         ok = scores > nm_ref[0:1, :]
-    amax = jnp.max(jnp.where(ok, scores, NEG_INF), axis=0)
-    out_ref[0, 0:1, :] = amax[None, :]
+    m = jnp.where(ok, scores, NEG_INF)
+    out_ref[0, :, :] = m.reshape(
+        FINE_PER_BLOCK, BM_FINE_DOCS, b
+    ).max(axis=1)
     del u_iota  # slot-index variant unused (kept for layout reference)
 
 
@@ -308,7 +319,7 @@ def phasea_callable(
             pl.BlockSpec((8, b_pad), lambda j, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, b_pad), lambda j, *_: (j, 0, 0)),
+            pl.BlockSpec((1, FINE_PER_BLOCK, b_pad), lambda j, *_: (j, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * BM_CHUNK,), jnp.int32),
@@ -322,7 +333,11 @@ def phasea_callable(
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((nb_pad, 1, b_pad), jnp.float32)],
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (nb_pad, FINE_PER_BLOCK, b_pad), jnp.float32
+                )
+            ],
             interpret=interpret,
         )(offs, doc, tid, con, w, tids, nm)[0]
 
@@ -348,18 +363,19 @@ _PACK = 16
 def _build_postproc(nb_pad: int, b_pad: int):
     """Device-side phase-A candidate selection (plain XLA).
 
-    The raw maxima are [nb_pad, 1, b_pad] f32 — ~2MB per batch, ~95ms
-    through the relay.  The host only needs, per query, the blocks whose
-    maximum clears the kth-score threshold, so compute kth-of-maxima and
-    the margin threshold on device and ship a 16-bit-packed candidate
-    mask + per-query finite counts (~130KB) instead.  Matches the host
-    logic exactly up to f32-vs-f64 threshold rounding, which the bf16
-    margin dwarfs (MARGIN_REL has ~2.5x headroom over measured error).
-    """
-    k_top = min(128, nb_pad)
+    The raw maxima are [nb_pad, FINE_PER_BLOCK, b_pad] f32 — ~2-4MB per
+    batch, ~95ms through the relay.  The host only needs, per query, the
+    fine blocks whose maximum clears the kth-score threshold, so compute
+    kth-of-maxima and the margin threshold on device and ship a
+    16-bit-packed candidate mask + per-query finite counts (~260KB)
+    instead.  Matches the host logic exactly up to f32-vs-f64 threshold
+    rounding, which the bf16 margin dwarfs (MARGIN_REL has ~2.5x
+    headroom over measured error)."""
+    nb2 = nb_pad * FINE_PER_BLOCK
+    k_top = min(128, nb2)
 
     def post(amax, shift, limidx, margin):
-        col = amax[:, 0, :]                             # [NB, B]
+        col = amax.reshape(nb2, -1)                     # [NB*F, B]
         finite = jnp.isfinite(col)
         col = jnp.where(finite, col + shift[None, :], NEG_INF)
         count = jnp.sum(finite.astype(jnp.int32), axis=0)      # [B]
@@ -379,12 +395,12 @@ def _build_postproc(nb_pad: int, b_pad: int):
         # host's "full candidate sweep, never a wrong answer" fallback);
         # padded NEG_INF blocks only pass in that degenerate case and the
         # host trims indices >= nb
-        mask = col >= thresh[None, :]                   # [NB, B]
+        mask = col >= thresh[None, :]                   # [NB*F, B]
         w = (1 << jnp.arange(_PACK, dtype=jnp.int32))[None, :, None]
         packed = jnp.sum(
-            mask.reshape(nb_pad // _PACK, _PACK, b_pad).astype(jnp.int32) * w,
+            mask.reshape(nb2 // _PACK, _PACK, b_pad).astype(jnp.int32) * w,
             axis=1,
-        )                                               # [NB/16, B]
+        )                                               # [NB*F/16, B]
         # counts ride as an extra row: one device buffer = one round trip
         return jnp.concatenate([packed, count[None, :]], axis=0)
 
@@ -994,7 +1010,7 @@ def batch_search(
         else:
             # compact path: kth + margin threshold computed on device,
             # only a bit-packed candidate mask + counts cross the relay
-            k_top = min(128, nb_pad)
+            k_top = min(128, nb_pad * FINE_PER_BLOCK)
             shift_v = np.zeros(b_pad, dtype=np.float32)
             limidx = np.full(b_pad, -1, dtype=np.int32)
             margin_v = np.zeros(b_pad, dtype=np.float32)
@@ -1018,6 +1034,8 @@ def batch_search(
     from fugu_tpu.ops.pallas_scorer import BLOCK as B_BLOCK
 
     sub_per_big = B_BLOCK // BM_BLOCK_DOCS
+    # candidate indices arrive at FINE granularity (256-doc halves)
+    fine_sub = sub_per_big * FINE_PER_BLOCK
 
     def run_wave(idxs: List[int], lists: Dict[int, np.ndarray]):
         """One batched block-kernel wave, grouped by per-plan limit; all
@@ -1059,7 +1077,7 @@ def batch_search(
     it = iter(jax_setup.fetch_np([arr for _tag, _q, arr, _ in pending]))
     for tag, q_idx, _a, _c in pending:
         if tag == "compact":
-            buf = next(it)     # [NB/16 + 1, b_pad] int32
+            buf = next(it)     # [NB*F/16 + 1, b_pad] int32
             packed, count = buf[:-1], buf[-1]
             for qi, i in enumerate(q_idx):
                 if i is None:
@@ -1067,13 +1085,13 @@ def batch_search(
                 if count[qi] == 0:
                     results[i] = []  # no doc scores any positive clause
                     continue
-                cand = _unpack_mask(packed[:, qi], nb)
-                wave1_lists[i] = np.unique(cand // sub_per_big).astype(
+                cand = _unpack_mask(packed[:, qi], nb * FINE_PER_BLOCK)
+                wave1_lists[i] = np.unique(cand // fine_sub).astype(
                     np.int64
                 )
                 wave1_idx.append(i)
             continue
-        amax = next(it)[:nb, 0, :]  # [NB, b_pad]
+        amax = next(it)[:nb].reshape(nb * FINE_PER_BLOCK, -1)  # [NB*F, b_pad]
         for qi, i in enumerate(q_idx):
             if i is None:
                 continue
@@ -1094,15 +1112,15 @@ def batch_search(
                     else -np.inf
                 )
                 cand = np.nonzero(col >= thresh_of(kth))[0]
-                wave1_lists[i] = np.unique(cand // sub_per_big).astype(np.int64)
+                wave1_lists[i] = np.unique(cand // fine_sub).astype(np.int64)
             else:
                 # "upper": maxima are only upper bounds; wave 1 scores
                 # the best-bounded big-blocks to establish kth
                 cols[i] = col
-                n_big = (len(col) + sub_per_big - 1) // sub_per_big
-                big_u = np.full(n_big * sub_per_big, NEG_INF, dtype=col.dtype)
+                n_big = (len(col) + fine_sub - 1) // fine_sub
+                big_u = np.full(n_big * fine_sub, NEG_INF, dtype=col.dtype)
                 big_u[: len(col)] = col
-                big_u = big_u.reshape(n_big, sub_per_big).max(axis=1)
+                big_u = big_u.reshape(n_big, fine_sub).max(axis=1)
                 order = np.argsort(-big_u, kind="stable")
                 take = order[: ROUND1_BLOCKS]
                 wave1_lists[i] = np.sort(take[np.isfinite(big_u[take])]).astype(
@@ -1131,7 +1149,7 @@ def batch_search(
             np.nonzero(np.isfinite(col))[0]
         )
         rest = np.setdiff1d(
-            np.unique(cand // sub_per_big).astype(np.int64), wave1_lists[i]
+            np.unique(cand // fine_sub).astype(np.int64), wave1_lists[i]
         )
         if len(rest) == 0:
             results[i] = hits1[:lim]

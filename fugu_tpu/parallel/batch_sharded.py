@@ -52,6 +52,7 @@ from fugu_tpu.index.segment import (
 )
 from fugu_tpu.ops.batch_scorer import (
     B_BUCKETS,
+    FINE_PER_BLOCK,
     GATE_MARGIN,
     MIN_BATCH,
     NARROW_KINDS,
@@ -162,7 +163,7 @@ def _get_sharded_phasea(mesh, nbs_pad, u_pad, b_pad, wide, interpret,
 
     @jax.jit
     def run(offs, doc, tid, con, w, tids, nm, shift, limidx, margin):
-        amax = sharded(offs, doc, tid, con, w, tids, nm)  # [d*nbs, 1, B]
+        amax = sharded(offs, doc, tid, con, w, tids, nm)  # [d*nbs, F, B]
         # the postproc's global top_k gathers the block axis over the
         # mesh collectives (GSPMD); only the packed mask leaves sharded
         return post(amax, shift, limidx, margin)
@@ -215,7 +216,7 @@ def batch_search_sharded(
     d = pack2.n_shards
     nbs_pad = pack2.nbs_pad
     nb_tot = d * nbs_pad
-    k_top = min(128, nb_tot)
+    k_top = min(128, nb_tot * FINE_PER_BLOCK)
 
     pending = []
     shifts: Dict[int, float] = {}
@@ -274,7 +275,7 @@ def batch_search_sharded(
     wave_idx: List[int] = []
     wave_lists: Dict[int, List[np.ndarray]] = {}
     for q_idx, _p in pending:
-        buf = next(it)              # [nb_tot/16 + 1, b_pad] int32
+        buf = next(it)              # [nb_tot*F/16 + 1, b_pad] int32
         packed_np, count = buf[:-1], buf[-1]
         for qi, i in enumerate(q_idx):
             if i is None:
@@ -282,7 +283,10 @@ def batch_search_sharded(
             if count[qi] == 0:
                 results[i] = []  # no doc scores any positive clause
                 continue
-            cand = _unpack_mask(packed_np[:, qi], nb_tot)
+            fine = _unpack_mask(
+                packed_np[:, qi], nb_tot * FINE_PER_BLOCK
+            )
+            cand = np.unique(fine // FINE_PER_BLOCK)  # 512-doc block ids
             # global index -> (shard, local 512-block) -> the sharded
             # block scorer's local 2048-doc block ids; per-shard padded
             # tail blocks (>= nbs[s]) are NEG_INF unless the query fell

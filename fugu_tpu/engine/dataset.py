@@ -245,6 +245,25 @@ class Dataset:
     def _touch(self) -> None:
         self.last_access = time.time()
 
+    def _read_snapshot(self, idx: NamedIndex):
+        """_ensure_loaded + searcher_segments, closed against the idle
+        sweeper: spill() records cold_segments BEFORE clearing the
+        segment list (both under the index lock), so a snapshot taken
+        after a concurrent spill always observes has_cold and retries
+        through restore; a snapshot taken before keeps valid in-memory
+        Segment objects and needs no retry.  Without this recheck a
+        query could pass _ensure_loaded, lose the race to spill_idle,
+        and silently serve zero hits from an empty snapshot."""
+        for _ in range(3):
+            self._ensure_loaded(idx)
+            segs = idx.searcher_segments()
+            if not idx.has_cold:
+                return segs
+        raise ColdNamespaceError(
+            f"namespace {self.namespace!r}: {idx.name} index keeps being "
+            "spilled concurrently with reads; retry"
+        )
+
     # -- search (search.rs) ---------------------------------------------------
 
     def simple_search(self, query: str) -> List[FuguSearchResult]:
@@ -261,7 +280,7 @@ class Dataset:
         min_score: Optional[float] = None,
     ) -> List[FuguSearchResult]:
         self._touch()
-        self._ensure_loaded(self._docs)
+        segs = self._read_snapshot(self._docs)
         parsed = parse_filters(filters)
         wildcard_patterns = [
             f.path.lower() for f in parsed if f.operator is FilterOperator.WILDCARD
@@ -283,7 +302,6 @@ class Dataset:
         overfetch = has_wildcard or min_score is not None
         search_limit = (offset + per_page) * (10 if overfetch else 1)
 
-        segs = self._docs.searcher_segments()
         hits = self._docs.search_topk_batch([plan], search_limit, segments=segs)[0]
 
         results: List[FuguSearchResult] = []
@@ -316,7 +334,7 @@ class Dataset:
         query batch (the serving-throughput path; no reference analog —
         Tantivy executes queries one at a time)."""
         self._touch()
-        self._ensure_loaded(self._docs)
+        segs = self._read_snapshot(self._docs)
         plans = []
         metas = []
         for query, filters in queries:
@@ -336,7 +354,6 @@ class Dataset:
             for patterns in metas
         ]
         max_limit = max(limits) if limits else per_page
-        segs = self._docs.searcher_segments()
         batch_hits = self._docs.search_topk_batch(plans, max_limit, segments=segs)
         for hits, patterns, limit in zip(batch_hits, metas, limits):
             results: List[FuguSearchResult] = []
@@ -404,14 +421,13 @@ class Dataset:
     def get(self, doc_id: str) -> List[Dict[str, Any]]:
         """Point lookup via a parsed query on the id field (search.rs:457-470)."""
         self._touch()
-        self._ensure_loaded(self._docs)
+        segs = self._read_snapshot(self._docs)
         try:
             plan = queryparser.parse_with_fallback(
                 doc_id, default_fields=("id",), known_fields=("id",)
             )
         except queryparser.ParseError:
             return []
-        segs = self._docs.searcher_segments()
         hits = self._docs.search_topk_batch([plan], 1, segments=segs)[0]
         return [segs[h.segment_ord].stored[h.doc] for h in hits[:1]]
 
@@ -585,7 +601,7 @@ class Dataset:
 
     def suggest(self, prefix: str, limit: int = 10) -> List[str]:
         self._touch()
-        self._ensure_loaded(self._query_index)
+        segs = self._read_snapshot(self._query_index)
         plan = queryparser.parse_with_fallback(
             prefix, default_fields=("text",), known_fields=("text",)
         )
@@ -603,7 +619,6 @@ class Dataset:
             )
             if extra:
                 plan = dataclasses.replace(plan, groups=plan.groups + extra)
-        segs = self._query_index.searcher_segments()
         hits = self._query_index.search_topk_batch([plan], limit, segments=segs)[0]
         out = []
         for h in hits:

@@ -306,7 +306,13 @@ def device_phrase_begin(
     None (callers keep the host matcher fallback)."""
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
     staged = []
-    k_out = next((v for v in (16, 32, 64) if limit < v), 128)
+    # strict-< ladder so rescoring always sees slack candidates at a
+    # bucket boundary (mirrors pallas_scorer's k-ladder fix); limits
+    # past the last bucket would silently truncate the device top-k —
+    # decline them all to the exact host matcher instead
+    k_out = next((v for v in (16, 32, 64, 128) if limit < v), None)
+    if k_out is None:
+        return results, staged, segment, plans, stats, limit
     e_doc = None
     for qi, plan in enumerate(plans):
         pc = _phrase_clause(plan)

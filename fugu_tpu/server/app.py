@@ -798,6 +798,10 @@ async def spill_namespace(request: web.Request) -> web.Response:
             counts = await state.run_sync(lambda: ds.spill(prefix))
     except ValueError as e:  # no prefix configured
         return _err(str(e), 400)
+    except Exception as e:  # remote-tier I/O failure mid-spill: keep the
+        # JSON envelope (segments already offloaded stay cold-marked and
+        # restorable via their .spilled markers)
+        return _err(f"Spill failed: {e}", 500)
     return _json(
         {
             "status": "success",
@@ -844,7 +848,9 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
     state = _state(request)
     # live compaction gauges (write amplification accounting per index)
     lines = []
-    for ns, ds in state.db.datasets.items():
+    # snapshot: namespace create/drop mutates the dict from executor
+    # threads while this iterates on the event loop
+    for ns, ds in list(state.db.datasets.items()):
         for idx in ds.all_indexes():
             st = idx.compaction_stats
             lbl = f'namespace="{ns}",index="{idx.name}"'

@@ -28,6 +28,7 @@ import contextlib
 import contextvars
 import logging
 import os
+import sys
 import time
 from pathlib import Path
 from typing import Iterator, Optional
@@ -177,7 +178,9 @@ def request_span(method: str, path: str, headers=None) -> Iterator[None]:
         with span("server", f"{method} {path}"):
             yield
     finally:
-        otel_ctx.__exit__(None, None, None)
+        # hand the live exception to use_span so failed requests export
+        # with record_exception + ERROR status, not as OK spans
+        otel_ctx.__exit__(*sys.exc_info())
 
 
 @contextlib.contextmanager
@@ -196,7 +199,7 @@ def span(component: str, name: str, **fields) -> Iterator[None]:
         dur_ms = (time.perf_counter() - start) * 1000
         logger.debug("%s done in %.2fms %s", label, dur_ms, fields or "")
         if ctx is not None:
-            ctx.__exit__(None, None, None)
+            ctx.__exit__(*sys.exc_info())
         _current_span.reset(token)
 
 

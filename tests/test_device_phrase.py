@@ -172,3 +172,20 @@ def test_delete_invalidates_device_position_cache():
     assert victim not in [d for _s, d in res2]
     exp = host_result(seg, plan, stats2, 5)
     assert [(np.float32(s), d) for s, d in res2] == exp
+
+
+def test_limit_past_ladder_declines_to_host(seg):
+    """limit >= 128 (e.g. the wildcard-filter 10x over-fetch) exceeds
+    the device extraction ladder; begin must decline every plan so the
+    caller keeps the exact host matcher instead of a silently truncated
+    128-candidate top-k.  At a bucket boundary (limit == 64) the ladder
+    must step UP so rescoring sees slack candidates."""
+    from fugu_tpu.ops.device_phrase import device_phrase_begin
+
+    stats = oracle.IndexStats([seg])
+    plans = [phrase_plan(["p1", "p2"]), phrase_plan(["p3", "p4"])]
+    res, staged, *_ = device_phrase_begin(seg, plans, stats, 200)
+    assert staged == []
+    assert res == [None, None]
+    res, staged, *_ = device_phrase_begin(seg, plans, stats, 128)
+    assert staged == [] and res == [None, None]

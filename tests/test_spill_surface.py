@@ -185,3 +185,28 @@ class TestHttpSurface:
         status, out = server.get_json("/search?q=frozen")
         assert status == 409
         assert "cold" in out["error"]
+
+
+class TestSpillRaceWithReads:
+    def test_sweeper_spill_between_guard_and_snapshot(self, tmp_path):
+        """The idle sweeper winning the race AFTER the cold guard passes
+        must not let the query serve an empty snapshot: spill() records
+        cold_segments before clearing the list (under the index lock),
+        so Dataset._read_snapshot observes has_cold on its post-snapshot
+        recheck and retries through restore."""
+        ds = Dataset("rc", tmp_path / "data", use_device=False)
+        ds.ingest(recs(8, "rc"))
+        idx = ds.docs()
+        real = idx.searcher_segments
+        fired = {}
+
+        def racing_snapshot():
+            if not fired:  # sweeper spills right after _ensure_loaded
+                fired["x"] = True
+                ds.spill(prefix_of(tmp_path))
+            return real()
+
+        idx.searcher_segments = racing_snapshot
+        out = ds.search("spill surface", [], 0, 20)
+        assert len(out) == 8, "race served a partial/empty snapshot"
+        ds.close()

@@ -433,19 +433,43 @@ class Dataset:
 
     # -- facets (facet.rs) ----------------------------------------------------
 
+    def _facet_read(self, idx: NamedIndex, fn):
+        """Cold-guard for facet reads: they walk ``idx.segments``
+        directly, so the same result-completeness rule as search applies
+        — restore before reading, retry if a concurrent spill emptied
+        the walk (spill marks cold before clearing the list)."""
+        self._touch()
+        for _ in range(3):
+            self._ensure_loaded(idx)
+            out = fn()
+            if not idx.has_cold:
+                return out
+        raise ColdNamespaceError(
+            f"namespace {self.namespace!r}: {idx.name} index keeps being "
+            "spilled concurrently with reads; retry"
+        )
+
     def get_namespace_facets(self, namespace: str) -> List[Tuple[str, int]]:
-        return facet_ops.children(self._docs, f"/namespace/{namespace}")
+        return self._facet_read(
+            self._docs,
+            lambda: facet_ops.children(self._docs, f"/namespace/{namespace}"),
+        )
 
     def get_available_namespaces(self) -> List[str]:
+        pairs = self._facet_read(
+            self._docs, lambda: facet_ops.children(self._docs, "/namespace")
+        )
         names = []
-        for path, _ in facet_ops.children(self._docs, "/namespace"):
+        for path, _ in pairs:
             ns = path[len("/namespace/") :]
             if "/" not in ns:
                 names.append(ns)
         return sorted(set(names))
 
     def list_facet(self, from_level: str) -> List[Tuple[str, int]]:
-        return facet_ops.children(self._docs, from_level)
+        return self._facet_read(
+            self._docs, lambda: facet_ops.children(self._docs, from_level)
+        )
 
     def get_facets(self, namespace: Optional[str]) -> List[Tuple[str, int]]:
         return self.list_facet(namespace if namespace else "/")
@@ -454,7 +478,9 @@ class Dataset:
         return self.list_facet(prefix)
 
     def get_facet_tree(self, max_depth: Optional[int]) -> facet_ops.FacetTreeResponse:
-        return facet_ops.facet_tree(self._docs, max_depth)
+        return self._facet_read(
+            self._docs, lambda: facet_ops.facet_tree(self._docs, max_depth)
+        )
 
     def get_all_filter_paths(self) -> Dict[str, List[str]]:
         tree = self.get_facet_tree(None)
@@ -473,7 +499,7 @@ class Dataset:
         ns_path = f"/namespace/{namespace}"
         counts: Dict[str, int] = {}
         seen = 0
-        for seg in self._docs.segments:
+        for seg in self._facet_read(self._docs, self._docs.searcher_segments):
             docs = seg.facet_docs(ns_path)
             for d in docs:
                 if seg.tombstones[d]:
@@ -502,12 +528,22 @@ class Dataset:
         return facet_ops.parent_leaf_paths(tree)
 
     def get_filter_values_at_path(self, filter_path: str) -> List[str]:
-        return facet_ops.filter_values_at_path(self._filter_index, filter_path)
+        return self._facet_read(
+            self._filter_index,
+            lambda: facet_ops.filter_values_at_path(
+                self._filter_index, filter_path
+            ),
+        )
 
     def search_facet(
         self, facet_prefix: str, query_text: Optional[str]
     ) -> List[Tuple[str, int]]:
-        return facet_ops.search_facet(self._filter_index, facet_prefix, query_text)
+        return self._facet_read(
+            self._filter_index,
+            lambda: facet_ops.search_facet(
+                self._filter_index, facet_prefix, query_text
+            ),
+        )
 
     # -- stats / schema (core.rs:146-167, 441-468) ----------------------------
 

@@ -175,7 +175,14 @@ class NamedIndex:
 
     @property
     def num_docs(self) -> int:
-        return sum(s.num_live_docs for s in self.segments)
+        # cold (spilled) segments still count — stats/health must not
+        # report an offloaded namespace as empty (live_docs recorded at
+        # spill time; older markers fall back to doc_count)
+        cold = sum(
+            int(e.get("live_docs", e.get("doc_count", 0)))
+            for e in self.cold_segments.values()
+        )
+        return sum(s.num_live_docs for s in self.segments) + cold
 
     def stats(self) -> oracle_ops.IndexStats:
         if self._stats is None:
@@ -711,8 +718,12 @@ class NamedIndex:
                 self.cold_segments[seg.segment_id] = {
                     "id": seg.segment_id,
                     "doc_count": seg.doc_count,
+                    "live_docs": int(seg.num_live_docs),
                 }
             self.segments = []
+            # publish the cold entries (with live counts) so a restart
+            # keeps reporting accurate stats for the offloaded namespace
+            self._manifest_commit()
             self._invalidate()
 
     def restore(self, spiller=None) -> int:

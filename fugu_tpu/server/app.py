@@ -624,7 +624,7 @@ async def get_namespace_facets(request: web.Request) -> web.Response:
                 state.db.get_namespace_facets, namespace, "/"
             )
         except Exception as e:
-            return _err(f"Failed to get namespace facets: {e}")
+            return _err(f"Failed to get namespace facets: {e}", _exc_status(e))
         return _json(
             {
                 "status": "success",
@@ -645,7 +645,7 @@ def _namespace_values_handler(kind: str, key: str):
                     state.db.get_filter_values_at_path, path
                 )
             except Exception as e:
-                return _err(f"Failed to get {key}: {e}")
+                return _err(f"Failed to get {key}: {e}", _exc_status(e))
             return _json({"status": "success", "namespace": namespace, key: values})
 
     return handler
@@ -665,7 +665,10 @@ async def list_filters(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
-        facets = await state.run_sync(ds.get_facets, None)
+        try:
+            facets = await state.run_sync(ds.get_facets, None)
+        except Exception as e:  # cold namespace -> 409, else 500 envelope
+            return _err(f"Failed to list filters: {e}", _exc_status(e))
         return _json({"filters": [{"value": p} for p, _ in facets]})
 
 
@@ -678,7 +681,10 @@ async def get_filter(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
-        facets = await state.run_sync(ds.get_facets, f"/{namespace}")
+        try:
+            facets = await state.run_sync(ds.get_facets, f"/{namespace}")
+        except Exception as e:
+            return _err(f"Failed to get filter: {e}", _exc_status(e))
         return _json({"filters": [[p, c] for p, c in facets]})
 
 
@@ -688,7 +694,10 @@ async def get_all_filters(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
-        paths = await state.run_sync(ds.get_all_filter_paths)
+        try:
+            paths = await state.run_sync(ds.get_all_filter_paths)
+        except Exception as e:
+            return _err(f"Failed to get filters: {e}", _exc_status(e))
         return _json({"status": "success", "filter_paths": paths})
 
 
@@ -699,7 +708,12 @@ async def get_namespace_filters(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
-        paths = await state.run_sync(ds.get_filter_paths_for_namespace, namespace)
+        try:
+            paths = await state.run_sync(
+                ds.get_filter_paths_for_namespace, namespace
+            )
+        except Exception as e:
+            return _err(f"Failed to get namespace filters: {e}", _exc_status(e))
         return _json(
             {"status": "success", "namespace": namespace, "filter_paths": paths}
         )
@@ -712,7 +726,12 @@ async def get_filter_values_at_path(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
-        values = await state.run_sync(ds.get_filter_values_at_path, filter_path)
+        try:
+            values = await state.run_sync(
+                ds.get_filter_values_at_path, filter_path
+            )
+        except Exception as e:
+            return _err(f"Failed to get filter values: {e}", _exc_status(e))
         return _json({"status": "success", "path": filter_path, "values": values})
 
 
@@ -729,7 +748,10 @@ async def get_facet_tree(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
-        tree = await state.run_sync(ds.get_facet_tree, effective)
+        try:
+            tree = await state.run_sync(ds.get_facet_tree, effective)
+        except Exception as e:
+            return _err(f"Failed to get facet tree: {e}", _exc_status(e))
         return _json({"status": "success", "data": tree.to_dict()})
 
 
@@ -745,7 +767,10 @@ async def suggest(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(namespace)
         if ds is None:
             return _err(f"Namespace '{namespace}' not found", 404)
-        out = await state.run_sync(ds.suggest, q, limit)
+        try:
+            out = await state.run_sync(ds.suggest, q, limit)
+        except Exception as e:
+            return _err(f"Failed to suggest: {e}", _exc_status(e))
         return _json({"status": "success", "suggestions": out})
 
 

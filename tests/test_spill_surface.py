@@ -210,3 +210,65 @@ class TestSpillRaceWithReads:
         out = ds.search("spill surface", [], 0, 20)
         assert len(out) == 8, "race served a partial/empty snapshot"
         ds.close()
+
+
+class TestFacetReadsGuarded:
+    def test_facet_reads_autorestore(self, tmp_path):
+        """Facet reads walk idx.segments directly; on a cold namespace
+        they must restore-first, not silently serve empty trees."""
+        ds = Dataset("fc", tmp_path / "data", use_device=False)
+        ds.ingest(
+            [
+                ObjectRecord(
+                    id=f"f{i}",
+                    text=f"facet doc {i}",
+                    namespace="fc",
+                    facets=[f"/color/{'red' if i % 2 else 'blue'}"],
+                )
+                for i in range(6)
+            ]
+        )
+        want_tree = ds.get_facet_tree(None).to_dict()
+        want_facets = ds.get_facets(None)
+        ds.spill(prefix_of(tmp_path))
+        ds.close()
+
+        ds2 = Dataset("fc", tmp_path / "data", use_device=False)
+        assert ds2.has_cold_segments
+        assert ds2.get_facet_tree(None).to_dict() == want_tree
+        ds2.close()
+
+        ds3 = Dataset("fc", tmp_path / "data", use_device=False)
+        ds3.spill(prefix_of(tmp_path))
+        assert ds3.get_facets(None) == want_facets
+        assert ds3.search_facet("/color", None)  # filter_index guarded too
+        ds3.close()
+
+    def test_facet_reads_409_when_autorestore_off(self, tmp_path, monkeypatch):
+        ds = Dataset("f9", tmp_path / "data", use_device=False)
+        ds.ingest(recs(3, "f9"))
+        ds.spill(prefix_of(tmp_path))
+        monkeypatch.setenv("FUGU_SPILL_AUTORESTORE", "0")
+        with pytest.raises(ColdNamespaceError):
+            ds.get_facet_tree(None)
+        with pytest.raises(ColdNamespaceError):
+            ds.get_filter_values_at_path("/namespace/f9")
+        ds.close()
+
+    def test_cold_namespace_stats_not_zero(self, tmp_path):
+        """Spilling must not make stats/health report the namespace as
+        empty — cold entries carry their live-doc counts (and survive a
+        restart via the manifest commit at spill time)."""
+        ds = Dataset("st", tmp_path / "data", use_device=False)
+        ds.ingest(recs(7, "st"))
+        ds.delete_document("sp0")
+        ds.wait_compaction(30)
+        live = ds.stats().docs_count
+        assert live == 6
+        ds.spill(prefix_of(tmp_path))
+        assert ds.stats().docs_count == live
+        ds.close()
+        ds2 = Dataset("st", tmp_path / "data", use_device=False)
+        assert ds2.has_cold_segments
+        assert ds2.stats().docs_count == live
+        ds2.close()

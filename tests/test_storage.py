@@ -166,7 +166,10 @@ def test_segment_spill_restore(tmp_path):
     docs_dir = data_dir / "cold" / "docs"
     assert not list(docs_dir.glob("seg-*.npz"))
     assert list(docs_dir.glob("seg-*.spilled"))
-    assert ds.stats().docs_count == 0  # unloaded
+    # cold entries keep their live counts: an offloaded namespace is not
+    # "empty" to stats/health
+    assert ds.stats().docs_count == 5
+    assert ds.has_cold_segments
 
     ds.restore(str(remote))
     assert ds.stats().docs_count == 5

@@ -665,11 +665,29 @@ class BlockMajorPack:
 
         self.d_doc = jnp.asarray(bm_doc)
         self.d_tid = jnp.asarray(bm_tid)
-        self.d_con = jnp.asarray(bm_con)
+        # bf16 storage: the phase-A kernel multiplies v * con and casts
+        # the product to bf16 for the doc matmul anyway, so pre-rounding
+        # con costs one more bf16 ulp (covered by MARGIN_REL's 3-rounding
+        # budget, ops/batch_scorer.py) and halves the pack's third lane —
+        # at 8M+ docs the contribution lane alone is GBs of HBM
+        self.d_con = jnp.asarray(bm_con, dtype=jnp.bfloat16)
 
 
 def _pow2_bucket(n: int) -> int:
+    """Shape bucket for device arrays (jit signatures include shapes).
+
+    Plain powers of two up to 2^28 elements — few shapes, few compiles.
+    Above that a doubling step wastes up to ~50% of multi-GB HBM arrays
+    (a 16M-doc corpus is ~880M postings; the next pow2 is 1.07G), so
+    huge arrays use quarter steps {1, 1.25, 1.5, 1.75}·2^k: at most
+    +25% padding for at most 4x the (persistently cached, corpus-scale)
+    compile shapes."""
     p = 1024
     while p < n:
         p <<= 1
+    if p > 2 ** 28:
+        for num in (5, 6, 7):  # 1.25, 1.5, 1.75 of the previous pow2
+            q = (p >> 3) * num
+            if q >= n:
+                return q
     return p

@@ -82,10 +82,12 @@ B_BUCKETS = (64, 128, 256)  # query-lane ladder (flops scale with b_pad)
 #: mixed stream lands at exactly 384 union terms, which a (256,512)
 #: ladder would pad 33% wide.
 U_BUCKETS = (256, 384, 512, 768, 1024)
-#: relative + absolute margin absorbing bf16 matmul error in the maxima.
-#: Correctness needs m >= 2*eps/(1+eps); measured eps(max) = 0.0059 on the
-#: 1M bench corpus, so 0.015 is a 2.5x-of-max cushion.  Looser margins
-#: balloon phase-B candidate lists (0.05 passed 69 blocks/query vs 18).
+#: relative + absolute margin absorbing bf16 error in the maxima vs the
+#: exact f32 score: three bf16 roundings max — w stored bf16, con stored
+#: bf16 (BlockMajorPack), and the v=(w*con) product's bf16 cast — so
+#: correctness needs m >= 3*eps_bf16 ~= 0.0118; measured eps(max) was
+#: 0.0059 with f32 con.  Looser margins balloon phase-B candidate lists
+#: (0.05 passed 69 blocks/query vs 18).
 MARGIN_REL = 0.015
 MARGIN_ABS = 3e-3
 #: phase A pays one full corpus stream per dispatch; below this many
@@ -160,7 +162,7 @@ def _phasea_kernel(
     offs,          # int32[NB+1] scalar prefetch: chunk offsets per block
     doc_hbm,       # int32[E]    block-major doc ids
     tid_hbm,       # int32[E]    block-major global term ids
-    con_hbm,       # f32[E]      block-major weight-free contributions
+    con_hbm,       # bf16[E]     block-major weight-free contributions
     w_ref,         # bf16[U, 2B] lane-concat [weights | must-counts]
     tids_ref,      # int32[8, U] union term ids (row 0; sublane-padded)
     nm_ref,        # f32[8, B]   required must-count per query (row 0)
@@ -217,7 +219,9 @@ def _phasea_kernel(
 
         doc = doc_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
         tid = tid_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
-        con = con_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
+        con = con_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1).astype(
+            jnp.float32
+        )
 
         b2 = w_ref.shape[-1]
         wide = b2 > nm_ref.shape[-1]
@@ -324,7 +328,7 @@ def phasea_callable(
         scratch_shapes=[
             pltpu.VMEM((2 * BM_CHUNK,), jnp.int32),
             pltpu.VMEM((2 * BM_CHUNK,), jnp.int32),
-            pltpu.VMEM((2 * BM_CHUNK,), jnp.float32),
+            pltpu.VMEM((2 * BM_CHUNK,), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((6,)),
         ],
     )

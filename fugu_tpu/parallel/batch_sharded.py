@@ -114,9 +114,13 @@ class ShardedBlockMajor:
 
         self.nbs_pad = _nb_pad(max(self.nbs))
         e_max = _pow2_bucket(max(len(p[0]) for p in packs))
+        import ml_dtypes
+
         st_doc = np.full((d, e_max), -1, dtype=np.int32)
         st_tid = np.full((d, e_max), -1, dtype=np.int32)
-        st_con = np.zeros((d, e_max), dtype=np.float32)
+        # bf16, matching the single-chip BlockMajorPack (the phase-A
+        # kernel's con lane is bf16; MARGIN_REL budgets the rounding)
+        st_con = np.zeros((d, e_max), dtype=ml_dtypes.bfloat16)
         offs = np.zeros((d, self.nbs_pad + 1), dtype=np.int32)
         for s, (bm_doc, bm_tid, bm_con, chunk_offs, nb_s) in enumerate(packs):
             st_doc[s, : len(bm_doc)] = bm_doc

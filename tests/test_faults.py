@@ -114,9 +114,11 @@ def test_otel_gating_with_stub_exporter(monkeypatch):
     # complete recording stub SDK
 
 
-def test_spilled_index_num_docs_zero(tmp_path):
-    """A cold (spilled) index reports unloaded, not crashed."""
+def test_spilled_index_reports_unloaded_but_counted(tmp_path):
+    """A cold (spilled) index reports unloaded — but keeps its live-doc
+    count visible (stats/health must not show an offloaded namespace as
+    empty)."""
     ds = _make_ds(tmp_path, n=20)
     ds.spill(str(tmp_path / "remote"))
-    assert ds.docs().num_docs == 0
+    assert ds.docs().num_docs == 20
     assert not ds.docs().is_loaded

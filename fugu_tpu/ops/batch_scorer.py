@@ -219,8 +219,12 @@ def _phasea_kernel(
 
         doc = doc_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
         tid = tid_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
-        con = con_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1).astype(
-            jnp.float32
+        # convert BEFORE the reshape: Mosaic only supports minor-dim
+        # insertion on 32-bit types (bf16 (C,)->(C,1) fails to compile)
+        con = (
+            con_s[pl.ds(woff, BM_CHUNK)]
+            .astype(jnp.float32)
+            .reshape(BM_CHUNK, 1)
         )
 
         b2 = w_ref.shape[-1]

@@ -245,24 +245,31 @@ class Dataset:
     def _touch(self) -> None:
         self.last_access = time.time()
 
-    def _read_snapshot(self, idx: NamedIndex):
-        """_ensure_loaded + searcher_segments, closed against the idle
+    def _guarded_read(self, idx: NamedIndex, fn):
+        """Cold-guarded read retry loop, closed against the idle
         sweeper: spill() records cold_segments BEFORE clearing the
-        segment list (both under the index lock), so a snapshot taken
-        after a concurrent spill always observes has_cold and retries
-        through restore; a snapshot taken before keeps valid in-memory
-        Segment objects and needs no retry.  Without this recheck a
-        query could pass _ensure_loaded, lose the race to spill_idle,
-        and silently serve zero hits from an empty snapshot."""
+        segment list (both under the index lock), so a read that lost
+        the race to spill_idle observes ``has_cold`` afterwards and
+        retries through restore; a read that won it keeps valid
+        in-memory Segment objects and needs no retry.  The spill_gen
+        comparison closes the complementary window — a spill+restore
+        pair completing entirely inside ``fn()`` leaves has_cold False
+        again, but the walk started on the post-spill empty list.
+        Without these rechecks a query could silently serve zero hits
+        from an empty snapshot."""
         for _ in range(3):
             self._ensure_loaded(idx)
-            segs = idx.searcher_segments()
-            if not idx.has_cold:
-                return segs
+            gen = idx.spill_gen
+            out = fn()
+            if not idx.has_cold and idx.spill_gen == gen:
+                return out
         raise ColdNamespaceError(
             f"namespace {self.namespace!r}: {idx.name} index keeps being "
             "spilled concurrently with reads; retry"
         )
+
+    def _read_snapshot(self, idx: NamedIndex):
+        return self._guarded_read(idx, idx.searcher_segments)
 
     # -- search (search.rs) ---------------------------------------------------
 
@@ -436,18 +443,9 @@ class Dataset:
     def _facet_read(self, idx: NamedIndex, fn):
         """Cold-guard for facet reads: they walk ``idx.segments``
         directly, so the same result-completeness rule as search applies
-        — restore before reading, retry if a concurrent spill emptied
-        the walk (spill marks cold before clearing the list)."""
+        (_guarded_read's retry protocol)."""
         self._touch()
-        for _ in range(3):
-            self._ensure_loaded(idx)
-            out = fn()
-            if not idx.has_cold:
-                return out
-        raise ColdNamespaceError(
-            f"namespace {self.namespace!r}: {idx.name} index keeps being "
-            "spilled concurrently with reads; retry"
-        )
+        return self._guarded_read(idx, fn)
 
     def get_namespace_facets(self, namespace: str) -> List[Tuple[str, int]]:
         return self._facet_read(

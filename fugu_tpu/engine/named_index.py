@@ -170,6 +170,11 @@ class NamedIndex:
         #: backoff — a transient hiccup degrades briefly, not forever
         self._device_failures = 0
         self._device_retry_at = 0.0
+        #: bumped on every spill(); cold-guarded readers compare it
+        #: across their walk so a spill+restore pair completing entirely
+        #: inside the walk (has_cold back to False) still triggers a
+        #: retry instead of returning the post-spill empty snapshot
+        self.spill_gen = 0
 
     # -- reader side ---------------------------------------------------------
 
@@ -177,12 +182,17 @@ class NamedIndex:
     def num_docs(self) -> int:
         # cold (spilled) segments still count — stats/health must not
         # report an offloaded namespace as empty (live_docs recorded at
-        # spill time; older markers fall back to doc_count)
+        # spill time; older markers fall back to doc_count).  Reads are
+        # lockless, so dedup against the warm list: mid-spill a segment
+        # may transiently appear in both.
+        warm = list(self.segments)
+        warm_ids = {s.segment_id for s in warm}
         cold = sum(
             int(e.get("live_docs", e.get("doc_count", 0)))
-            for e in self.cold_segments.values()
+            for sid, e in self.cold_segments.items()
+            if sid not in warm_ids
         )
-        return sum(s.num_live_docs for s in self.segments) + cold
+        return sum(s.num_live_docs for s in warm) + cold
 
     def stats(self) -> oracle_ops.IndexStats:
         if self._stats is None:
@@ -713,13 +723,19 @@ class NamedIndex:
         """Offload all committed segments to the remote tier and drop them
         from memory; the manifest stays authoritative for restore."""
         with self._lock:
+            # accumulate locally and publish with the list swap, so
+            # lockless stats readers never see a segment counted both
+            # warm and cold during the (slow, per-segment) remote writes
+            cold = {}
             for seg in self.segments:
                 spiller.spill(self.path, seg.segment_id)
-                self.cold_segments[seg.segment_id] = {
+                cold[seg.segment_id] = {
                     "id": seg.segment_id,
                     "doc_count": seg.doc_count,
                     "live_docs": int(seg.num_live_docs),
                 }
+            self.spill_gen += 1
+            self.cold_segments.update(cold)
             self.segments = []
             # publish the cold entries (with live counts) so a restart
             # keeps reporting accurate stats for the offloaded namespace

@@ -377,8 +377,8 @@ def _build_postproc(nb_pad: int, b_pad: int):
     kth-of-maxima and the margin threshold on device and ship a
     16-bit-packed candidate mask + per-query finite counts (~260KB)
     instead.  Matches the host logic exactly up to f32-vs-f64 threshold
-    rounding, which the bf16 margin dwarfs (MARGIN_REL has ~2.5x
-    headroom over measured error)."""
+    rounding, which the bf16 margin dwarfs (MARGIN_REL covers the
+    3-bf16-rounding worst case — see the constant's comment)."""
     nb2 = nb_pad * FINE_PER_BLOCK
     k_top = min(128, nb2)
 

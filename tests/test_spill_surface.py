@@ -211,6 +211,49 @@ class TestSpillRaceWithReads:
         assert len(out) == 8, "race served a partial/empty snapshot"
         ds.close()
 
+    def test_spill_restore_pair_inside_walk_retries(self, tmp_path):
+        """A spill+restore pair completing ENTIRELY inside a guarded
+        walk leaves has_cold False again by recheck time — only the
+        spill_gen bump reveals that the walk may have started on the
+        post-spill empty list and must be retried."""
+        ds = Dataset("sg", tmp_path / "data", use_device=False)
+        ds.ingest(recs(8, "sg"))
+        idx = ds.docs()
+        fired = {}
+
+        def walk():
+            if not fired:
+                fired["x"] = True
+                ds.spill(prefix_of(tmp_path))
+                idx.restore()
+                return []  # what a walk over the post-spill list yields
+            return ["complete"]
+
+        assert ds._guarded_read(idx, walk) == ["complete"]
+        ds.close()
+
+    def test_num_docs_stable_during_spill(self, tmp_path, monkeypatch):
+        """Lockless stats readers must never see a segment counted both
+        warm and cold while spill()'s slow per-segment remote writes are
+        in flight (cold entries publish with the list swap + num_docs
+        dedups by id)."""
+        monkeypatch.setenv("FUGU_COMPACTION", "off")
+        ds = Dataset("nd", tmp_path / "data", use_device=False)
+        for b in range(3):  # three batches -> three segments
+            ds.ingest(recs(4, "nd", prefix=f"b{b}-"))
+        idx = ds.docs()
+        assert idx.num_docs == 12 and len(idx.segments) == 3
+        seen = []
+
+        class FakeSpiller:
+            def spill(self, path, seg_id):
+                seen.append(idx.num_docs)  # mid-loop stats read
+
+        idx.spill(FakeSpiller())
+        assert seen == [12, 12, 12], f"mid-spill counts drifted: {seen}"
+        assert idx.num_docs == 12  # all-cold, counts preserved
+        ds.close()
+
 
 class TestFacetReadsGuarded:
     def test_facet_reads_autorestore(self, tmp_path):

@@ -134,12 +134,17 @@ _PACK_MIN_B = 256
 _STREAM_PENALTY_LANES = 96
 
 #: phase-A maxima granularity: FINE_PER_BLOCK maxima per 512-doc kernel
-#: block (256-doc halves).  Finer maxima are free in the kernel (the
-#: scatter already produces per-doc scores; the reduce just splits) and
-#: strictly tighten phase B: the kth-of-maxima over a SUPERSET of finer
-#: values is >= the coarse kth, and cold 256-doc halves of hot blocks
-#: drop out of the candidate mask.
-FINE_PER_BLOCK = 2
+#: block (256-doc halves at the default 2).  Finer maxima are free in
+#: the kernel (the scatter already produces per-doc scores; the reduce
+#: just splits) and strictly tighten phase B: the kth-of-maxima over a
+#: SUPERSET of finer values is >= the coarse kth, and cold 256-doc
+#: halves of hot blocks drop out of the candidate mask.  Env-tunable
+#: (FUGU_FINE_PER_BLOCK in {1,2,4,8}; new values compile fresh phase-A
+#: signatures) for same-day A/B — 1->2 gained +46% on the limit100
+#: class; 4 is the untested next step.
+FINE_PER_BLOCK = int(os.environ.get("FUGU_FINE_PER_BLOCK", "2"))
+if BM_BLOCK_DOCS % max(FINE_PER_BLOCK, 1) or FINE_PER_BLOCK not in (1, 2, 4, 8):
+    raise ValueError(f"FUGU_FINE_PER_BLOCK={FINE_PER_BLOCK} not in (1,2,4,8)")
 BM_FINE_DOCS = BM_BLOCK_DOCS // FINE_PER_BLOCK
 
 

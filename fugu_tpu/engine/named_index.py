@@ -36,6 +36,53 @@ from fugu_tpu.records import ObjectRecord
 #: (device dispatch overhead dominates tiny queries)
 DEVICE_MIN_ENTRIES = 4096
 
+
+class _BackendProbe:
+    """Deadline-bounded jax backend-init probe.
+
+    The device→host fallback below catches *raised* backend errors, but
+    a backend whose init HANGS (e.g. an unreachable TPU relay: the
+    plugin retries with internal sleeps for tens of minutes) never
+    raises — without this guard the first search of every reader would
+    block on ``jax.devices()`` for as long as the init retries, instead
+    of degrading to the host engine.  The probe runs init once in a
+    daemon thread; ``ready()`` waits only for the remaining budget
+    (measured from probe start, so later callers don't re-pay it) and
+    flips back to True automatically if/when the backend comes up.  A
+    probe that *fails fast* (raises) reports ready=True on purpose: the
+    device call then raises quickly and the existing exponential-backoff
+    path takes over."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._done = threading.Event()
+        self._started = 0.0
+
+    def _run(self) -> None:
+        try:
+            import jax
+
+            jax.devices()
+        except Exception:
+            pass
+        self._done.set()
+
+    def ready(self, timeout: Optional[float] = None) -> bool:
+        import os
+        import time
+
+        if timeout is None:
+            timeout = float(os.environ.get("FUGU_DEVICE_INIT_TIMEOUT", "30"))
+        with self._lock:
+            if not self._started:
+                self._started = time.time()
+                threading.Thread(target=self._run, daemon=True).start()
+        self._done.wait(max(0.0, self._started + timeout - time.time()))
+        return self._done.is_set()
+
+
+_backend_probe = _BackendProbe()
+
 #: force-merge keeps this name for backward compatibility; the live
 #: policy is LogMergePolicy (index/compactor.py) — 8 is its
 #: min_num_segments default (Tantivy LogMergePolicy)
@@ -315,7 +362,11 @@ class NamedIndex:
 
             return search_blockmax(seg, plan, stats, limit)
 
-        device_ok = self.use_device and _time.time() >= self._device_retry_at
+        device_ok = (
+            self.use_device
+            and _time.time() >= self._device_retry_at
+            and _backend_probe.ready()
+        )
         for ord_, seg in enumerate(segments):
             device_idx = [
                 i
@@ -636,6 +687,8 @@ class NamedIndex:
 
         mode = os.environ.get("FUGU_DEVICE_MERGE", "auto")
         if mode == "off" or not self.use_device:
+            return None
+        if not _backend_probe.ready():  # hung init: don't park the compactor
             return None
         if mode != "on" and any(s._device_pack is None for s in srcs):
             return None

@@ -122,3 +122,40 @@ def test_spilled_index_reports_unloaded_but_counted(tmp_path):
     ds.spill(str(tmp_path / "remote"))
     assert ds.docs().num_docs == 20
     assert not ds.docs().is_loaded
+
+
+def test_backend_probe_deadline_and_recovery(monkeypatch):
+    """A HUNG backend init (e.g. unreachable TPU relay retrying with
+    internal sleeps) must flip device routing off after the deadline —
+    not block searches for the init's lifetime — and flip back on when
+    init finally completes."""
+    import threading
+    import time
+
+    probe = ni._BackendProbe()
+    release = threading.Event()
+    monkeypatch.setattr(probe, "_run", lambda: (release.wait(5), probe._done.set()))
+    t0 = time.time()
+    assert probe.ready(timeout=0.2) is False  # waits only the deadline
+    assert time.time() - t0 < 2.0
+    assert probe.ready(timeout=0.2) is False  # residual budget: no re-pay
+    release.set()
+    for _ in range(50):
+        if probe.ready(timeout=0.0):
+            break
+        time.sleep(0.05)
+    assert probe.ready(timeout=0.0) is True  # backend came up: device resumes
+
+
+def test_search_serves_host_results_while_init_hangs(tmp_path, monkeypatch):
+    """With the probe reporting not-ready, a device-enabled index must
+    still serve correct results through the host engine."""
+    monkeypatch.setattr(ni, "DEVICE_MIN_ENTRIES", 1)
+    hung = ni._BackendProbe()
+    monkeypatch.setattr(hung, "_run", lambda: None)  # never completes
+    monkeypatch.setattr(hung, "ready", lambda timeout=None: False)
+    monkeypatch.setattr(ni, "_backend_probe", hung)
+    ds = _make_ds(tmp_path, n=50)
+    out = ds.search("resilient w3", [], 0, 10)
+    assert out and all("w3" in h.text for h in out[:4])  # 50/12 ≈ 4 w3 docs
+    ds.close()

@@ -291,6 +291,28 @@ def device_run(seg, stats, mix):
 
 def main() -> None:
     t_start = time.time()
+    # fail FAST and readably if the TPU backend can't initialize (a dead
+    # axon relay makes jax.devices() hang for tens of minutes raising
+    # nothing — better one JSON error line than a silent driver timeout)
+    from fugu_tpu.engine.named_index import _backend_probe
+
+    wait = float(os.environ.get("BENCH_INIT_TIMEOUT", "600"))
+    log(f"probing jax backend (up to {wait:.0f}s)...")
+    if not _backend_probe.ready(timeout=wait):
+        print(
+            json.dumps(
+                {
+                    "metric": f"BM25 mixed-workload QPS ({N_DOCS} docs, batched)",
+                    "value": 0,
+                    "unit": "queries/s",
+                    "vs_baseline": 0,
+                    "error": "jax backend init did not complete "
+                    f"within {wait:.0f}s (TPU relay unreachable?)",
+                }
+            )
+        )
+        sys.exit(1)
+    log("backend up")
     seg = build_corpus()
     from fugu_tpu.ops import oracle
 

@@ -41,6 +41,10 @@ class DatasetManager:
         self.config = config
         self.use_device = use_device
         self._lock = threading.RLock()
+        self._cv = threading.Condition(self._lock)
+        #: namespaces mid-deletion: creates wait (not fail) until the
+        #: close+rmtree — which runs OUTSIDE the registry lock — finishes
+        self._deleting: set = set()
         self.datasets: Dict[str, Dataset] = {}
         self._mesh = None
         if use_device and getattr(config, "shard_devices", 0):
@@ -137,6 +141,8 @@ class DatasetManager:
 
     def get_or_create_dataset(self, namespace: str) -> Dataset:
         with self._lock:
+            while namespace in self._deleting:
+                self._cv.wait()
             if namespace not in self.datasets:
                 self._create(namespace, None)
             return self.datasets[namespace]
@@ -152,14 +158,48 @@ class DatasetManager:
             ds = self.datasets.pop(namespace, None)
             if ds is None:
                 return False
-            # stop background compaction before the files go away
+            self._deleting.add(namespace)
+        try:
+            # stop background compaction before the files go away — but
+            # OUTSIDE the registry lock: joining an in-flight merge can
+            # take tens of seconds and must not stall every other
+            # namespace's create/lookup.  Concurrent creates of THIS name
+            # wait on _deleting instead (so the fresh dataset's files are
+            # never swept by this rmtree).
             ds.close()
             if remove_files:
                 validate_namespace_name(namespace)
                 ns_dir = _contained_ns_dir(ds.base_path, namespace)
                 if ns_dir.exists():
+                    self._delete_cold_objects(ns_dir)
                     shutil.rmtree(ns_dir)
-            return True
+        finally:
+            with self._lock:
+                self._deleting.discard(namespace)
+                self._cv.notify_all()
+        return True
+
+    @staticmethod
+    def _delete_cold_objects(ns_dir: Path) -> None:
+        """Best-effort remote cleanup of spilled segments: the local
+        ``.spilled`` markers about to be rmtree'd are the only pointers
+        to the remote keys — without this, every spilled namespace
+        deletion leaks its segments in the cold tier forever."""
+        import logging
+
+        from fugu_tpu.storage.spill import SegmentSpiller
+
+        for marker in ns_dir.glob("*/seg-*.spilled"):
+            sid = marker.name[len("seg-") : -len(".spilled")]
+            prefix = marker.read_text().strip()
+            if not prefix:
+                continue
+            try:
+                SegmentSpiller(prefix).delete_remote(sid)
+            except Exception as e:
+                logging.getLogger("fugu_tpu").warning(
+                    "remote cleanup of %s failed: %s", marker, e
+                )
 
     def close(self) -> None:
         """Shut down background workers for every dataset (graceful
@@ -174,9 +214,13 @@ class DatasetManager:
         periodically when ServerConfig.spill_idle_ttl_secs is set."""
         import time
 
-        ttl = idle_ttl_secs or getattr(self.config, "spill_idle_ttl_secs", None)
+        ttl = (
+            idle_ttl_secs
+            if idle_ttl_secs is not None  # explicit 0 = "spill all idle now"
+            else getattr(self.config, "spill_idle_ttl_secs", None)
+        )
         prefix = getattr(self.config, "spill_prefix", None)
-        if not ttl or not prefix:
+        if ttl is None or not prefix:
             return []
         now = time.time()
         spilled = []

@@ -101,6 +101,7 @@ class BackgroundCompactor:
         self._pending = 0  # notifications not yet fully drained
         self._thread: Optional[threading.Thread] = None
         self._closed = False
+        self._pass_failed = False  # last drain ended in an exception
 
     def notify(self) -> None:
         with self._cv:
@@ -123,6 +124,7 @@ class BackgroundCompactor:
                 if self._closed:
                     return
                 snapshot = self._pending
+            failed = False
             try:
                 while self._run_pass():
                     if self._closed:
@@ -130,21 +132,27 @@ class BackgroundCompactor:
             except Exception:
                 # a failed merge must not kill the worker; the next
                 # commit re-notifies and retries
+                failed = True
                 log.exception("compaction pass failed")
             with self._cv:
                 # notifications that arrived mid-drain stay pending, so
                 # the loop re-checks the policy before going idle
                 self._pending -= snapshot
+                self._pass_failed = failed
                 if self._pending == 0:
                     self._cv.notify_all()
 
     def wait_idle(self, timeout: Optional[float] = None) -> bool:
-        """Block until every notification has been fully drained (no
-        merge running and the policy finds nothing)."""
+        """Block until every notification has been drained (no merge
+        running).  Returns False on timeout — and also when the final
+        pass RAISED, so barrier callers (tests, deterministic benches,
+        shutdown) don't proceed believing the merge policy is satisfied
+        when the drain actually aborted."""
         with self._cv:
-            return self._cv.wait_for(
+            drained = self._cv.wait_for(
                 lambda: self._pending == 0 or self._closed, timeout
             )
+            return drained and not self._pass_failed
 
     def close(self) -> None:
         with self._cv:
@@ -153,3 +161,12 @@ class BackgroundCompactor:
         t = self._thread
         if t is not None and t.is_alive():
             t.join(timeout=30)
+            if t.is_alive():
+                # caller may be about to delete the index's files; the
+                # straggler's writes then fail loudly (save_segment does
+                # not mkdir) rather than resurrecting the directory —
+                # but the operator should know the join gave up
+                log.warning(
+                    "compactor thread still running after 30s join; "
+                    "proceeding without it"
+                )

@@ -536,19 +536,15 @@ class Segment:
             # tf and fieldnorm-id travel PACKED in one int32 (tf in the
             # low 24 bits — text caps at 10k chars so tf < 2^24 — fid in
             # the high 8): a third less posting bandwidth per window.
-            # +8192 reserve: block-window DMAs (ops/pallas_scorer) read
-            # 1024-aligned windows past the last entry.
-            size = _pow2_bucket(len(self.e_doc) + 8192)
+            size = pack_entry_size(len(self.e_doc))
             e_doc = np.full(size, DOC_SENTINEL, dtype=np.int32)
             e_doc[: len(self.e_doc)] = self.e_doc
             e_tffid = np.zeros(size, dtype=np.int32)
             e_tffid[: len(self.e_tf)] = self.e_tf | (self.e_fid << 24)
 
-            # +64 reserve: per-block tombstone DMAs read whole 64-word rows
-            n_words = _pow2_bucket(max((self.doc_count + 31) // 32, 1) + 64)
-            tomb_words = np.zeros(n_words, dtype=np.uint32)
-            idx = np.nonzero(self.tombstones)[0]
-            np.bitwise_or.at(tomb_words, idx >> 5, np.uint32(1) << (idx & 31))
+            tomb_words = pack_dead_bits(
+                self.tombstones, pack_word_size(self.doc_count)
+            )
             self._device_pack = (
                 jnp.asarray(e_doc),
                 jnp.asarray(e_tffid),
@@ -691,3 +687,29 @@ def _pow2_bucket(n: int) -> int:
             if q >= n:
                 return q
     return p
+
+
+def pack_entry_size(n_entries: int) -> int:
+    """Device entry-pack length for ``n_entries`` postings.
+
+    +8192 reserve: block-window DMAs (ops/pallas_scorer) read
+    1024-aligned windows past the last entry.  Shared with
+    ops/device_merge so a device-merged pack's shapes can never drift
+    from the host-upload path's (a mismatch would jit-compile a fresh
+    divergent program per merged segment)."""
+    return _pow2_bucket(n_entries + 8192)
+
+
+def pack_word_size(doc_count: int) -> int:
+    """Tombstone-bitset word count for ``doc_count`` docs (+64 reserve:
+    per-block tombstone DMAs read whole 64-word rows; shared with
+    ops/device_merge — see pack_entry_size)."""
+    return _pow2_bucket(max((doc_count + 31) // 32, 1) + 64)
+
+
+def pack_dead_bits(dead_mask: np.ndarray, pad_words: int) -> np.ndarray:
+    """Bool tombstone mask -> padded uint32 bitset words."""
+    words = np.zeros(pad_words, dtype=np.uint32)
+    idx = np.nonzero(dead_mask)[0]
+    np.bitwise_or.at(words, idx >> 5, np.uint32(1) << (idx & 31))
+    return words

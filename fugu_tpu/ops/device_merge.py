@@ -41,7 +41,14 @@ from typing import Sequence, Tuple
 import numpy as np
 
 from fugu_tpu import jax_setup
-from fugu_tpu.index.segment import DOC_SENTINEL, Segment, _pow2_bucket
+from fugu_tpu.index.segment import (
+    DOC_SENTINEL,
+    Segment,
+    _pow2_bucket,
+    pack_dead_bits,
+    pack_entry_size,
+    pack_word_size,
+)
 from fugu_tpu.index.merge import MergePlan
 
 jax_setup.configure()
@@ -53,11 +60,7 @@ import jax.numpy as jnp
 _RUN_PAD = np.iinfo(np.int32).max
 
 
-def _pack_dead_bits(dead_mask: np.ndarray, pad_words: int) -> np.ndarray:
-    words = np.zeros(pad_words, dtype=np.uint32)
-    idx = np.nonzero(dead_mask)[0]
-    np.bitwise_or.at(words, idx >> 5, np.uint32(1) << (idx & 31))
-    return words
+_pack_dead_bits = pack_dead_bits  # shared with Segment.device_pack
 
 
 @partial(
@@ -180,8 +183,9 @@ def device_merge_entries(
         (plan.run_dst_start[-1] + plan.run_len[-1]) if n_runs else 0
     )
     e_pre_pad = _pow2_bucket(max(e_pre, 32))
-    # mirror Segment.device_pack's sizing of the merged pack exactly
-    out_pad = _pow2_bucket(len(merged.e_doc) + 8192)
+    # Segment.device_pack's sizing of the merged pack, via the shared
+    # helper (shape drift = a divergent jit program per merged segment)
+    out_pad = pack_entry_size(len(merged.e_doc))
 
     return _merge_packs(
         doc_all,
@@ -204,6 +208,6 @@ def attach_device_pack(merged: Segment, entries: tuple) -> None:
     racing deletes the compactor forwarded are included) — a tiny
     upload, same layout as Segment.device_pack."""
     out_doc, out_tffid = entries
-    n_words = _pow2_bucket(max((merged.doc_count + 31) // 32, 1) + 64)
-    tomb_words = jnp.asarray(_pack_dead_bits(merged.tombstones, n_words))
+    n_words = pack_word_size(merged.doc_count)
+    tomb_words = jnp.asarray(pack_dead_bits(merged.tombstones, n_words))
     merged._device_pack = (out_doc, out_tffid, tomb_words)

@@ -84,13 +84,12 @@ class S3Location:
 def make_s3_client():
     """boto3 client from env (s3/mod.rs:101-135); raises if unavailable."""
     try:
-        import boto3  # noqa: F401
+        import boto3
     except ImportError as e:  # pragma: no cover - boto3 absent in CI image
         raise RuntimeError(
             "S3 backend requires boto3, which is not installed; "
             "use FileSystemLocation or install boto3"
         ) from e
-    import boto3
 
     return boto3.client(
         "s3",
@@ -175,7 +174,11 @@ class RemoteLocation:
 
     @classmethod
     def from_url(cls, url: str, cache: Optional[CachePolicy] = None):
-        if url.startswith("s3://") or "digitalocean" in url:
+        # any http(s) URL is an endpoint-qualified S3 URL (bucket.host/key
+        # — S3Location.from_url parses it); treating one as a filesystem
+        # path would "spill" into a junk local directory and then delete
+        # the real segment files believing they were offloaded
+        if url.startswith(("s3://", "http://", "https://")):
             return cls(S3Location.from_url(url), cache)
         path = url[len("file://") :] if url.startswith("file://") else url
         return cls(FileSystemLocation(path), cache)
@@ -218,6 +221,19 @@ class RemoteLocation:
         if self.cache is not None:
             self.cache.put(self.location.to_url(), data)
 
+    def delete(self) -> None:
+        """Remove the remote object (missing objects are a no-op — S3
+        DeleteObject is idempotent and the filesystem path mirrors that)."""
+        if isinstance(self.location, FileSystemLocation):
+            p = Path(self.location.path)
+            if p.exists():
+                p.unlink()
+            return
+        client = make_s3_client()
+        client.delete_object(
+            Bucket=self.location.bucket, Key=self.location.key
+        )
+
 
 class SegmentSpiller:
     """Spill/restore whole index segments to a remote tier.
@@ -251,10 +267,19 @@ class SegmentSpiller:
             if p.exists():
                 self._remote(p.name).raw_upload(p.read_bytes())
                 uploaded.append(p.name)
-        for name in uploaded:  # delete only after all uploads succeeded
-            (index_dir / name).unlink()
+        if not uploaded:
+            # unknown segment id / double-spill after the files are gone:
+            # a marker here would record a phantom cold segment that no
+            # restore can ever clear
+            return uploaded
+        # the marker (the durable pointer to the remote copy) must exist
+        # BEFORE the local files go away: a crash in between then leaves
+        # marker+files coexisting (restore simply re-fetches over them),
+        # never a vanished segment with its remote location lost
         marker = index_dir / f"seg-{segment_id}.spilled"
         marker.write_text(self.remote_prefix)
+        for name in uploaded:  # delete only after all uploads succeeded
+            (index_dir / name).unlink()
         return uploaded
 
     def restore(self, index_dir: Union[str, Path], segment_id: str) -> List[str]:
@@ -277,6 +302,21 @@ class SegmentSpiller:
             if marker.exists():
                 marker.unlink()
         return restored
+
+    def delete_remote(self, segment_id: str) -> List[str]:
+        """Remove a spilled segment's remote objects (namespace deletion:
+        the local ``.spilled`` marker is the only pointer to these keys,
+        so the remote copies must go before the marker does or they leak
+        in the cold tier forever)."""
+        deleted = []
+        for suffix in self.SUFFIXES:
+            name = f"seg-{segment_id}{suffix}"
+            try:
+                self._remote(name).delete()
+                deleted.append(name)
+            except FileNotFoundError:
+                pass
+        return deleted
 
     def is_spilled(self, index_dir: Union[str, Path], segment_id: str) -> bool:
         return (Path(index_dir) / f"seg-{segment_id}.spilled").exists()

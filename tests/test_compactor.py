@@ -247,3 +247,27 @@ class TestBackgroundCompaction:
         # policy satisfied immediately after every commit
         assert idx.merge_policy.select(idx.segments) == []
         assert len(idx.segments) <= 8
+
+
+def test_wait_idle_false_after_failed_pass():
+    """wait_idle's contract is 'drained AND policy satisfied' — a pass
+    that raised must not let barrier callers proceed as if compaction
+    completed."""
+    from fugu_tpu.index.compactor import BackgroundCompactor
+
+    state = {"fail": True, "calls": 0}
+
+    def run_pass():
+        state["calls"] += 1
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("transient merge failure")
+        return False  # policy satisfied
+
+    c = BackgroundCompactor(run_pass)
+    c.notify()
+    assert c.wait_idle(timeout=10) is False  # drained but aborted
+    c.notify()  # the next commit retries...
+    assert c.wait_idle(timeout=10) is True  # ...and succeeds
+    assert state["calls"] == 2
+    c.close()

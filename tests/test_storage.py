@@ -232,3 +232,74 @@ def test_delete_and_merge_preserve_cold_segments(tmp_path):
     ds2.restore(str(remote))
     ids = {r.id for r in ds2.search("cold hot gamma one two", [], 0, 10)}
     assert ids == {"old", "h2"}
+
+
+def test_spill_marker_durable_before_unlink(tmp_path, monkeypatch):
+    """A crash between upload and local-file removal must leave the
+    .spilled marker (the only durable pointer to the remote copy)
+    already on disk — marker+files coexisting is recoverable, a
+    vanished segment with no marker is not."""
+    from pathlib import Path
+
+    sp = SegmentSpiller(f"file://{tmp_path}/remote")
+    d = tmp_path / "idx"
+    d.mkdir()
+    (d / "seg-abc.npz").write_bytes(b"payload")
+
+    real_unlink = Path.unlink
+
+    def crash(self, *a, **k):
+        raise OSError("simulated crash mid-spill")
+
+    monkeypatch.setattr(Path, "unlink", crash)
+    with pytest.raises(OSError):
+        sp.spill(d, "abc")
+    monkeypatch.setattr(Path, "unlink", real_unlink)
+    assert (d / "seg-abc.spilled").exists()  # pointer survived
+    assert (d / "seg-abc.npz").exists()  # local copy survived too
+    # restore over the coexisting state is clean and clears the marker
+    sp.restore(d, "abc")
+    assert (d / "seg-abc.npz").read_bytes() == b"payload"
+    assert not (d / "seg-abc.spilled").exists()
+
+
+def test_spill_unknown_segment_writes_no_marker(tmp_path):
+    sp = SegmentSpiller(f"file://{tmp_path}/remote")
+    d = tmp_path / "idx"
+    d.mkdir()
+    assert sp.spill(d, "ghost") == []
+    assert not (d / "seg-ghost.spilled").exists()
+    assert not sp.is_spilled(d, "ghost")
+
+
+def test_http_urls_route_to_s3_not_filesystem():
+    """Any endpoint-qualified http(s) URL is S3 — treating one as a
+    local path would 'spill' into a junk directory then delete the
+    real segment files."""
+    loc = RemoteLocation.from_url("https://bucket.minio.internal:9000/cold/x")
+    assert isinstance(loc.location, S3Location)
+    assert loc.location.bucket == "bucket"
+    assert loc.location.endpoint == "https://minio.internal:9000"
+    # file:// and bare paths still route to the filesystem
+    assert isinstance(
+        RemoteLocation.from_url("/tmp/x").location, FileSystemLocation
+    )
+
+
+def test_delete_namespace_removes_remote_objects(tmp_path):
+    """Deleting a spilled namespace must delete the cold-tier objects:
+    the rmtree'd .spilled markers are the only pointers to those keys."""
+    from fugu_tpu.config import ServerConfig
+    from fugu_tpu.engine.manager import DatasetManager
+
+    remote = tmp_path / "remote"
+    cfg = ServerConfig(
+        data_path=str(tmp_path / "data"), default_namespace="delns"
+    )
+    mgr = DatasetManager(cfg, use_device=False)
+    ds = mgr.get_or_create_dataset("delns")
+    ds.ingest([ObjectRecord(id="r1", text="orphan check", namespace="delns")])
+    ds.spill(f"file://{remote}")
+    assert any(remote.rglob("seg-*.npz"))  # objects landed remotely
+    assert mgr.delete_namespace("delns")
+    assert not any(remote.rglob("seg-*"))  # ...and were cleaned up

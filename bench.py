@@ -14,7 +14,10 @@ strongest honest host stand-in on this (single-core) machine: the
 **block-max pruned scalar scorer** (ops/blockmax.py) — index-time skip
 tables + WAND-style bound pruning, i.e. what Tantivy actually does per
 query — with the naive full-traversal oracle also reported for context.
-`vs_baseline` = device-QPS / blockmax-QPS on the same mix, same run.
+`vs_baseline` = device-QPS / the STRONGER of the two host baselines on
+the same mix, same run (block-max wins at scale; the naive oracle wins
+on small corpora where block bookkeeping dominates) — the JSON line
+names which one in its `baseline` field.
 MS MARCO is not available offline (zero egress); the corpus is synthetic
 Zipfian text shaped like MS MARCO passages (~55 tokens/doc).
 
@@ -274,8 +277,7 @@ def device_run(seg, stats, mix):
         for i, r in zip(idxs, fill):
             results[i] = r
     if phrase_handle is not None:
-        from fugu_tpu.ops.device_phrase import device_phrase_collect
-
+        # device_phrase_collect already imported where phrase_handle was set
         phrase_res = device_phrase_collect(phrase_handle)
         all_host = [i for i, p in enumerate(plans) if p.host_only]
         for j, i in enumerate(all_host):
@@ -491,6 +493,11 @@ def main() -> None:
                 "value": round(qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / base_qps, 2),
+                "baseline": (
+                    "blockmax-host"
+                    if blockmax_qps >= naive_qps
+                    else "naive-oracle-host"
+                ),
             }
         )
     )

@@ -57,6 +57,13 @@ class DatasetManager:
         backend can't supply the devices — the server still comes up
         single-chip rather than failing startup."""
         try:
+            # deadline-bounded: a HUNG backend init (dead TPU relay)
+            # must not block server startup — come up single-chip and
+            # let per-query routing re-probe (named_index._BackendProbe)
+            from fugu_tpu.engine.named_index import _backend_probe
+
+            if not _backend_probe.ready():
+                raise RuntimeError("jax backend init did not complete")
             import jax
 
             from fugu_tpu.parallel.sharded import make_mesh

@@ -43,13 +43,23 @@ def _json(data: Any, status: int = 200) -> web.Response:
     return web.json_response(data, status=status, dumps=lambda d: json.dumps(d, ensure_ascii=False))
 
 
+class NamespaceNotFoundError(Exception):
+    """Caller named a namespace that doesn't exist — a 404, not a 500
+    (a 5xx here is alert noise for a typo'd namespace)."""
+
+
 def _exc_status(e: Exception, default: int = 500) -> int:
     """ColdNamespaceError -> 409 (the namespace exists but its segments
     are offloaded and could not be auto-restored — never silently serve
-    partial results); everything else keeps the caller's default."""
+    partial results); unknown namespace -> 404; everything else keeps
+    the caller's default."""
     from fugu_tpu.engine.dataset import ColdNamespaceError
 
-    return 409 if isinstance(e, ColdNamespaceError) else default
+    if isinstance(e, ColdNamespaceError):
+        return 409
+    if isinstance(e, NamespaceNotFoundError):
+        return 404
+    return default
 
 
 def _err(message: str, status: int = 500) -> web.Response:
@@ -104,7 +114,7 @@ async def _perform_search(state, namespace, query, filters, page, per_page):
 
     ds = state.db.get_dataset(namespace)
     if ds is None:
-        raise KeyError(f"Namespace '{namespace}' not found")
+        raise NamespaceNotFoundError(f"Namespace '{namespace}' not found")
     per_page = _clamp_per_page(per_page)
     with telemetry.Timer() as t, timed("fugu_search", namespace=namespace):
         results = await state.batcher.search(ds, query, filters, page, per_page)
@@ -180,6 +190,7 @@ async def search_endpoint(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
+        per_page = _clamp_per_page(per_page)  # every search route clamps
         try:
             with telemetry.Timer() as t:
                 results = await state.batcher.search(
@@ -394,8 +405,11 @@ async def list_objects(request: web.Request) -> web.Response:
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
-        page = int(request.query.get("page", 0))
-        per_page = _clamp_per_page(int(request.query.get("per_page", 20)))
+        try:
+            page = int(request.query.get("page", 0))
+            per_page = _clamp_per_page(int(request.query.get("per_page", 20)))
+        except ValueError:
+            return _err("invalid `page`/`per_page` parameter", 400)
 
         def collect():
             out = []
@@ -742,7 +756,10 @@ async def get_facet_tree(request: web.Request) -> web.Response:
     with telemetry.server_span("/facets/tree", "GET"):
         state = _state(request)
         raw = request.query.get("max_depth")
-        max_depth = int(raw) if raw is not None else None
+        try:
+            max_depth = int(raw) if raw is not None else None
+        except ValueError:
+            return _err("invalid `max_depth` parameter", 400)
         # max_depth - 1 adjustment (facets.rs:31)
         effective = None if max_depth is None else (max_depth - 1 if max_depth > 0 else 0)
         ds = state.db.get_dataset(state.db.config.default_namespace)
@@ -762,7 +779,10 @@ async def suggest(request: web.Request) -> web.Response:
     with telemetry.server_span("/suggest", "GET"):
         state = _state(request)
         q = request.query.get("q", "")
-        limit = int(request.query.get("limit", 10))
+        try:
+            limit = int(request.query.get("limit", 10))
+        except ValueError:
+            return _err("invalid `limit` parameter", 400)
         namespace = request.query.get("namespace", state.db.config.default_namespace)
         ds = state.db.get_dataset(namespace)
         if ds is None:

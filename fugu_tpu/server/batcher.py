@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence, Set, Tuple
 
 from fugu_tpu.engine.dataset import Dataset, FuguSearchResult
 
@@ -40,6 +40,10 @@ class SearchBatcher:
         self._queues: Dict[int, List[_Pending]] = {}
         self._tasks: Dict[int, asyncio.Task] = {}
         self._datasets: Dict[int, Dataset] = {}
+        #: strong refs to in-flight batch tasks — the event loop keeps
+        #: only weak refs, so without this a batch task can be GC'd
+        #: mid-flight and every waiter in it hangs forever
+        self._inflight: Set[asyncio.Task] = set()
 
     async def search(
         self,
@@ -59,25 +63,39 @@ class SearchBatcher:
             self._flush_now(key)
         elif key not in self._tasks or self._tasks[key].done():
             self._tasks[key] = asyncio.create_task(self._flush_later(key))
-        return await pending.future
+        try:
+            return await pending.future
+        finally:
+            # drop the dataset ref once its queues drain: a deleted
+            # namespace must not stay pinned (segments, doc stores,
+            # device packs) by a stale batcher entry for process life
+            if not self._queues.get(key):
+                self._datasets.pop(key, None)
+                self._queues.pop(key, None)
+                task = self._tasks.pop(key, None)
+                if task is not None and not task.done():
+                    task.cancel()
 
     def _flush_now(self, key: int) -> None:
-        queue = self._queues.get(key)
-        if not queue:
+        # search() flushes synchronously the moment a queue reaches
+        # max_batch (single-threaded loop), so the queue never exceeds it
+        batch = self._queues.get(key)
+        if not batch:
             return
         self._queues[key] = []
-        batch = queue[: self.max_batch]
-        rest = queue[self.max_batch :]
-        if rest:
-            self._queues[key] = rest
-        asyncio.create_task(self._run_batch(key, batch))
+        # capture the dataset ref NOW (same synchronous step as the
+        # enqueue that registered it) — looking it up inside the batch
+        # task would race the drained-waiter cleanup in search()
+        dataset = self._datasets[key]
+        task = asyncio.create_task(self._run_batch(dataset, batch))
+        self._inflight.add(task)
+        task.add_done_callback(self._inflight.discard)
 
     async def _flush_later(self, key: int) -> None:
         await asyncio.sleep(self.window_ms / 1000.0)
         self._flush_now(key)
 
-    async def _run_batch(self, key: int, batch: List[_Pending]) -> None:
-        dataset = self._datasets[key]
+    async def _run_batch(self, dataset: Dataset, batch: List[_Pending]) -> None:
         # group by paging so search_many's shared limit stays tight
         by_page: Dict[Tuple[int, int], List[_Pending]] = {}
         for p in batch:

@@ -70,3 +70,31 @@ def test_dataset_knobs_direct(tmp_path):
     # b=0: doc length no longer matters -> equal scores
     assert no_norm[0].score == pytest.approx(no_norm[1].score, rel=1e-6)
     assert default[0].score != pytest.approx(default[1].score, rel=1e-6)
+
+
+class TestErrorContracts:
+    """Caller mistakes get JSON envelopes with caller-mistake statuses,
+    never aiohttp's HTML 500 (and never 5xx alert noise for typos)."""
+
+    def test_unknown_namespace_is_404_json(self, server):
+        status, out = server.get_json("/search?q=x&namespace=no_such_ns")
+        assert status == 404
+        assert "no_such_ns" in out["error"]
+        assert '"' not in out["error"].replace('\\"', "")  # no KeyError quoting
+
+    def test_bad_int_params_are_400_json(self, server):
+        for path in (
+            "/objects?page=abc",
+            "/suggest?q=x&limit=abc",
+            "/facets/tree?max_depth=abc",
+        ):
+            status, out = server.get_json(path)
+            assert status == 400, path
+            assert "invalid" in out["error"], path
+
+    def test_post_search_clamps_per_page(self, server):
+        status, out = server.post_json(
+            "/search", {"query": "quick", "page": {"per_page": 100000000}}
+        )
+        assert status == 200
+        assert out["per_page"] == 20  # (0,100] -> 20, like every route

@@ -164,8 +164,9 @@ class Dataset:
 
     def upsert(self, records: Sequence[ObjectRecord]) -> None:
         # writes to a cold namespace do NOT force a restore: cold
-        # manifest entries are carried through every commit (see
-        # NamedIndex.cold_segments), and the next READ restores
+        # manifest entries are carried through every commit, and the
+        # written ids are queued as Manifest.pending_deletes so the
+        # restore tombstones any cold copies (no duplicate live ids)
         self._touch()
         # the three per-namespace indexes are independent until their own
         # manifest commits (each has its own writer lock/dir) — build
@@ -208,7 +209,10 @@ class Dataset:
 
     def delete_document(self, doc_id: str) -> None:
         # Only the docs index supports id deletes; filter/query go stale
-        # (document.rs:444-455 — documented reference behavior).
+        # (document.rs:444-455 — documented reference behavior).  On a
+        # cold namespace the id is queued as a pending delete applied at
+        # restore (tombstones can't reach spilled segments).
+        self._touch()
         self._docs.delete_document(doc_id)
 
     def _ensure_loaded(self, *indexes: NamedIndex) -> None:
@@ -293,8 +297,13 @@ class Dataset:
             f.path.lower() for f in parsed if f.operator is FilterOperator.WILDCARD
         ]
         has_wildcard = bool(wildcard_patterns)
+        # derive from `parsed` so wildcard detection has ONE definition
+        # (parse_filters requires len>=2: a bare "*" is a PREFIX filter,
+        # which an inline startswith/endswith check would misclassify)
         non_wildcard = [
-            f for f in filters if not (f.startswith("*") and f.endswith("*"))
+            f
+            for f, p in zip(filters, parsed)
+            if p.operator is not FilterOperator.WILDCARD
         ]
 
         plan = self.build_search_plan(query, non_wildcard, has_wildcard)
@@ -350,7 +359,9 @@ class Dataset:
                 f.path.lower() for f in parsed if f.operator is FilterOperator.WILDCARD
             ]
             non_wildcard = [
-                f for f in filters if not (f.startswith("*") and f.endswith("*"))
+                f
+                for f, p in zip(filters, parsed)
+                if p.operator is not FilterOperator.WILDCARD
             ]
             plans.append(self.build_search_plan(query, non_wildcard, bool(patterns)))
             metas.append(patterns)
@@ -498,6 +509,8 @@ class Dataset:
         counts: Dict[str, int] = {}
         seen = 0
         for seg in self._facet_read(self._docs, self._docs.searcher_segments):
+            if seen >= 10_000:
+                break  # cap reached: skip remaining segments entirely
             docs = seg.facet_docs(ns_path)
             for d in docs:
                 if seg.tombstones[d]:
@@ -509,20 +522,7 @@ class Dataset:
                     if not facet.startswith("/namespace/"):
                         counts[facet] = counts.get(facet, 0) + 1
 
-        tree: Dict[str, facet_ops.FacetNode] = {}
-        for path, count in sorted(counts.items()):
-            components = [c for c in path.split("/") if c]
-            current = tree
-            current_path = ""
-            for i, comp in enumerate(components):
-                current_path += "/" + comp
-                is_leaf = i == len(components) - 1
-                if comp not in current:
-                    current[comp] = facet_ops.FacetNode(
-                        comp, current_path, count if is_leaf else 0, {}
-                    )
-                if not is_leaf:
-                    current = current[comp].children
+        tree, _ = facet_ops.build_tree(sorted(counts.items()))
         return facet_ops.parent_leaf_paths(tree)
 
     def get_filter_values_at_path(self, filter_path: str) -> List[str]:

@@ -51,15 +51,6 @@ class FacetTreeResponse:
         }
 
 
-def live_count(index: NamedIndex, path: str) -> int:
-    total = 0
-    for seg in index.segments:
-        docs = seg.facet_docs(path)
-        if len(docs):
-            total += int((~seg.tombstones[docs]).sum())
-    return total
-
-
 def all_paths_with_counts(index: NamedIndex) -> Dict[str, int]:
     """Every facet path (ancestors included) -> live doc count, sorted."""
     counts: Dict[str, int] = {}
@@ -74,35 +65,40 @@ def all_paths_with_counts(index: NamedIndex) -> Dict[str, int]:
 
 
 def children(index: NamedIndex, path: str) -> List[Tuple[str, int]]:
-    """Immediate children of `path` with live counts (FacetCollector.get)."""
+    """Immediate children of `path` with live counts (FacetCollector.get).
+
+    Filters the term dictionaries by prefix BEFORE counting: the
+    postings lookup + tombstone popcount run only for the handful of
+    matching children, not every facet path in the index (namespace
+    listings and filter-value endpoints hit this per request)."""
     norm = path.rstrip("/") if path != "/" else ""
     prefix = norm + "/"
     out: Dict[str, int] = {}
-    for p, n in all_paths_with_counts(index).items():
-        if p.startswith(prefix) and "/" not in p[len(prefix) :] and p != norm:
-            out[p] = out.get(p, 0) + n
+    for seg in index.segments:
+        tmap = seg.terms.get(FACET_FIELD_KEY, {})
+        for p in tmap:
+            if not p.startswith(prefix) or "/" in p[len(prefix) :] or p == norm:
+                continue
+            docs = seg.facet_docs(p)
+            n = int((~seg.tombstones[docs]).sum()) if len(docs) else 0
+            if n:
+                out[p] = out.get(p, 0) + n
     return sorted(out.items())
 
 
-def facet_tree(index: NamedIndex, max_depth: Optional[int]) -> FacetTreeResponse:
-    """Parity with Dataset::get_facet_tree (facet.rs:113-196):
+def build_tree(
+    pairs: List[Tuple[str, int]], max_depth: Optional[int] = None
+) -> Tuple[Dict[str, FacetNode], int]:
+    """Insert sorted (path, count) pairs into a nested FacetNode dict.
 
-    - collected facets: every path whose depth d satisfies d <= max_depth
-      (the recursive collector descends while current_depth < max_depth)
-    - the tree keeps only paths with depth < max_depth
-    - parent counts roll up as own + sum(children), recursively
-    """
-    all_counts = all_paths_with_counts(index)
-    collected: List[Tuple[str, int]] = []
-    actual_max_depth = 0
-    for path, count in all_counts.items():
-        depth = len([c for c in path.split("/") if c])
-        if max_depth is not None and depth > max_depth:
-            continue
-        collected.append((path, count))
-
+    Shared by facet_tree and Dataset.get_filter_paths_for_namespace so
+    the subtle node-insertion protocol (leaf counts overriding
+    placeholder parents) lives in ONE place.  Returns (tree, max depth
+    seen across pairs); paths at depth >= max_depth are counted toward
+    the depth but not inserted (facet.rs:113-196 semantics)."""
     tree: Dict[str, FacetNode] = {}
-    for path, count in collected:
+    actual_max_depth = 0
+    for path, count in pairs:
         components = [c for c in path.split("/") if c]
         depth = len(components)
         actual_max_depth = max(actual_max_depth, depth)
@@ -124,6 +120,26 @@ def facet_tree(index: NamedIndex, max_depth: Optional[int]) -> FacetTreeResponse
                 current[comp].count = count
             else:
                 current = current[comp].children
+    return tree, actual_max_depth
+
+
+def facet_tree(index: NamedIndex, max_depth: Optional[int]) -> FacetTreeResponse:
+    """Parity with Dataset::get_facet_tree (facet.rs:113-196):
+
+    - collected facets: every path whose depth d satisfies d <= max_depth
+      (the recursive collector descends while current_depth < max_depth)
+    - the tree keeps only paths with depth < max_depth
+    - parent counts roll up as own + sum(children), recursively
+    """
+    all_counts = all_paths_with_counts(index)
+    collected: List[Tuple[str, int]] = []
+    for path, count in all_counts.items():
+        depth = len([c for c in path.split("/") if c])
+        if max_depth is not None and depth > max_depth:
+            continue
+        collected.append((path, count))
+
+    tree, actual_max_depth = build_tree(collected, max_depth)
 
     def rollup(node: FacetNode) -> int:
         if not node.children:

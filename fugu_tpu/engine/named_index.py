@@ -549,6 +549,12 @@ class NamedIndex:
             builder = SegmentBuilder(self.schema)
             kill_local: set = set()
             touched_committed = False
+            # delete-by-id can only tombstone WARM segments; ids written
+            # while segments are cold queue a pending delete applied at
+            # restore() — otherwise the cold copy resurrects as a
+            # duplicate live doc
+            queue_cold = bool(self.cold_segments) and self.supports_full_documents()
+            cold_pending: set = set()
             for record in records:
                 if not record.id:
                     raise ValueError("Object ID cannot be empty")
@@ -562,6 +568,8 @@ class NamedIndex:
                             touched_committed = True
                     for d in builder.pending_docs_for_term("id", record.id):
                         kill_local.add(d)
+                    if queue_cold:
+                        cold_pending.add(record.id)
 
                 for text_fields, facets, stored in self._build_docs(record):
                     builder.add_document(text_fields, facets=facets, stored=stored)
@@ -571,6 +579,10 @@ class NamedIndex:
                     builder = SegmentBuilder(self.schema)
                     kill_local = set()
 
+            if cold_pending:
+                self.manifest.pending_deletes = sorted(
+                    set(self.manifest.pending_deletes) | cold_pending
+                )
             self._commit(builder, kill_local, touched_committed)
 
     def delete_document(self, doc_id: str) -> None:
@@ -586,6 +598,14 @@ class NamedIndex:
             for seg in self.segments:
                 if seg.delete_by_term("id", doc_id):
                     touched = True
+            if self.cold_segments:
+                # the id may live in a cold segment tombstones can't
+                # reach — queue it for restore() (silently no-oping here
+                # would resurrect the doc)
+                self.manifest.pending_deletes = sorted(
+                    set(self.manifest.pending_deletes) | {doc_id}
+                )
+                touched = True
             if touched:
                 for seg in self.segments:
                     save_tombstones(seg, self.path)
@@ -808,6 +828,7 @@ class NamedIndex:
             self.manifest.load()
             from fugu_tpu.index.manifest import load_segment
 
+            cold_ids = set(self.cold_segments)
             segs = []
             restored = 0
             for sid in self.manifest.segment_ids:
@@ -820,12 +841,35 @@ class NamedIndex:
                 if sp is not None and sp.is_spilled(self.path, sid):
                     sp.restore(self.path, sid)
                     restored += 1
+                    cold_ids.add(sid)
                 # a failed fetch leaves the marker in place and the pack
                 # absent; load_segment then raises and the state below is
                 # never committed (the segment stays recorded as cold)
                 segs.append(load_segment(self.path, sid, self.schema))
+            # apply delete-by-id terms queued while these segments were
+            # cold (Manifest.pending_deletes): tombstones could not reach
+            # them at write time, and skipping this would resurrect
+            # overwritten/deleted docs as duplicates
+            pending = self.manifest.pending_deletes
+            if pending and self.supports_full_documents():
+                touched = []
+                for seg in segs:
+                    if seg.segment_id not in cold_ids:
+                        continue  # warm copies were tombstoned at write
+                    hit = False
+                    for d in pending:
+                        hit = seg.delete_by_term("id", d) or hit
+                    if hit:
+                        touched.append(seg)
+                for seg in touched:
+                    save_tombstones(seg, self.path)
             self.segments = segs
             self.cold_segments.clear()
+            if pending:
+                # durably clear: a stale pending list would re-apply old
+                # deletes to FUTURE spill/restore cycles of these ids
+                self.manifest.pending_deletes = []
+                self._manifest_commit()
             self._invalidate()
             return restored
 

@@ -185,6 +185,13 @@ class Manifest:
         self.generation = 0
         self.segment_ids: List[str] = []
         self.entries: List[Dict[str, Any]] = []
+        #: delete-by-id terms issued while segments were COLD (spilled):
+        #: tombstones can only land in warm segments, so these are queued
+        #: here — durably, they ride every commit — and applied to the
+        #: restored segments by NamedIndex.restore().  Without this, an
+        #: upsert/delete against a cold namespace would resurrect the old
+        #: copy at restore time.
+        self.pending_deletes: List[str] = []
 
     @property
     def path(self) -> Path:
@@ -197,6 +204,7 @@ class Manifest:
         self.generation = data.get("generation", 0)
         self.entries = list(data.get("segments", []))
         self.segment_ids = [s["id"] for s in self.entries]
+        self.pending_deletes = list(data.get("pending_deletes", []))
         return True
 
     def commit(
@@ -216,6 +224,8 @@ class Manifest:
         ] + [dict(e) for e in cold_entries]
         self.segment_ids = [e["id"] for e in self.entries]
         data = {"generation": self.generation, "segments": self.entries}
+        if self.pending_deletes:
+            data["pending_deletes"] = sorted(self.pending_deletes)
         _atomic_write(self.path, json.dumps(data, indent=2).encode("utf-8"))
 
     def gc(self, live_ids: List[str]) -> None:

@@ -303,3 +303,57 @@ def test_delete_namespace_removes_remote_objects(tmp_path):
     assert any(remote.rglob("seg-*.npz"))  # objects landed remotely
     assert mgr.delete_namespace("delns")
     assert not any(remote.rglob("seg-*"))  # ...and were cleaned up
+
+
+def test_cold_upsert_no_duplicate_after_restore(tmp_path):
+    """Re-upserting an id while its namespace is cold must not leave
+    two live copies after restore — the cold copy is tombstoned via the
+    manifest's pending-delete queue."""
+    data_dir = tmp_path / "data"
+    remote = tmp_path / "remote"
+    ds = Dataset("cw", data_dir, use_device=False)
+    ds.ingest([ObjectRecord(id="dup", text="version one alpha", namespace="cw")])
+    ds.spill(f"file://{remote}")
+    # write the SAME id while cold (no restore forced)
+    ds.ingest([ObjectRecord(id="dup", text="version two beta", namespace="cw")])
+    assert ds.docs().has_cold  # still lazy
+    ds.restore(f"file://{remote}")
+    hits = ds.search("version alpha beta", [], 0, 10)
+    assert [h.id for h in hits] == ["dup"], [(h.id, h.text) for h in hits]
+    assert "two" in hits[0].text  # the NEW copy won
+    assert ds.get("dup")[0]["text"] == "version two beta"
+    ds.close()
+
+
+def test_cold_delete_applies_at_restore(tmp_path):
+    """delete_document on a cold namespace must not silently no-op: the
+    id is queued and the doc stays dead after restore (and across a
+    restart-before-restore crash)."""
+    data_dir = tmp_path / "data"
+    remote = tmp_path / "remote"
+    ds = Dataset("cd", data_dir, use_device=False)
+    ds.ingest(
+        [
+            ObjectRecord(id="gone", text="ephemeral doc", namespace="cd"),
+            ObjectRecord(id="kept", text="permanent doc", namespace="cd"),
+        ]
+    )
+    ds.spill(f"file://{remote}")
+    ds.delete_document("gone")
+    ds.close()
+
+    # restart BEFORE restore: the pending delete must be durable
+    ds2 = Dataset("cd", data_dir, use_device=False)
+    assert ds2.has_cold_segments
+    ids = {h.id for h in ds2.search("ephemeral permanent doc", [], 0, 10)}
+    assert ids == {"kept"}, ids
+    assert ds2.get("gone") == []
+    # a second spill/restore cycle must NOT re-kill a reborn id
+    ds2.ingest([ObjectRecord(id="gone", text="reborn doc", namespace="cd")])
+    ds2.spill(f"file://{remote}")
+    ds2.restore(f"file://{remote}")
+    assert {h.id for h in ds2.search("reborn permanent doc", [], 0, 10)} == {
+        "gone",
+        "kept",
+    }
+    ds2.close()

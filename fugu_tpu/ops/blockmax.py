@@ -55,9 +55,13 @@ class BlockMaxIndex:
         #: entry offsets of each block's subrange)
         self._term_blocks: Dict[Tuple[int, int], tuple] = {}
 
+        # NOTE: no whole-array astype copies here — tf/fid are only ever
+        # used as per-field slices below, and at 8-16M docs a transient
+        # f32+int64 copy of every entry is multi-GB held for the whole
+        # build (which reruns on every stats-fingerprint change)
         docs = segment.e_doc[:e]
-        tfs = segment.e_tf[:e].astype(np.float32)
-        fids = segment.e_fid[:e].astype(np.int64)
+        tfs = segment.e_tf
+        fids = segment.e_fid
         for field, tmap in segment.terms.items():
             if not tmap:
                 continue
@@ -101,7 +105,7 @@ class BlockMaxIndex:
                 lo = int(starts.min()) if len(starts) else 0
                 hi = int((starts + seg_dfs).max()) if len(starts) else 0
                 w_entry = np.repeat(w[order], seg_dfs[order])
-                tf_slice = tfs[lo:hi]
+                tf_slice = tfs[lo:hi].astype(np.float32)
                 self.contrib[lo:hi] = w_entry * (
                     tf_slice / (tf_slice + cache[fids[lo:hi]])
                 )
@@ -126,6 +130,14 @@ class BlockMaxIndex:
             got = (ids, maxima.astype(np.float32), bounds + start)
             self._term_blocks[key] = got
         return got
+
+
+def relaxed(k):
+    """Ulp-margin pruning threshold: bounds are computed on a different
+    f32 rounding path than exact scores, so a strict `< kth` compare
+    could prune a doc that ties or beats the kth score.  Shared by the
+    block-max and phrase pruning loops — one definition, one margin."""
+    return k - abs(k) * np.float32(1e-6) - np.float32(1e-12)
 
 
 def get_blockmax(segment: Segment, stats: IndexStats, k1: float, b: float):
@@ -246,9 +258,6 @@ def search_blockmax(
     top_scores = np.full(pad, -np.inf, dtype=np.float32)
     top_docs = np.full(pad, 2**31 - 1, dtype=np.int64)
     kth = -np.inf
-
-    def relaxed(k):
-        return k - abs(k) * np.float32(1e-6) - np.float32(1e-12)
 
     scores = np.zeros(BM_BLOCK, dtype=np.float32)
     bits = np.zeros(BM_BLOCK, dtype=np.int64)

@@ -200,7 +200,7 @@ def search_phrase_topk(
         return None  # multi-phrase plans: rare; keep the oracle exact
     pc = clauses[0]
 
-    from fugu_tpu.ops.blockmax import get_blockmax
+    from fugu_tpu.ops.blockmax import get_blockmax, relaxed
 
     matcher = PhraseMatcher(segment, pc)
     if not matcher.ok:
@@ -260,13 +260,13 @@ def search_phrase_topk(
                 break
             take *= 2
             continue
-        # ulp-margin relaxed threshold (mirrors blockmax.relaxed): the
-        # bound is computed on a different f32 rounding path than the
-        # exact score (contrib * w_p/w_rare vs w_p * tf/(tf+norm)), so
-        # when phrase_tf == tf_rare — the common case — a doc's bound can
-        # land a few ulp BELOW its exact score; a strict un-margined
-        # compare could then prune a doc that ties or beats the kth score
-        if float(bounds[chunk].max()) < kth - abs(kth) * 1e-6 - 1e-12:
+        # blockmax.relaxed ulp margin: the bound is computed on a
+        # different f32 rounding path than the exact score (contrib *
+        # w_p/w_rare vs w_p * tf/(tf+norm)), so when phrase_tf ==
+        # tf_rare — the common case — a doc's bound can land a few ulp
+        # BELOW its exact score; a strict un-margined compare could then
+        # prune a doc that ties or beats the kth score
+        if float(bounds[chunk].max()) < relaxed(kth):
             break
         visited[chunk] = True
         last_round = k >= n

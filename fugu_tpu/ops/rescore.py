@@ -38,7 +38,6 @@ def exact_scores(
 ) -> np.ndarray:
     """Oracle-exact f32 scores for `docs` (device plans only: term and
     facet clauses — phrases/ranges/subplans never reach the device)."""
-    docs = docs.astype(np.int64)
     # int32 needles for searchsorted: an int64 needle makes numpy copy
     # the whole O(df) posting haystack to int64 per clause
     docs32 = docs.astype(np.int32)

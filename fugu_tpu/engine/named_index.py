@@ -208,6 +208,10 @@ class NamedIndex:
                     self.cold_segments[seg_id] = dict(entry)
                     continue
                 self.segments.append(load_segment(self.path, seg_id, self.schema))
+            # startup-only directory sweep: reclaims packs orphaned by a
+            # crash mid-merge (save_segment runs before publish).  Safe
+            # ONLY here — no merge can be in flight during open.
+            self.manifest.gc(self.manifest.segment_ids)
         self._stats: Optional[oracle_ops.IndexStats] = None
         self._mesh = None
         self._sharded_packs: Dict[str, Any] = {}
@@ -751,11 +755,10 @@ class NamedIndex:
                 if pos is None:
                     # source vanished (force-merge/spill raced us): the
                     # merged result is stale — drop its files and report
-                    # "changed" so the worker re-selects from fresh state
-                    self.manifest.gc(
-                        [t.segment_id for t in self.segments]
-                        + list(self.cold_segments)
-                    )
+                    # "changed" so the worker re-selects from fresh state.
+                    # gc_ids, not a directory scan: another merge's
+                    # saved-but-unpublished pack must survive.
+                    self.manifest.gc_ids([merged.segment_id])
                     return True
                 positions.append(pos)
             changed_tombs = False
@@ -780,10 +783,9 @@ class NamedIndex:
                 if j == pos0 or j not in drop
             ]
             self._manifest_commit()
-            self.manifest.gc(
-                [t.segment_id for t in self.segments]
-                + list(self.cold_segments)
-            )
+            # delete exactly the consumed sources — a directory scan
+            # here would race a concurrent merge's unpublished pack
+            self.manifest.gc_ids([s.segment_id for s in srcs])
             self._invalidate()
             self.compaction_stats["merges"] += 1
             self.compaction_stats["docs_written"] += merged.doc_count

@@ -35,8 +35,17 @@ def new_segment_id() -> str:
 
 
 def _atomic_write(path: Path, data: bytes) -> None:
+    # fsync BEFORE the rename: many filesystems journal the rename ahead
+    # of the data blocks, so a power loss could otherwise leave a
+    # zero-length meta.json that fails to parse on restart even though
+    # every segment (and the previous manifest content) was intact
     tmp = path.with_suffix(path.suffix + f".tmp{os.getpid()}")
-    tmp.write_bytes(data)
+    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        os.write(fd, data)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
 
 
@@ -229,12 +238,29 @@ class Manifest:
         _atomic_write(self.path, json.dumps(data, indent=2).encode("utf-8"))
 
     def gc(self, live_ids: List[str]) -> None:
-        """Delete segment files not in the live set (post-merge cleanup)."""
+        """Delete segment files not in the live set.
+
+        Directory-scan cleanup is ONLY safe when no merge can be
+        in flight (index open/startup): a concurrent merge persists its
+        merged pack BEFORE publishing it, and a scan from another thread
+        would see that unpublished file as garbage and delete committed
+        data.  Merge-time cleanup must use gc_ids with the exact
+        consumed sources instead."""
         live = set(live_ids)
         for f in self.dir_path.glob("seg-*.npz"):
             seg_id = f.name[len("seg-") : -len(".npz")]
             if seg_id not in live:
-                for suffix in (".npz", ".store.msgpack", ".store.jsonl", ".tomb.npy"):
-                    p = self.dir_path / f"seg-{seg_id}{suffix}"
-                    if p.exists():
-                        p.unlink()
+                self.gc_ids([seg_id])
+
+    def gc_ids(self, dead_ids: List[str]) -> None:
+        """Delete the files of exactly ``dead_ids`` (post-merge cleanup
+        of consumed sources — race-safe: never touches files it wasn't
+        told about, so a concurrent merge's saved-but-unpublished pack
+        survives).  Ids still in the committed manifest are skipped."""
+        for seg_id in dead_ids:
+            if seg_id in self.segment_ids:
+                continue  # published (or re-published) — never delete
+            for suffix in (".npz", ".store.msgpack", ".store.jsonl", ".tomb.npy"):
+                p = self.dir_path / f"seg-{seg_id}{suffix}"
+                if p.exists():
+                    p.unlink()

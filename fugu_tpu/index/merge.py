@@ -28,7 +28,6 @@ merged segment's device pack from the sources' HBM-resident packs.
 from __future__ import annotations
 
 import dataclasses
-import heapq
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -143,11 +142,7 @@ def merge_segments(
         # (merged term, segment, doc) order — exactly the merge-sort a
         # posting-at-a-time merger would produce.
         union = sorted(
-            set(
-                heapq.merge(
-                    *[iter(s.terms.get(field, {})) for s in segments]
-                )
-            )
+            set().union(*(s.terms.get(field, {}) for s in segments))
         )
         if not union:
             terms[field] = {}

@@ -176,16 +176,18 @@ class SegmentBuilder:
         for field, values in text_fields.items():
             field_post = self._postings.setdefault(field, {})
             field_pos = self._positions.setdefault(field, {})
-            per_doc: Dict[str, Tuple[int, List[int]]] = {}
+            per_doc: Dict[str, list] = {}  # term -> [tf, positions]
             pos_base = 0
             n_tokens = 0
             for value in values:
                 last_pos = -1
                 for tok in analysis.tokenize(value):
                     p = pos_base + tok.position
-                    tf, poss = per_doc.get(tok.text, (0, []))
-                    poss = poss + [p]
-                    per_doc[tok.text] = (tf + 1, poss)
+                    ent = per_doc.get(tok.text)
+                    if ent is None:
+                        ent = per_doc[tok.text] = [0, []]
+                    ent[0] += 1
+                    ent[1].append(p)  # in place: poss+[p] was O(tf^2)/doc
                     n_tokens += 1
                     last_pos = max(last_pos, tok.position)
                 pos_base += last_pos + POSITION_GAP if last_pos >= 0 else 0

@@ -271,3 +271,37 @@ def test_wait_idle_false_after_failed_pass():
     assert c.wait_idle(timeout=10) is True  # ...and succeeds
     assert state["calls"] == 2
     c.close()
+
+
+def test_merge_gc_spares_unpublished_packs(tmp_path):
+    """A merge's cleanup must delete exactly its consumed sources: a
+    directory scan would also delete a CONCURRENT merge's
+    saved-but-not-yet-published pack (committed-data loss on the next
+    reload).  The startup sweep, where no merge can be in flight, still
+    reclaims crash-orphaned packs."""
+    import shutil
+
+    ds = Dataset("gcr", tmp_path / "data", use_device=False)
+    for b in range(3):
+        ds.ingest(
+            [ObjectRecord(id=f"g{b}-{i}", text=f"gc doc {b} {i}", namespace="gcr")
+             for i in range(4)]
+        )
+    idx = ds.docs()
+    docs_dir = idx.path
+    src = next(docs_dir.glob("seg-*.npz"))
+    # simulate another merge's in-flight pack: saved, not in any manifest
+    phantom = docs_dir / "seg-deadbeefcafe0123.npz"
+    shutil.copy(src, phantom)
+
+    assert idx.maybe_merge(force=True)  # merge-all + gc of consumed sources
+    assert phantom.exists(), "merge gc deleted an unpublished in-flight pack"
+    hits = ds.search("gc doc", [], 0, 20)
+    assert len(hits) == 12
+    ds.close()
+
+    # reopen: the startup-only sweep reclaims the orphan
+    ds2 = Dataset("gcr", tmp_path / "data", use_device=False)
+    assert not phantom.exists(), "startup sweep left a crash-orphaned pack"
+    assert len(ds2.search("gc doc", [], 0, 20)) == 12
+    ds2.close()

@@ -47,10 +47,15 @@ def escape_query_string(query: str) -> str:
     return "".join(c for c in query if c not in ESCAPE_CHARS)
 
 
+#: token = (kind, text, slop, boost, field, mod); the phrase branch
+#: accepts the full Tantivy prefix forms -- [+-]field:"..."~N^B -- so
+#: `title:"hello world"` is ONE phrase token restricted to `title`, not
+#: two misparsed words (adjacency lost, wrong fields searched)
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9.]+))?
+        (?P<pmod>[+-])?(?:(?P<pfield>[A-Za-z_][A-Za-z0-9_]*):)?
+          "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?(?:\^(?P<pboost>[0-9.]+))?
       | (?P<mod>[+-])(?=\()
       | (?P<open>\()
       | (?P<close>\))
@@ -60,11 +65,13 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+_Token = Tuple[str, Optional[str], int, float, Optional[str], Optional[str]]
 
-def _split_tokens(query: str) -> List[Tuple[str, Optional[str], int, float]]:
-    """-> list of (kind, text, slop, boost);
+
+def _split_tokens(query: str) -> List[_Token]:
+    """-> list of (kind, text, slop, boost, field, mod);
     kind in {'phrase','word','open','close','mod'}."""
-    out = []
+    out: List[_Token] = []
     pos = 0
     while pos < len(query):
         m = _TOKEN_RE.match(query, pos)
@@ -73,15 +80,24 @@ def _split_tokens(query: str) -> List[Tuple[str, Optional[str], int, float]]:
         if m.group("phrase") is not None:
             slop = int(m.group("slop") or 0)
             boost = float(m.group("pboost") or 1.0)
-            out.append(("phrase", m.group("phrase"), slop, boost))
+            out.append(
+                (
+                    "phrase",
+                    m.group("phrase"),
+                    slop,
+                    boost,
+                    m.group("pfield"),
+                    m.group("pmod"),
+                )
+            )
         elif m.group("mod") is not None:
-            out.append(("mod", m.group("mod"), 0, 1.0))
+            out.append(("mod", m.group("mod"), 0, 1.0, None, None))
         elif m.group("open") is not None:
-            out.append(("open", "(", 0, 1.0))
+            out.append(("open", "(", 0, 1.0, None, None))
         elif m.group("close") is not None:
-            out.append(("close", ")", 0, 1.0))
+            out.append(("close", ")", 0, 1.0, None, None))
         else:
-            out.append(("word", m.group("word"), 0, 1.0))
+            out.append(("word", m.group("word"), 0, 1.0, None, None))
         pos = m.end()
     if query.count('"') % 2 == 1:
         raise ParseError("unbalanced quotes")
@@ -89,14 +105,22 @@ def _split_tokens(query: str) -> List[Tuple[str, Optional[str], int, float]]:
 
 
 _RANGE_RE = re.compile(
-    r"(?P<neg>-?)(?P<field>[A-Za-z_][A-Za-z0-9_]*):"
+    r"(?P<neg>-|\bNOT\s+)?(?P<field>[A-Za-z_][A-Za-z0-9_]*):"
     r"(?P<lb>[\[{])(?P<lo>[^\]}\s]+)\s+TO\s+(?P<hi>[^\]}\s]+)(?P<rb>[\]}])"
 )
 
 
 def _extract_ranges(query: str, date_fields: Sequence[str]):
     """Pull `field:[A TO B]` / `{A TO B}` date ranges out of the query
-    string (Tantivy range syntax; `*` = unbounded)."""
+    string (Tantivy range syntax; `*` = unbounded).
+
+    DOCUMENTED DEVIATION: ranges hoist to TOP-LEVEL constraints (MUST,
+    or MUST_NOT for `-`/`NOT` prefixed) regardless of where they sit in
+    the boolean expression — `a OR time:[A TO B]` filters by the range
+    rather than OR-ing it.  This matches the filter-like way the
+    reference's API uses dates; tests/test_dates.py pins it.  Quoted
+    phrases are left untouched (a range-shaped string inside a phrase is
+    literal text)."""
     from fugu_tpu.engine.documents import parse_rfc3339
     from fugu_tpu.query import RangeClause
 
@@ -132,8 +156,11 @@ def _extract_ranges(query: str, date_fields: Sequence[str]):
         )
         return ""
 
-    stripped = _RANGE_RE.sub(repl, query)
-    return stripped, tuple(groups)
+    # apply only OUTSIDE quoted phrases (even split indexes are outside)
+    parts = query.split('"')
+    for j in range(0, len(parts), 2):
+        parts[j] = _RANGE_RE.sub(repl, parts[j])
+    return '"'.join(parts), tuple(groups)
 
 
 MAX_NESTING = 16
@@ -147,9 +174,14 @@ def _leaf_group(
     occur: Occur,
     default_fields: Sequence[str],
     known_fields: Sequence[str],
+    field: Optional[str] = None,
 ) -> Optional[QueryGroup]:
     """One word/phrase token -> a QueryGroup (or None: pure punctuation)."""
     fields = list(default_fields)
+    if field is not None:  # field:"phrase" prefix from the tokenizer
+        if field not in known_fields:
+            raise ParseError(f"unknown field {field!r}")
+        fields = [field]
     if kind == "word":
         # field:term
         m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.*)$", text)
@@ -214,7 +246,7 @@ def _all_constraints(sub: QueryPlan) -> bool:
 
 
 def _parse_level(
-    tokens: List[Tuple[str, Optional[str], int, float]],
+    tokens: List[_Token],
     i: int,
     default_fields: Sequence[str],
     known_fields: Sequence[str],
@@ -230,7 +262,7 @@ def _parse_level(
     negate_next = False
     pending_mod: Optional[str] = None
     while i < len(tokens):
-        kind, text, slop, boost = tokens[i]
+        kind, text, slop, boost, field, tmod = tokens[i]
         if kind == "close":
             break
         if kind == "mod":
@@ -272,6 +304,8 @@ def _parse_level(
                 text = text[1:]
             if not text:
                 raise ParseError("dangling +/- operator")
+        elif kind == "phrase" and tmod:  # +"..." / -field:"..."
+            occ = Occur.MUST if tmod == "+" else Occur.MUST_NOT
         if pending_mod == "+":
             occ = Occur.MUST
         elif pending_mod == "-":
@@ -280,7 +314,7 @@ def _parse_level(
         if negate_next:
             occ = Occur.MUST_NOT
             negate_next = False
-        entries.append((occ, kind, (text, slop, boost)))
+        entries.append((occ, kind, (text, slop, boost, field)))
         i += 1
     if negate_next:
         raise ParseError("dangling NOT")
@@ -303,9 +337,16 @@ def _parse_level(
             else:
                 groups.append(QueryGroup(occur=occur, subplan=sub))
         else:
-            text, slop, boost = payload
+            text, slop, boost, field = payload
             g = _leaf_group(
-                kind, text, slop, boost, occur, default_fields, known_fields
+                kind,
+                text,
+                slop,
+                boost,
+                occur,
+                default_fields,
+                known_fields,
+                field,
             )
             if g is not None:
                 groups.append(g)

@@ -75,7 +75,17 @@ def load() -> Optional[ctypes.CDLL]:
     if os.environ.get("FUGU_NO_NATIVE"):
         return None
     if not LIB_PATH.exists() or _stale():
-        if not build_library() and not LIB_PATH.exists():
+        if not build_library():
+            # NEVER fall back to a stale .so: if sources changed and the
+            # rebuild failed, serving the old binary would silently
+            # diverge native and Python tokenization (index/query term
+            # mismatches) — degrade to the Python path loudly instead
+            import logging
+
+            logging.getLogger("fugu_tpu").warning(
+                "native module build failed; using the (slower) Python "
+                "tokenizer/builder path"
+            )
             return None
     try:
         lib = ctypes.CDLL(str(LIB_PATH))
@@ -163,11 +173,12 @@ class NativeFieldAccumulator:
         self.n_docs = 0
 
     def add_doc(self, values: List[str]) -> None:
-        data = b"".join(v.encode("utf-8") for v in values)
+        parts = [v.encode("utf-8") for v in values]  # encode ONCE
+        data = b"".join(parts)
         offsets = np.zeros(len(values) + 1, dtype=np.int64)
         acc = 0
-        for i, v in enumerate(values):
-            acc += len(v.encode("utf-8"))
+        for i, part in enumerate(parts):
+            acc += len(part)
             offsets[i + 1] = acc
         self._lib.fugu_builder_add_doc(
             self._h,

@@ -199,3 +199,54 @@ def test_dnf_subplan_oracle_semantics(tmp_path):
     )
     res = ds.search("(apple AND banana) OR cherry", [], 0, 10)
     assert {r.id for r in res} == {"ab", "c"}
+
+
+class TestFieldPhrases:
+    """[+-]field:"..."~N^B must parse as ONE phrase token — the old
+    tokenizer split it into two bare words (adjacency lost, wrong
+    fields searched, silently)."""
+
+    def test_field_phrase(self):
+        plan = parse('name:"hello world"')
+        g = plan.groups[0]
+        assert g.phrases and g.phrases[0].field == "name"
+        assert g.phrases[0].terms == ("hello", "world")
+
+    def test_negated_phrase(self):
+        plan = parse('-"a b" c')
+        assert plan.groups[0].occur is Occur.MUST_NOT
+        assert plan.groups[0].phrases
+
+    def test_field_phrase_slop_boost(self):
+        plan = parse('name:"a b"~2^1.5')
+        p = plan.groups[0].phrases[0]
+        assert (p.field, p.slop, p.boost) == ("name", 2, 1.5)
+
+    def test_unknown_field_phrase_raises(self):
+        with pytest.raises(qp.ParseError):
+            parse('nofield:"x y"')
+
+
+class TestRangeEdges:
+    DATE = ("date_created",)
+
+    def test_not_prefixed_range(self):
+        plan = qp.parse_query(
+            "NOT date_created:[2020-01-01T00:00:00Z TO *] scroll",
+            FIELDS,
+            KNOWN,
+            date_fields=self.DATE,
+        )
+        assert any(
+            g.ranges and g.occur is Occur.MUST_NOT for g in plan.groups
+        )
+
+    def test_range_inside_phrase_is_literal(self):
+        plan = qp.parse_query(
+            '"time date_created:[2020-01-01T00:00:00Z TO *] quoted"',
+            FIELDS,
+            KNOWN,
+            date_fields=self.DATE,
+        )
+        assert not any(g.ranges for g in plan.groups)
+        assert plan.groups[0].phrases

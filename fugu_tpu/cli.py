@@ -39,6 +39,19 @@ class CliError(RuntimeError):
     pass
 
 
+class CliHttpError(CliError):
+    """HTTP-level failure carrying the server's error envelope."""
+
+    def __init__(self, status: int, payload: Any):
+        self.status = status
+        self.payload = payload
+        if isinstance(payload, dict):
+            msg = payload.get("error") or json.dumps(payload)
+        else:
+            msg = str(payload)
+        super().__init__(f"HTTP {status}: {msg}")
+
+
 def _request(
     method: str, url: str, body: Optional[dict] = None, timeout: float = 30.0
 ) -> Any:
@@ -53,7 +66,16 @@ def _request(
         with urllib.request.urlopen(req, timeout=timeout) as resp:
             raw = resp.read().decode("utf-8")
     except urllib.error.HTTPError as e:
+        # an HTTP error is a FAILED command: surface the server's error
+        # envelope and exit nonzero (returning the body as a normal
+        # payload made failed commands pretty-print the error and exit 0
+        # — shell scripts checking $? treated failures as success)
         raw = e.read().decode("utf-8")
+        try:
+            payload = json.loads(raw)
+        except json.JSONDecodeError:
+            payload = raw
+        raise CliHttpError(e.code, payload)
     except urllib.error.URLError as e:
         raise CliError(f"Failed to connect to server at {url}: {e.reason}")
     try:
@@ -239,6 +261,16 @@ def build_parser() -> argparse.ArgumentParser:
 def run_cli(argv: Optional[list] = None) -> int:
     args = build_parser().parse_args(argv)
     telemetry.init_tracing(log_file=None)
+    try:
+        return _run_cli_inner(args)
+    finally:
+        # flush buffered OTLP spans: a short-lived CLI process would
+        # otherwise exit inside the BatchSpanProcessor's schedule delay
+        # and drop every span it produced
+        telemetry.shutdown_tracing()
+
+
+def _run_cli_inner(args) -> int:
     try:
         if args.command == "serve" or args.command is None:
             import os

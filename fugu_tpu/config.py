@@ -154,17 +154,23 @@ class ServerConfig:
             cfg.auto_create_directories = bool(d["auto_create_directories"])
         if "validation" in d and d["validation"] is not None:
             cfg.validation = ValidationConfig.from_dict(d["validation"])
-        if "shard_devices" in d:
-            cfg.shard_devices = int(d["shard_devices"] or 0)
-        if "shard_slices" in d:
-            cfg.shard_slices = max(int(d["shard_slices"] or 1), 1)
+        try:
+            if "shard_devices" in d:
+                cfg.shard_devices = int(d["shard_devices"] or 0)
+            if "shard_slices" in d:
+                cfg.shard_slices = max(int(d["shard_slices"] or 1), 1)
+            if "spill_idle_ttl_secs" in d and d["spill_idle_ttl_secs"]:
+                cfg.spill_idle_ttl_secs = float(d["spill_idle_ttl_secs"])
+        except (TypeError, ValueError) as e:
+            # keep the 'Failed to parse config' contract: a raw
+            # ValueError would escape discover()'s except ConfigError
+            raise ConfigError(f"Invalid numeric config value: {e}") from e
         if "compaction" in d and d["compaction"]:
             cfg.compaction = str(d["compaction"])
         if "spill_prefix" in d:
             cfg.spill_prefix = d["spill_prefix"] or None
-        if "spill_idle_ttl_secs" in d and d["spill_idle_ttl_secs"]:
-            cfg.spill_idle_ttl_secs = float(d["spill_idle_ttl_secs"])
         cfg._apply_shard_env()
+        cfg.validate()
         return cfg
 
     def _apply_shard_env(self) -> None:
@@ -228,7 +234,18 @@ class ServerConfig:
             if p.exists():
                 try:
                     return cls.from_file(p)
-                except ConfigError:
+                except ConfigError as e:
+                    # a present-but-malformed config silently falling
+                    # through to defaults would serve the wrong data
+                    # directory with zero indication — say so loudly
+                    import logging
+
+                    logging.getLogger("fugu_tpu").warning(
+                        "config file %s rejected (%s); probing next "
+                        "location / falling back to env+defaults",
+                        p,
+                        e,
+                    )
                     continue
         data_path = os.environ.get(ENV_DATA_PATH, "./data")
         default_namespace = os.environ.get(ENV_DEFAULT_NAMESPACE, "fugu_db")

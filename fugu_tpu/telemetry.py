@@ -91,6 +91,15 @@ def _init_otel():
     endpoint = os.environ.get("OTEL_EXPORTER_OTLP_ENDPOINT")
     if not endpoint:
         return None
+    if _otel_provider is not None:
+        # already assembled (init_tracing runs in both run_cli and
+        # start_http_server): reuse it.  Building a second provider
+        # would be ignored by set_tracer_provider (override refused)
+        # while overwriting _otel_provider — shutdown would then flush
+        # the EMPTY provider and drop the real one's buffered spans.
+        from opentelemetry import trace
+
+        return trace.get_tracer("fugu_tpu")
     try:
         from opentelemetry import propagate, trace
         from opentelemetry.baggage.propagation import W3CBaggagePropagator

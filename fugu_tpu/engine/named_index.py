@@ -280,13 +280,22 @@ class NamedIndex:
     def _sharded_pack(self, segment: Segment):
         from fugu_tpu.parallel.pallas_sharded import PallasShardedPack
 
-        pack = self._sharded_packs.get(segment.segment_id)
-        if pack is None or pack.segment is not segment:
+        # tombstone count is a valid version (tombstones only grow):
+        # an in-place delete_document mutates segment.tombstones without
+        # changing the segment identity, and a pack cached across it
+        # would keep serving the deleted doc from its stale d_tomb
+        tomb_v = int(segment.tombstones.sum())
+        cached = self._sharded_packs.get(segment.segment_id)
+        if (
+            cached is None
+            or cached[1].segment is not segment
+            or cached[0] != tomb_v
+        ):
             # PallasShardedPack subclasses ShardedPack, so both the
             # batched Pallas path and the per-plan XLA path can use it
-            pack = PallasShardedPack(segment, self._mesh)
-            self._sharded_packs[segment.segment_id] = pack
-        return pack
+            cached = (tomb_v, PallasShardedPack(segment, self._mesh))
+            self._sharded_packs[segment.segment_id] = cached
+        return cached[1]
 
     def _sharded_block_major(self, segment: Segment, stats):
         from fugu_tpu.parallel.batch_sharded import ShardedBlockMajor

@@ -39,7 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from fugu_tpu import jax_setup
-from fugu_tpu.index.segment import DOC_SENTINEL, FACET_FIELD_KEY, Segment
+from fugu_tpu.index.segment import (
+    DOC_SENTINEL,
+    FACET_FIELD_KEY,
+    Segment,
+    pack_entry_size,
+)
 
 jax_setup.configure()
 from fugu_tpu.ops import buckets
@@ -343,6 +348,10 @@ def device_search_batch(
     / beyond the largest bucket).
     """
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
+    if limit > buckets.K_BUCKETS[-1]:
+        # beyond the extraction ladder: falling back beats silently
+        # truncating the result set to 4096 and presenting it as exact
+        return results
     k = buckets.k_bucket(limit)
     groups: dict = {}
     for i, plan in enumerate(plans):
@@ -365,6 +374,15 @@ def device_search_batch(
         if max_len > buckets.L_BUCKETS[-1]:
             continue  # fallback
         l_pad = buckets.l_bucket(max_len)
+        # a clause window must stay inside the device entry pack: the
+        # bucket ladder is coarse (16x steps), so start + l_pad can
+        # exceed the pack's +8192 slack — dynamic_slice would then CLAMP
+        # the start and score other terms' postings as this clause's
+        # (silently wrong top-k).  Route such plans to the fallback.
+        if int(args.starts.max()) + l_pad > pack_entry_size(
+            len(segment.e_doc)
+        ):
+            continue  # fallback
         sig = (t_pad, l_pad, need_bits)
         groups.setdefault(sig, []).append((i, args, must, mustnot, should))
 

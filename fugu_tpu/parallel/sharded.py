@@ -271,6 +271,8 @@ def sharded_search(
         return []
     if t_pad > 16 or max_len > buckets.L_BUCKETS[-1]:
         return None
+    if limit > buckets.K_BUCKETS[-1]:
+        return None  # beyond the extraction ladder: don't silently truncate
     l_pad = buckets.l_bucket(max_len)
     k = buckets.k_bucket(limit)
 

@@ -59,3 +59,32 @@ def test_mesh_with_filters(tmp_path, mesh):
     res = ds.search("shared", ["/namespace/meshf/data/even"], 0, 5)
     assert res
     assert all(int(r.id[1:]) % 2 == 0 for r in res)
+
+
+def test_delete_invalidates_cached_sharded_pack(tmp_path, mesh):
+    """delete_document mutates segment.tombstones in place (same segment
+    identity) — the cached sharded pack's device tombstones must not
+    keep serving the deleted doc."""
+    ds = Dataset("meshd", tmp_path, use_device=True)
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    records = [
+        ObjectRecord(
+            id=f"d{i}",
+            text="victim " + " ".join(rng.choice(vocab, size=20)),
+            namespace="meshd",
+        )
+        for i in range(600)
+    ]
+    ds.ingest(records)
+    seg = ds.docs().segments[0]
+    assert seg.n_entries >= DEVICE_MIN_ENTRIES
+    ds.docs().enable_sharding(mesh)
+    before = ds.search("victim", [], 0, 5)
+    assert before
+    # prove the device path is live: the cached pack exists afterwards
+    assert ds.docs()._sharded_packs, "query did not take the sharded path"
+    target = before[0].id
+    ds.delete_document(target)
+    after = {r.id for r in ds.search("victim", [], 0, 10)}
+    assert target not in after, "cached sharded pack served a deleted doc"

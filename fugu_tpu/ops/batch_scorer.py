@@ -143,7 +143,7 @@ _STREAM_PENALTY_LANES = 96
 #: signatures) for same-day A/B — 1->2 gained +46% on the limit100
 #: class; 4 is the untested next step.
 FINE_PER_BLOCK = int(os.environ.get("FUGU_FINE_PER_BLOCK", "2"))
-if BM_BLOCK_DOCS % max(FINE_PER_BLOCK, 1) or FINE_PER_BLOCK not in (1, 2, 4, 8):
+if FINE_PER_BLOCK not in (1, 2, 4, 8):
     raise ValueError(f"FUGU_FINE_PER_BLOCK={FINE_PER_BLOCK} not in (1,2,4,8)")
 BM_FINE_DOCS = BM_BLOCK_DOCS // FINE_PER_BLOCK
 
@@ -506,13 +506,15 @@ def _classify(plan: QueryPlan) -> Optional[str]:
             has_scoring = True
     if not has_scoring:
         return None  # nothing produces a positive bound
+    # every kind re-scores through the block kernel in phase B: respect
+    # its staging limits (t_pad <= 16, <= 32 boolean groups) BEFORE
+    # classifying, or an over-wide plan burns a phase-A corpus stream
+    # (and inflates the batch's u_pad bucket) only to fall back anyway
+    if n_clauses > 16 or len(plan.groups) > 32:
+        return None
     has_not = any(g.occur is Occur.MUST_NOT for g in plan.groups)
     if n_must == 0 and not has_not:
         return "pure"
-    # constrained plans re-score through the block kernel: respect its
-    # staging limits (t_pad <= 16, <= 32 boolean groups)
-    if n_clauses > 16 or len(plan.groups) > 32:
-        return None
     if n_must == 0:
         # MUST_NOTs alone gate through the score lane — but only while
         # no SHOULD can out-score the W_MUSTNOT*con penalty of the
@@ -941,7 +943,7 @@ def batch_search(
     is limit-independent, so plans with different limits share the same
     corpus streams; phase-B waves group by limit.
     """
-    from fugu_tpu.ops.pallas_scorer import MAX_K, pallas_search_batch
+    from fugu_tpu.ops.pallas_scorer import MAX_K
 
     results: List[Optional[List[Tuple[float, int]]]] = [None] * len(plans)
     if interpret is None:
@@ -1032,7 +1034,11 @@ def batch_search(
                     continue
                 shift_v[qi] = shifts.get(i, 0.0)
                 limidx[qi] = limits[i] - 1 if limits[i] <= k_top else -1
-                if kinds[i] == "gate":
+                # key on the EFFECTIVE staging kind: a "gate" plan folded
+                # into a wide stream restages as shift/exact (no GATE_BIG
+                # terms in its maxima), so the gate quantization margin
+                # would only loosen its threshold for nothing
+                if eff[i] == "gate":
                     margin_v[qi] = GATE_MARGIN
             post = _get_postproc(nb_pad, b_pad)
             packed = post(

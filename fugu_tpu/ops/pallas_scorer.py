@@ -48,7 +48,7 @@ from fugu_tpu import jax_setup
 from fugu_tpu.index.segment import Segment
 from fugu_tpu.ops import buckets
 from fugu_tpu.ops.rescore import rescore_hits
-from fugu_tpu.ops.scoring import NEG_INF, stage_clauses
+from fugu_tpu.ops.scoring import NEG_INF, _decode_fid, stage_clauses
 from fugu_tpu.query import Occur, QueryPlan
 
 jax_setup.configure()
@@ -80,14 +80,6 @@ MAX_K = 128           # per-block extraction budget (== K_OUT lanes); the
                       # only pay for the k bucket they ask for
 
 _INT_MAX = np.int32(2**31 - 1)
-
-
-def _decode_fid(fid):
-    j = fid - 24
-    bits = j & 0x07
-    shift = (j >> 3) - 1
-    f4 = jnp.where(shift < 0, bits, (bits | 0x08) << jnp.maximum(shift, 0))
-    return jnp.where(fid < 24, fid, 24 + f4)
 
 
 def _scorer_kernel(
@@ -385,9 +377,10 @@ def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
 
 _SCORER_CACHE: dict = {}
 
-# wall-time attribution for the last pallas_search_batch call (seconds):
-# host staging (searchsorted + table packing) vs device (dispatch +
-# result sync).  Read by bench.py's BENCH_PROFILE diagnostics.
+# CUMULATIVE wall-time attribution across all pallas_search_batch calls
+# (seconds): host staging (searchsorted + table packing) vs device
+# (dispatch + result sync).  Never reset — diff snapshots for per-call
+# numbers.
 PROFILE = {"stage_s": 0.0, "device_s": 0.0, "dispatches": 0}
 
 
@@ -484,7 +477,6 @@ def pallas_search_begin(
     if limit > MAX_K:
         return (results, [], limit, 0.0, segment, plans, stats)
     prof_t0 = time.perf_counter()
-    prof_dispatches = 0
     # finer k ladder than the global one: the per-block merge unrolls k
     # extraction iterations, so k should track the requested limit.
     # When limit lands EXACTLY on a bucket, extract at the next step so
@@ -510,9 +502,10 @@ def pallas_search_begin(
             segment, plan, stats, t_pad
         )
         if args is None:
-            has_constraints = any(g.occur is not Occur.SHOULD for g in plan.groups)
-            if not (has_constraints and len(plan.groups) > 32):
-                results[i] = []
+            # stage_clauses returned None => every clause had df == 0
+            # (the >32-group case was already filtered above): no doc
+            # can score, so the empty result is exact
+            results[i] = []
             continue
         staged.append((i, t_pad, args, must, mustnot, should, need_bits))
 
@@ -565,8 +558,7 @@ def pallas_search_begin(
                 nb_rows, nb_pad, t_pad, k, need_bits, interpret,
                 e_docd, e_tffidd, tombd, pending,
             )
-    prof_dispatches = sum(1 for _ in pending)
-    PROFILE["dispatches"] += prof_dispatches
+    PROFILE["dispatches"] += len(pending)
     return (results, pending, limit, time.perf_counter() - prof_t0, segment, plans, stats)
 
 

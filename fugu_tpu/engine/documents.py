@@ -46,15 +46,28 @@ def get_all_facet_paths(record: ObjectRecord) -> List[str]:
     return all_facets
 
 
+_EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_MICRO = datetime.timedelta(microseconds=1)
+
+
 def parse_rfc3339(date_str: str) -> Optional[int]:
     """RFC3339 -> microseconds since epoch; None when invalid
     (invalid dates are silently skipped, document.rs:346)."""
+    # fromisoformat is laxer than RFC3339 (chrono parse_from_rfc3339):
+    # reject the space date/time separator and the comma decimal mark
+    if len(date_str) > 10 and date_str[10] not in "Tt":
+        return None
+    if "," in date_str:
+        return None
     try:
-        s = date_str.replace("Z", "+00:00") if date_str.endswith("Z") else date_str
+        # RFC3339 allows lowercase z (and t, handled by fromisoformat)
+        s = date_str[:-1] + "+00:00" if date_str[-1:] in ("Z", "z") else date_str
         dt = datetime.datetime.fromisoformat(s)
         if dt.tzinfo is None:
             return None  # RFC3339 requires an offset
-        return int(dt.timestamp() * 1_000_000)
+        # exact integer arithmetic: float timestamp() loses 1us on ~1%
+        # of inputs, silently rewriting the stored/normalized date
+        return (dt - _EPOCH) // _MICRO
     except ValueError:
         return None
 
@@ -105,13 +118,16 @@ _SENTENCE_SPLIT = re.compile(r"[.!?\n]")
 
 
 def extract_query_suggestions(text: str) -> List[str]:
-    """2-3 word phrases, 3 < len < 50, max 10 (document.rs:384-403)."""
+    """2-3 word phrases, 3 < len < 50, max 10 (document.rs:384-403).
+
+    Length is UTF-8 BYTES (Rust str::len), not characters — they differ
+    on any multi-byte corpus."""
     suggestions: List[str] = []
     for sentence in _SENTENCE_SPLIT.split(text):
         words = sentence.split()
         if len(words) >= 2:
             phrase = " ".join(words[:3])
-            if 3 < len(phrase) < 50:
+            if 3 < len(phrase.encode("utf-8")) < 50:
                 suggestions.append(phrase)
                 if len(suggestions) == 10:
                     break

@@ -153,9 +153,18 @@ def device_merge_entries(
     to re-uploading the merged pack from host).
     """
     packs = [s.device_pack() for s in segments]
+    pack_pads = [int(p[0].shape[0]) for p in packs]
+    # run_gsrc below is int32 over the CONCATENATED padded packs: a sum
+    # past 2^31 would wrap negative and gather-clamp to 0, silently
+    # building a corrupt merged pack.  Refuse loudly — the caller's
+    # except branch falls back to the host-upload path.
+    if sum(pack_pads) >= 2**31:
+        raise ValueError(
+            f"combined padded source packs ({sum(pack_pads)} entries) "
+            "exceed int32 addressing; use the host upload path"
+        )
     doc_all = jnp.concatenate([p[0] for p in packs])
     tffid_all = jnp.concatenate([p[1] for p in packs])
-    pack_pads = [int(p[0].shape[0]) for p in packs]
     pack_off = np.concatenate([[0], np.cumsum(pack_pads)[:-1]])
 
     # padded per-doc spaces: word arrays sized doc_pad/32 so the device

@@ -88,3 +88,29 @@ def test_rfc3339_roundtrip():
     assert micros is not None
     assert db.parse_rfc3339("2024-06-01T12:00:00") is None  # no offset
     assert db.format_rfc3339(0) == "1970-01-01T00:00:00Z"
+
+
+def test_rfc3339_microsecond_exact():
+    # float timestamp() arithmetic loses 1us on ~1% of inputs
+    assert db.parse_rfc3339("2005-08-31T02:31:48.104307Z") == 1125455508104307
+    for us in (1, 104307, 999999):
+        s = f"2005-08-31T02:31:48.{us:06d}Z"
+        micros = db.parse_rfc3339(s)
+        assert micros is not None and micros % 1_000_000 == us, s
+        assert db.format_rfc3339(micros) == s
+
+
+def test_rfc3339_rejects_iso_laxness():
+    # fromisoformat accepts these; RFC3339 (chrono, document.rs:346) does not
+    assert db.parse_rfc3339("2024-01-01 00:00:00+00:00") is None  # space sep
+    assert db.parse_rfc3339("2024-01-01T00:00:00,5+00:00") is None  # comma
+    assert db.parse_rfc3339("2024-01-01t00:00:00z") is not None  # t/z legal
+
+
+def test_query_suggestions_byte_length():
+    # length bounds are UTF-8 bytes (Rust str::len, document.rs:394)
+    sugg = db.extract_query_suggestions("日 本")  # 3 chars, 7 bytes
+    assert sugg == ["日 本"]
+    long_cjk = " ".join("日本語ですよ" for _ in range(3))
+    # 20 chars but 56 bytes: over the <50-byte cap
+    assert db.extract_query_suggestions(long_cjk) == []

@@ -206,7 +206,11 @@ def search_blockmax(
 ) -> Optional[List[Tuple[float, int]]]:
     """Exact top-`limit` [(score, doc)] via block-max pruning, or None
     (caller falls back to the full oracle)."""
-    if plan.k1 != float(np.float32(1.2)) or plan.b != float(np.float32(0.75)):
+    from fugu_tpu.query import B as B_CONST, K1
+
+    # same default-constants gate as batch_scorer._classify: contribs
+    # are precomputed at the index defaults
+    if plan.k1 != float(K1) or plan.b != float(B_CONST):
         return None
     if plan.has_phrase:
         # doc-level pruned phrase path (ops/phrase.py); None for shapes

@@ -48,8 +48,8 @@ from fugu_tpu import jax_setup
 from fugu_tpu.index.segment import Segment
 from fugu_tpu.ops import buckets
 from fugu_tpu.ops.rescore import rescore_hits
-from fugu_tpu.ops.scoring import NEG_INF, _decode_fid, stage_clauses
-from fugu_tpu.query import Occur, QueryPlan
+from fugu_tpu.ops.scoring import NEG_INF, _decode_fid, mask_i32, stage_clauses
+from fugu_tpu.query import QueryPlan
 
 jax_setup.configure()
 
@@ -658,7 +658,7 @@ def _dispatch_rows(
             for t in range(t_pad):
                 bits = int(args.gbits[t])
                 gbits[bi, t] = bits.bit_length() - 1 if bits else -1
-            masks[bi] = (must, mustnot, should)
+            masks[bi] = (mask_i32(must), mask_i32(mustnot), mask_i32(should))
 
         scorer = _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret)
         annot = jax.profiler.TraceAnnotation(

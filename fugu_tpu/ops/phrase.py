@@ -87,8 +87,13 @@ class PhraseMatcher:
                 break
             info = infos[k]
             docs_k = segment.e_doc[info.start : info.start + info.doc_freq]
-            if info.doc_freq <= 16 * len(common):
-                # bitmap membership: O(df + |common|), no log factor
+            if segment.doc_count <= 8 * (info.doc_freq + len(common)):
+                # bitmap membership: O(df + |common|), no log factor —
+                # but ONLY when the O(doc_count) bitmap itself (page
+                # faults on the fresh allocation) is within a constant
+                # factor of the useful work; a selective phrase on a
+                # multi-M-doc segment pays ~1000x more for the bitmap
+                # than for |common| binary searches
                 mask = np.zeros(segment.doc_count, dtype=bool)
                 mask[docs_k] = True
                 hit = mask[common]

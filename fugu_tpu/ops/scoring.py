@@ -191,6 +191,14 @@ def segment_topk_merge_impl(
     return top_scores, doc_s[idx]
 
 
+def mask_i32(mask: int) -> int:
+    """Group masks are 32-bit patterns built as Python ints; group index
+    31 sets bit 31 (2**31), which overflows an int32 numpy assignment.
+    Wrap to two's-complement — the kernels' bitwise tests are
+    representation-level, so the sign bit is just another bit."""
+    return mask - (1 << 32) if mask >= (1 << 31) else mask
+
+
 def stage_clauses(
     segment: Segment,
     plan: QueryPlan,

@@ -70,7 +70,7 @@ from fugu_tpu.ops.batch_scorer import (
     stage_batch_weights,
 )
 from fugu_tpu.parallel.pallas_sharded import pallas_sharded_search_batch
-from fugu_tpu.parallel.sharded import Mesh, shard_axes
+from fugu_tpu.parallel.sharded import Mesh, shard_axes, shard_bounds
 from fugu_tpu.query import QueryPlan
 
 jax_setup.configure()
@@ -88,8 +88,7 @@ class ShardedBlockMajor:
         self.segment = segment
         d = mesh.devices.size
         self.n_shards = d
-        n = max(segment.doc_count, 1)
-        bounds = [(s * n) // d for s in range(d + 1)]
+        bounds = shard_bounds(segment.doc_count, d)
         self.bounds = bounds
 
         e = segment.n_entries
@@ -252,7 +251,11 @@ def batch_search_sharded(
                 continue
             shift_v[qi] = shifts.get(i, 0.0)
             limidx[qi] = limits[i] - 1 if limits[i] <= k_top else -1
-            if kinds[i] == "gate":
+            # EFFECTIVE kind, as in batch_scorer: gate plans folded into
+            # wide streams restage as shift/exact (no GATE_BIG terms),
+            # so the gate quantization margin would only loosen their
+            # thresholds for nothing
+            if eff[i] == "gate":
                 margin_v[qi] = GATE_MARGIN
         fn = _get_sharded_phasea(
             pack2.mesh, nbs_pad, u_pad, b_pad, wide, interpret, is_packed

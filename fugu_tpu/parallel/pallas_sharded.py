@@ -27,7 +27,7 @@ build's scale-out story per BASELINE config #5.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +49,9 @@ from fugu_tpu.ops.pallas_scorer import (
     plan_block_tables,
 )
 from fugu_tpu import jax_setup
-from fugu_tpu.ops.scoring import NEG_INF, ClauseArgs
+from fugu_tpu.ops.scoring import NEG_INF, ClauseArgs, mask_i32
 from fugu_tpu.parallel.sharded import Mesh, ShardedPack, shard_axes
-from fugu_tpu.query import Occur, QueryPlan
+from fugu_tpu.query import QueryPlan
 
 
 class PallasShardedPack(ShardedPack):
@@ -230,9 +230,10 @@ def pallas_sharded_search_batch(
             continue
         st = pack.stage_pallas(plan, stats, t_pad)
         if st is None:
-            has_constraints = any(g.occur is not Occur.SHOULD for g in plan.groups)
-            if not (has_constraints and len(plan.groups) > 32):
-                results[i] = []
+            # stage can only return None here when every clause had
+            # df == 0 (>32-group plans were filtered above): no doc can
+            # score, so the empty result is exact
+            results[i] = []
             continue
         staged.append((i, t_pad) + st)
 
@@ -313,7 +314,9 @@ def pallas_sharded_search_batch(
                     for t in range(t_pad):
                         bits = int(shard_args[0].gbits[t])
                         gbits[bi, t] = bits.bit_length() - 1 if bits else -1
-                    masks[bi] = (must, mustnot, should)
+                    masks[bi] = (
+                        mask_i32(must), mask_i32(mustnot), mask_i32(should)
+                    )
                     for s in range(d):
                         st, ct, nonempty = tables[s]
                         nb = len(nonempty)

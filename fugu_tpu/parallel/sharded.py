@@ -63,6 +63,14 @@ def shard_axes(mesh: Mesh) -> tuple:
     return tuple(mesh.axis_names)
 
 
+def shard_bounds(doc_count: int, n_shards: int) -> list:
+    """Canonical doc-range split.  ONE definition: phase-B candidate
+    block ids assume ShardedBlockMajor and PallasShardedPack split docs
+    identically, so both must derive bounds from here."""
+    n = max(doc_count, 1)
+    return [(s * n) // n_shards for s in range(n_shards + 1)]
+
+
 class ShardedPack:
     """A segment's entry pack partitioned by doc-id range across a mesh."""
 
@@ -72,7 +80,7 @@ class ShardedPack:
         d = mesh.devices.size
         self.n_shards = d
         n = max(segment.doc_count, 1)
-        bounds = [(s * n) // d for s in range(d + 1)]
+        bounds = shard_bounds(segment.doc_count, d)
         self.bounds = bounds
         self.shard_starts = np.array(bounds[:-1], dtype=np.int32)
         self.shard_counts = np.array(

@@ -152,3 +152,18 @@ def test_k_up_to_128(seg):
     out = ps.pallas_search_batch(seg, [plan_terms("w1")], stats, 129,
                                  interpret=True)
     assert out == [None]
+
+
+def test_group_bit_31_no_overflow(seg):
+    """A 32-group plan puts group index 31's bit at 2**31, which
+    overflows an int32 numpy mask assignment unless wrapped to
+    two's-complement (ops.scoring.mask_i32).  30 clauseless SHOULD
+    groups keep t_pad small so the plan reaches dispatch."""
+    groups = (
+        (QueryGroup(Occur.SHOULD, (TermClause("text", "w0"),)),)
+        + tuple(QueryGroup(Occur.SHOULD, ()) for _ in range(30))
+        + (QueryGroup(Occur.MUST_NOT, (TermClause("text", "w1"),)),)
+    )
+    plan = QueryPlan(groups=groups)
+    assert len(plan.groups) == 32
+    check(seg, plan, limit=20)

@@ -6,7 +6,13 @@ SURVEY.md §2a calls it "the intended token taxonomy").  This module
 provides that capability surface, live:
 
 - token classification by priority: Email > URL > Host > Acronym >
-  Number > AlphaNum > Word > Punctuation (tokeinze.rs:192-235)
+  Number > Word > AlphaNum > PageHeader > Punctuation — the
+  determine_token_type order (tokeinze.rs:192-235).  The regexes are
+  deliberately richer than the reference's (unicode words, +/- and
+  grouped numbers, optional trailing acronym dot, a textual page-header
+  form): the reference's scanner splits on every non-alphanumeric, so
+  its Email/URL/Host/Acronym/PageHeader classes are UNREACHABLE from
+  its own tokens — this module makes the intended taxonomy real.
 - a line-buffered streaming tokenizer over any text iterator
   (tokeinze.rs:140-184's async reader, as a generator)
 - ``tokenize_into_index``: term -> positions map, lowercased, punctuation
@@ -49,7 +55,7 @@ class RichToken:
 _EMAIL = re.compile(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$")
 _URL = re.compile(r"^(https?|ftp)://\S+$")
 _HOST = re.compile(r"^(?:[A-Za-z0-9-]+\.)+[A-Za-z]{2,}$")
-_ACRONYM = re.compile(r"^(?:[A-Za-z]\.){2,}$")
+_ACRONYM = re.compile(r"^[A-Za-z](?:\.[A-Za-z])+\.?$")
 _NUMBER = re.compile(r"^[+-]?\d+(?:[.,]\d+)*$")
 _ALPHANUM = re.compile(r"^[A-Za-z0-9_]+$")
 _WORD = re.compile(r"^[^\W\d_]+$", re.UNICODE)
@@ -66,14 +72,15 @@ def classify(text: str) -> TokenType:
         return TokenType.HOST
     if _ACRONYM.match(text):
         return TokenType.ACRONYM
-    if _PAGE_HEADER.match(text):
-        return TokenType.PAGE_HEADER
     if _NUMBER.match(text):
         return TokenType.NUMBER
     if _WORD.match(text):
         return TokenType.WORD
     if _ALPHANUM.match(text):
         return TokenType.ALPHANUM
+    # after AlphaNum, as in the reference ordering: "page12" is AlphaNum
+    if _PAGE_HEADER.match(text):
+        return TokenType.PAGE_HEADER
     return TokenType.PUNCTUATION
 
 

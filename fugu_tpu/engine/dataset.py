@@ -16,7 +16,7 @@ from fugu_tpu.engine import facets as facet_ops
 from fugu_tpu.engine import queryparser
 from fugu_tpu.engine.named_index import NamedIndex
 from fugu_tpu.index.schema import IndexType
-from fugu_tpu.query import Occur, QueryGroup, QueryPlan, TermClause
+from fugu_tpu.query import Occur, QueryGroup, QueryPlan, TermClause, with_constants
 from fugu_tpu.records import ObjectRecord, normalize_facet_path
 
 
@@ -77,7 +77,12 @@ def parse_filters(filters: Sequence[str]) -> List[FacetFilter]:
     (search.rs:101-105 treats exactly these as non-facet filters)."""
     out: List[FacetFilter] = []
     for f in filters:
-        if f.startswith("*") and f.endswith("*") and len(f) >= 2:
+        if f.startswith("*") and f.endswith("*"):
+            # includes the bare "*": the reference excludes any
+            # *-wrapped string from the facet query (search.rs:101-105),
+            # so "*" is a no-op there — an empty pattern here (matches
+            # every facet) reproduces that, where the old PREFIX("")
+            # classification built an unmatchable MUST facet term
             out.append(FacetFilter(f.strip("*"), FilterOperator.WILDCARD))
             continue
         normalized = normalize_facet_path(f)
@@ -294,12 +299,14 @@ class Dataset:
         segs = self._read_snapshot(self._docs)
         parsed = parse_filters(filters)
         wildcard_patterns = [
-            f.path.lower() for f in parsed if f.operator is FilterOperator.WILDCARD
+            f.path.lower()
+            for f in parsed
+            if f.operator is FilterOperator.WILDCARD and f.path
+            # an empty pattern (bare "*") matches every facet: dropping
+            # it makes the filter a no-op, like the reference
         ]
         has_wildcard = bool(wildcard_patterns)
         # derive from `parsed` so wildcard detection has ONE definition
-        # (parse_filters requires len>=2: a bare "*" is a PREFIX filter,
-        # which an inline startswith/endswith check would misclassify)
         non_wildcard = [
             f
             for f, p in zip(filters, parsed)
@@ -308,15 +315,14 @@ class Dataset:
 
         plan = self.build_search_plan(query, non_wildcard, has_wildcard)
         if k1 is not None or b is not None:
-            plan = dataclasses.replace(
-                plan,
-                k1=k1 if k1 is not None else plan.k1,
-                b=b if b is not None else plan.b,
-            )
+            plan = with_constants(plan, k1, b)
 
         offset = page * per_page
-        overfetch = has_wildcard or min_score is not None
-        search_limit = (offset + per_page) * (10 if overfetch else 1)
+        # min_score needs no overfetch: hits arrive score-sorted, so the
+        # filtered-out hits are always a contiguous TAIL — the top
+        # offset+per_page survivors are contained in the top
+        # offset+per_page overall
+        search_limit = (offset + per_page) * (10 if has_wildcard else 1)
 
         hits = self._docs.search_topk_batch([plan], search_limit, segments=segs)[0]
 

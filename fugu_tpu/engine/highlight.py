@@ -3,10 +3,14 @@ documents (`/root/reference/API.md:30-44`) but never implemented.
 
 Finds analyzed-token matches of the query terms in the stored text and
 returns a window around the densest match region with ``<em>`` marks.
+Stored text is HTML-escaped (as Tantivy's SnippetGenerator does): the
+snippet's whole point is to be rendered as HTML, so raw stored content
+would be an XSS vector and would break the markup.
 """
 
 from __future__ import annotations
 
+import html
 from typing import List, Sequence
 
 from fugu_tpu import analysis
@@ -22,7 +26,9 @@ def highlight(text: str, query_terms: Sequence[str], window: int = SNIPPET_WINDO
         if tok.text in terms
     ]
     if not matches:
-        return text[:window] + ("…" if len(text) > window else "")
+        return html.escape(text[:window], quote=False) + (
+            "…" if len(text) > window else ""
+        )
 
     # densest window: the one starting at the first match that covers the
     # most matches within `window` chars
@@ -39,12 +45,12 @@ def highlight(text: str, query_terms: Sequence[str], window: int = SNIPPET_WINDO
     for a, b in matches:
         if a < lo or b > hi:
             continue
-        out.append(text[prev:a])
+        out.append(html.escape(text[prev:a], quote=False))
         out.append("<em>")
-        out.append(text[a:b])
+        out.append(html.escape(text[a:b], quote=False))
         out.append("</em>")
         prev = b
-    out.append(text[prev:hi])
+    out.append(html.escape(text[prev:hi], quote=False))
     prefix = "…" if lo > 0 else ""
     suffix = "…" if hi < len(text) else ""
     return prefix + "".join(out) + suffix

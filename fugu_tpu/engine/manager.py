@@ -45,6 +45,10 @@ class DatasetManager:
         #: namespaces mid-deletion: creates wait (not fail) until the
         #: close+rmtree — which runs OUTSIDE the registry lock — finishes
         self._deleting: set = set()
+        #: namespaces mid-creation: Dataset construction (three index
+        #: opens, possibly multi-GB) runs outside the registry lock so
+        #: it can't stall every other namespace; same-name callers wait
+        self._creating: set = set()
         self.datasets: Dict[str, Dataset] = {}
         self._mesh = None
         if use_device and getattr(config, "shard_devices", 0):
@@ -146,13 +150,32 @@ class DatasetManager:
     def get_dataset(self, namespace: str) -> Optional[Dataset]:
         return self.datasets.get(namespace)
 
+    def _namespace_config(self, namespace: str) -> Optional[NamespaceConfig]:
+        for ns_cfg in self.config.namespaces:
+            if ns_cfg.name == namespace:
+                return ns_cfg
+        return None
+
     def get_or_create_dataset(self, namespace: str) -> Dataset:
         with self._lock:
-            while namespace in self._deleting:
+            while namespace in self._deleting or namespace in self._creating:
                 self._cv.wait()
-            if namespace not in self.datasets:
-                self._create(namespace, None)
-            return self.datasets[namespace]
+            ds = self.datasets.get(namespace)
+            if ds is not None:
+                return ds
+            self._creating.add(namespace)
+        try:
+            # honor the namespace's declared config (data_path etc.) even
+            # for lazy creates — else a configured-but-not-startup
+            # namespace opens at the default path and its existing index
+            # is invisible.  Built OUTSIDE the lock: opening three
+            # indexes can take seconds and must not stall the registry.
+            ds = self._create(namespace, self._namespace_config(namespace))
+        finally:
+            with self._lock:
+                self._creating.discard(namespace)
+                self._cv.notify_all()
+        return ds
 
     def default_dataset(self) -> Dataset:
         return self.get_or_create_dataset(self.config.default_namespace)

@@ -84,9 +84,18 @@ class IndexStats:
              int(s.tombstones.sum()))
             for s in self.segments
         )
+        self._df_memo: Dict[Tuple[str, str], int] = {}
 
     def doc_freq(self, field: str, term: str) -> int:
-        return sum(s.doc_freq(field, term) for s in self.segments)
+        # memoized: the segment list is an immutable snapshot, and every
+        # per-segment consumer (score_segment, stage_clauses, ...) would
+        # otherwise re-sum all S segments — O(S^2) per clause per query
+        key = (field, term)
+        df = self._df_memo.get(key)
+        if df is None:
+            df = sum(s.doc_freq(field, term) for s in self.segments)
+            self._df_memo[key] = df
+        return df
 
     def avg_fieldnorm(self, field: str) -> float:
         if self.doc_count == 0:
@@ -94,7 +103,7 @@ class IndexStats:
         return self.total_tokens.get(field, 0) / self.doc_count
 
     def facet_doc_freq(self, path: str) -> int:
-        return sum(s.doc_freq(FACET_FIELD_KEY, path) for s in self.segments)
+        return self.doc_freq(FACET_FIELD_KEY, path)
 
 
 #: encoded (doc, position) keys: doc * POS_SHIFT + pos.  Positions stay
@@ -248,11 +257,14 @@ def score_segment(
         for clause in group.clauses:
             if clause.is_facet:
                 docs = segment.facet_docs(clause.term)
-                if len(docs) == 0 and stats.facet_doc_freq(clause.term) == 0:
+                # one index-wide df sum per clause (it re-sums over all
+                # segments; computing it twice doubled the O(S) work)
+                fdf = stats.facet_doc_freq(clause.term)
+                if len(docs) == 0 and fdf == 0:
                     continue
-                w = np.float32(
-                    idf(stats.facet_doc_freq(clause.term), stats.doc_count)
-                ) * np.float32(clause.boost)
+                w = np.float32(idf(fdf, stats.doc_count)) * np.float32(
+                    clause.boost
+                )
                 gm[docs] = True
                 gs[docs] += w
             else:

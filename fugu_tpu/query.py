@@ -134,6 +134,29 @@ class QueryPlan:
         return not self.groups and not self.match_all
 
 
+def with_constants(
+    plan: QueryPlan, k1: Optional[float], b: Optional[float]
+) -> QueryPlan:
+    """Plan with per-query BM25 constants applied RECURSIVELY: nested
+    subplans (parenthesized groups) carry their own QueryPlan with the
+    parser-time defaults, so a top-level replace alone would score
+    '(a AND b) OR c' with mixed constants."""
+    if k1 is None and b is None:
+        return plan
+    groups = tuple(
+        dataclasses.replace(g, subplan=with_constants(g.subplan, k1, b))
+        if g.subplan is not None
+        else g
+        for g in plan.groups
+    )
+    return dataclasses.replace(
+        plan,
+        groups=groups,
+        k1=k1 if k1 is not None else plan.k1,
+        b=b if b is not None else plan.b,
+    )
+
+
 @dataclasses.dataclass
 class FieldStats:
     """Searcher-wide per-field statistics feeding BM25 weights.

@@ -98,3 +98,54 @@ class TestErrorContracts:
         )
         assert status == 200
         assert out["per_page"] == 20  # (0,100] -> 20, like every route
+
+
+def test_highlight_escapes_html():
+    # stored text must be HTML-escaped: the snippet is rendered as HTML
+    out = highlight("<b>hi</b> & fox jumps", ["fox"])
+    assert "<b>" not in out
+    assert "&lt;b&gt;hi&lt;/b&gt;" in out
+    assert "&amp;" in out
+    assert "<em>fox</em>" in out
+    # no-match path escapes too
+    out2 = highlight("<b>plain</b>", ["zzz"])
+    assert out2 == "&lt;b&gt;plain&lt;/b&gt;"
+
+
+def test_bare_star_filter_is_noop(tmp_path):
+    """'*' is excluded from the facet query in the reference
+    (search.rs:101-105) — it must not become an unmatchable MUST."""
+    from fugu_tpu.engine.dataset import Dataset
+    from fugu_tpu.records import ObjectRecord
+
+    ds = Dataset("starns", tmp_path, use_device=False)
+    ds.ingest(
+        [ObjectRecord(id=f"s{i}", text="star topic", namespace="starns")
+         for i in range(5)]
+    )
+    plain = ds.search("star", [], 0, 10)
+    starred = ds.search("star", ["*"], 0, 10)
+    assert [r.id for r in starred] == [r.id for r in plain]
+    assert len(starred) == 5
+
+
+def test_k1_override_reaches_subplans(tmp_path):
+    """(a AND b) OR c builds a nested subplan; per-query k1/b must apply
+    inside it, not just at the top level."""
+    from fugu_tpu.engine.dataset import Dataset
+    from fugu_tpu.records import ObjectRecord
+
+    ds = Dataset("subk", tmp_path, use_device=False)
+    ds.ingest(
+        [
+            ObjectRecord(id="a1", text="alpha beta words here", namespace="subk"),
+            ObjectRecord(id="a2", text="alpha beta beta beta beta", namespace="subk"),
+            ObjectRecord(id="c1", text="gamma words", namespace="subk"),
+        ]
+    )
+    q = "(alpha AND beta) OR gamma"
+    base = {r.id: r.score for r in ds.search(q, [], 0, 10)}
+    tuned = {r.id: r.score for r in ds.search(q, [], 0, 10, k1=0.01)}
+    # k1 affects tf saturation: the subplan-scored docs must move too
+    assert tuned["a2"] != base["a2"], "subplan ignored the k1 override"
+    assert tuned["c1"] != base["c1"]

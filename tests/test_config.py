@@ -122,3 +122,25 @@ def test_manager_rejects_unsafe_namespace_paths(tmp_path):
     # deleting an unknown/unsafe name is a no-op, not an rmtree
     assert mgr.delete_namespace("../victim") is False
     assert victim.exists()
+
+
+def test_lazy_create_honors_namespace_config(tmp_path):
+    """A configured namespace with initialize_on_startup=False must open
+    at ITS declared data_path on first access, not the default path."""
+    from fugu_tpu.config import NamespaceConfig, ServerConfig
+    from fugu_tpu.engine.manager import DatasetManager
+
+    alt = tmp_path / "alt"
+    cfg = ServerConfig.with_defaults(str(tmp_path / "main"), "default")
+    cfg.namespaces = [
+        NamespaceConfig(
+            name="lazyns", data_path=str(alt), initialize_on_startup=False
+        )
+    ]
+    mgr = DatasetManager(cfg, use_device=False)
+    assert mgr.get_dataset("lazyns") is None  # not created at startup
+    ds = mgr.get_or_create_dataset("lazyns")
+    assert ds.base_path == alt
+    assert (alt / "lazyns" / "docs").exists()
+    assert not (tmp_path / "main" / "lazyns").exists()
+    mgr.close()

@@ -15,9 +15,15 @@ semantics (Tantivy 0.24, `Cargo.toml:48` in the reference):
   less than 40; removed tokens leave a gap in the position sequence.
 - LowerCaser applies Unicode lowercasing.
 
-We replicate that chain with Python's ``str.isalnum`` / ``str.lower``,
-which agree with the Rust predicates on all ASCII and virtually all
-practical Unicode input.
+We replicate that chain with Python's ``str.isalnum`` and a CHAR-WISE
+lowercase: Tantivy's LowerCaser maps each char independently
+(``c.to_lowercase()`` per char — its source explicitly skips Rust
+``str::to_lowercase``'s Final_Sigma context rule), while Python's
+``str.lower`` applies Final_Sigma ('ΛΟΓΟΣ'.lower() == 'λογος' vs
+Tantivy's 'λογοσ').  Final sigma is the only context-sensitive rule in
+either, so a fast path keeps ``str.lower`` for tokens without 'Σ'.  The
+native C++ tokenizer's per-codepoint tables implement the same
+char-wise mapping (native/gen_unicode_tables.py).
 
 The reference also ships a dead streaming tokenizer with a richer token
 taxonomy (`/root/reference/src/tokeinze.rs`, never in the module tree —
@@ -57,13 +63,25 @@ def _simple_tokens(text: str) -> Iterator[Tuple[str, int, int, int]]:
         yield text[start:], pos, start, len(text)
 
 
+def _lower(raw: str) -> str:
+    """Char-wise Unicode lowercase (Tantivy LowerCaser semantics).
+
+    ``str.lower`` matches char-wise mapping except for the Final_Sigma
+    rule, which only triggers when capital sigma is present — so the
+    slow per-char join runs only for tokens containing 'Σ'.
+    """
+    if "Σ" in raw:  # capital sigma: avoid the Final_Sigma rule
+        return "".join(c.lower() for c in raw)
+    return raw.lower()
+
+
 def tokenize(text: str) -> List[Token]:
     """Run the full default chain; returns lowercased tokens with positions."""
     out: List[Token] = []
     for raw, pos, a, b in _simple_tokens(text):
         if len(raw.encode("utf-8")) >= LONG_TOKEN_BYTE_LIMIT:
             continue  # RemoveLongFilter drops it; position gap remains
-        out.append(Token(raw.lower(), pos, a, b))
+        out.append(Token(_lower(raw), pos, a, b))
     return out
 
 

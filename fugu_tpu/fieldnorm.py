@@ -56,13 +56,15 @@ def ids_to_fieldnorms(fids: np.ndarray) -> np.ndarray:
     return FIELD_NORMS_TABLE[np.asarray(fids, dtype=np.int64)]
 
 
-def decode_fid_arithmetic(fid):
-    """Branch-free arithmetic decode usable inside JAX/Pallas kernels.
+def decode_fid_arithmetic(fid, xp=np):
+    """Branch-free arithmetic decode, identical to FIELD_NORMS_TABLE[fid].
 
-    Works on int32 arrays/tracers: identical to ``FIELD_NORMS_TABLE[fid]``.
+    ``xp`` selects the array namespace: numpy by default, or jax.numpy
+    for use on tracers inside jit/Pallas kernels (ops/scoring._decode_fid
+    wraps this with xp=jnp — ONE implementation, no drift).
     """
     j = fid - 24
     bits = j & 0x07
     shift = (j >> 3) - 1
-    f4 = np.where(shift < 0, bits, (bits | 0x08) << np.maximum(shift, 0))
-    return np.where(fid < 24, fid, 24 + f4)
+    f4 = xp.where(shift < 0, bits, (bits | 0x08) << xp.maximum(shift, 0))
+    return xp.where(fid < 24, fid, 24 + f4)

@@ -49,7 +49,18 @@ def build_library() -> bool:
             capture_output=True,
         )
         return True
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except FileNotFoundError:
+        return False
+    except subprocess.CalledProcessError as e:
+        import logging
+
+        # surface the compiler/generator output — a silent False here
+        # degrades ingest ~2x with no diagnostic
+        logging.getLogger("fugu_tpu").warning(
+            "native build failed (%s): %s",
+            e.cmd[0] if e.cmd else "?",
+            (e.stderr or b"").decode(errors="replace")[-2000:],
+        )
         return False
 
 
@@ -137,7 +148,7 @@ def tokenize(text: str) -> List[Tuple[str, int]]:
     """(token, position) pairs via the native tokenizer."""
     lib = load()
     assert lib is not None
-    data = text.encode("utf-8")
+    data = text.encode("utf-8", "replace")  # match add_doc{,s}
     h = lib.fugu_tokenize(data, len(data))
     try:
         n = lib.fugu_tokens_count(h)
@@ -172,8 +183,22 @@ class NativeFieldAccumulator:
         self._h = self._lib.fugu_builder_new()
         self.n_docs = 0
 
+    def __del__(self):
+        # a caller abandoning the accumulator before finish() (e.g. an
+        # exception mid-flush) must not leak the C++ Builder and its
+        # posting vectors for the life of the process
+        h, self._h = getattr(self, "_h", None), None
+        if h is not None and self._lib is not None:
+            self._lib.fugu_builder_free(h)
+
     def add_doc(self, values: List[str]) -> None:
-        parts = [v.encode("utf-8") for v in values]  # encode ONCE
+        # errors="replace": a lone surrogate (rejected by validate() at
+        # the API boundary but expressible via direct builder use)
+        # becomes '?', a token boundary — exactly what the Python
+        # tokenizer does with the unencodable char, so the two paths
+        # still tokenize identically instead of wedging the flush with
+        # UnicodeEncodeError
+        parts = [v.encode("utf-8", "replace") for v in values]  # encode ONCE
         data = b"".join(parts)
         offsets = np.zeros(len(values) + 1, dtype=np.int64)
         acc = 0
@@ -198,7 +223,11 @@ class NativeFieldAccumulator:
             dtype=np.int64,
             count=len(docs_values),
         )
-        parts = [v.encode("utf-8") for values in docs_values for v in values]
+        parts = [
+            v.encode("utf-8", "replace")
+            for values in docs_values
+            for v in values
+        ]
         offs = np.zeros(len(parts) + 1, dtype=np.int64)
         if parts:
             np.cumsum(

@@ -60,12 +60,12 @@ NEG_INF = np.float32(-np.inf)
 
 
 def _decode_fid(fid):
-    """Branch-free Lucene SmallFloat 4-bit decode (see fugu_tpu.fieldnorm)."""
-    j = fid - 24
-    bits = j & 0x07
-    shift = (j >> 3) - 1
-    f4 = jnp.where(shift < 0, bits, (bits | 0x08) << jnp.maximum(shift, 0))
-    return jnp.where(fid < 24, fid, 24 + f4)
+    """Branch-free Lucene SmallFloat 4-bit decode — the single shared
+    implementation in fugu_tpu.fieldnorm, bound to the jnp namespace for
+    tracers."""
+    from fugu_tpu.fieldnorm import decode_fid_arithmetic
+
+    return decode_fid_arithmetic(fid, jnp)
 
 
 def merge_sorted_rows(keys, *payloads):

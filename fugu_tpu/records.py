@@ -29,6 +29,15 @@ class ValidationError(ValueError):
     """Raised when an ObjectRecord fails validation."""
 
 
+def _byte_len(value: str, what: str) -> int:
+    try:
+        return len(value.encode("utf-8"))
+    except UnicodeEncodeError:
+        raise ValidationError(
+            f"Invalid {what}: not valid Unicode (lone surrogate)"
+        ) from None
+
+
 @dataclasses.dataclass
 class ObjectRecord:
     id: str = ""
@@ -57,30 +66,38 @@ class ObjectRecord:
         return d
 
     def validate(self) -> None:
-        """Validation rules mirroring object.rs:31-78 (same order, same limits)."""
+        """Validation rules mirroring object.rs:31-78 (same order, same limits).
+
+        Limits are UTF-8 BYTES (Rust String::len), not characters — they
+        differ on any multi-byte input.  The byte-length check doubles as
+        a well-formedness gate: a lone surrogate (expressible in a Python
+        str but not in a Rust String — serde would reject the JSON) fails
+        the encode and is rejected here, BEFORE it can wedge the native
+        ingest path.
+        """
         if not self.id:
             raise ValidationError("Object ID cannot be empty")
-        if len(self.id) > MAX_ID_LEN:
-            raise ValidationError("Object ID too long (max 256 characters)")
+        if _byte_len(self.id, "id") > MAX_ID_LEN:
+            raise ValidationError("Object ID too long (max 256 bytes)")
         if not self.text:
             raise ValidationError("Object text cannot be empty")
-        if len(self.text) > MAX_TEXT_LEN:
-            raise ValidationError("Text too long (max 10000 characters)")
+        if _byte_len(self.text, "text") > MAX_TEXT_LEN:
+            raise ValidationError("Text too long (max 10000 bytes)")
         if self.namespace is not None:
             ns = self.namespace
             if not ns or "/" in ns or " " in ns:
                 raise ValidationError("Invalid namespace format")
-            if len(ns) > MAX_NAMESPACE_LEN:
-                raise ValidationError("Namespace too long (max 128 characters)")
+            if _byte_len(ns, "namespace") > MAX_NAMESPACE_LEN:
+                raise ValidationError("Namespace too long (max 128 bytes)")
         if self.facets is not None:
             if len(self.facets) > MAX_FACETS:
                 raise ValidationError("Too many facets (max 100 per object)")
             for i, facet in enumerate(self.facets):
                 if not facet:
                     raise ValidationError(f"Facet at index {i} cannot be empty")
-                if len(facet) > MAX_FACET_LEN:
+                if _byte_len(facet, f"facet at index {i}") > MAX_FACET_LEN:
                     raise ValidationError(
-                        f"Facet at index {i} too long (max 512 characters)"
+                        f"Facet at index {i} too long (max 512 bytes)"
                     )
 
     def generate_namespace_facets(self) -> List[str]:

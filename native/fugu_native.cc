@@ -235,6 +235,13 @@ struct Result {
   std::vector<int64_t> doc_token_counts;
 };
 
+// memcpy from vec.data() of an EMPTY vector is UB (data() may be null
+// even with size 0); copy only when non-empty
+template <typename T>
+static void copy_vec(T* dst, const std::vector<T>& src) {
+  if (!src.empty()) std::memcpy(dst, src.data(), src.size() * sizeof(T));
+}
+
 }  // namespace
 
 extern "C" {
@@ -328,21 +335,15 @@ void fugu_result_copy(void* h, char* term_blob, int32_t* term_lens,
                       int32_t* post_tfs, int64_t* pos_offsets,
                       int32_t* pos_data, int64_t* doc_token_counts) {
   Result* r = static_cast<Result*>(h);
-  std::memcpy(term_blob, r->term_blob.data(), r->term_blob.size());
-  std::memcpy(term_lens, r->term_lens.data(),
-              r->term_lens.size() * sizeof(int32_t));
-  std::memcpy(term_dfs, r->term_dfs.data(),
-              r->term_dfs.size() * sizeof(int32_t));
-  std::memcpy(post_docs, r->post_docs.data(),
-              r->post_docs.size() * sizeof(int32_t));
-  std::memcpy(post_tfs, r->post_tfs.data(),
-              r->post_tfs.size() * sizeof(int32_t));
-  std::memcpy(pos_offsets, r->pos_offsets.data(),
-              r->pos_offsets.size() * sizeof(int64_t));
-  std::memcpy(pos_data, r->pos_data.data(),
-              r->pos_data.size() * sizeof(int32_t));
-  std::memcpy(doc_token_counts, r->doc_token_counts.data(),
-              r->doc_token_counts.size() * sizeof(int64_t));
+  if (!r->term_blob.empty())
+    std::memcpy(term_blob, r->term_blob.data(), r->term_blob.size());
+  copy_vec(term_lens, r->term_lens);
+  copy_vec(term_dfs, r->term_dfs);
+  copy_vec(post_docs, r->post_docs);
+  copy_vec(post_tfs, r->post_tfs);
+  copy_vec(pos_offsets, r->pos_offsets);
+  copy_vec(pos_data, r->pos_data);
+  copy_vec(doc_token_counts, r->doc_token_counts);
 }
 
 void fugu_result_free(void* h) { delete static_cast<Result*>(h); }
@@ -400,10 +401,9 @@ int64_t fugu_tokens_blob_size(void* h) {
 }
 void fugu_tokens_copy(void* h, char* blob, int32_t* lens, int32_t* positions) {
   TokenResult* r = static_cast<TokenResult*>(h);
-  std::memcpy(blob, r->blob.data(), r->blob.size());
-  std::memcpy(lens, r->lens.data(), r->lens.size() * sizeof(int32_t));
-  std::memcpy(positions, r->positions.data(),
-              r->positions.size() * sizeof(int32_t));
+  if (!r->blob.empty()) std::memcpy(blob, r->blob.data(), r->blob.size());
+  copy_vec(lens, r->lens);
+  copy_vec(positions, r->positions);
 }
 void fugu_tokens_free(void* h) { delete static_cast<TokenResult*>(h); }
 

@@ -142,3 +142,17 @@ def test_ingest_speedup_sanity():
     python_s = time.time() - t0
 
     assert native_s < python_s, (native_s, python_s)
+
+
+def test_sigma_lowercase_parity():
+    """Tantivy's LowerCaser is char-wise (no Final_Sigma rule): both the
+    native table path and analysis._lower must map 'ΛΟΓΟΣ' -> 'λογοσ',
+    NOT Python str.lower()'s 'λογος'."""
+    from fugu_tpu import analysis
+
+    text = "ΛΟΓΟΣ μετὰ ΣΟΦΙΑΣ"
+    py = [(t.text, t.position) for t in analysis.tokenize(text)]
+    assert ("λογοσ", 0) in py and ("σοφιασ", 2) in py
+    if native.available():
+        nat = native.tokenize(text)
+        assert nat == py

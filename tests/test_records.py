@@ -80,3 +80,23 @@ def test_facets_skipped_when_none():
 def test_normalize_facet_path():
     assert normalize_facet_path("a/b") == "/a/b"
     assert normalize_facet_path("/a/b") == "/a/b"
+
+
+def test_limits_are_utf8_bytes():
+    """object.rs enforces Rust String::len (bytes): 6000 CJK chars are
+    18000 bytes and must be rejected even though 6000 <= 10000 chars."""
+    r = ObjectRecord(id="b1", text="日" * 6000)
+    with pytest.raises(ValidationError, match="Text too long"):
+        r.validate()
+    ObjectRecord(id="b2", text="日" * 3333).validate()  # 9999 bytes ok
+    with pytest.raises(ValidationError, match="ID too long"):
+        ObjectRecord(id="日" * 100, text="x").validate()  # 300 bytes
+
+
+def test_lone_surrogate_rejected():
+    """A lone surrogate is expressible in a Python str but not a Rust
+    String (serde rejects the JSON) — reject at validate, before it can
+    reach the native builder."""
+    r = ObjectRecord(id="s1", text="bad \ud800 text")
+    with pytest.raises(ValidationError, match="not valid Unicode"):
+        r.validate()

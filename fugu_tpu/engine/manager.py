@@ -36,6 +36,15 @@ def _contained_ns_dir(base_path: Path, namespace: str) -> Path:
     return ns_dir
 
 
+class NamespaceNotFoundError(KeyError):
+    """Caller named a namespace that doesn't exist — the HTTP layer maps
+    this to 404 (a 5xx would be alert noise for a typo'd namespace).
+    Subclasses KeyError for pre-existing `except KeyError` callers."""
+
+    def __str__(self) -> str:  # KeyError.__str__ adds quotes
+        return self.args[0] if self.args else ""
+
+
 class DatasetManager:
     def __init__(self, config: ServerConfig, use_device: bool = True):
         self.config = config
@@ -283,7 +292,9 @@ class DatasetManager:
     def get_namespace_facets(self, namespace: str, facet_root: str):
         ds = self.get_dataset(namespace)
         if ds is None:
-            raise KeyError(f"Dataset not found for namespace: {namespace}")
+            raise NamespaceNotFoundError(
+                f"Dataset not found for namespace: {namespace}"
+            )
         return ds.get_facets_at(facet_root)
 
     def get_filter_values_at_path(self, filter_path: str) -> List[str]:
@@ -294,7 +305,9 @@ class DatasetManager:
             namespace = self.config.default_namespace
         ds = self.get_dataset(namespace)
         if ds is None:
-            raise KeyError(f"Dataset not found for namespace: {namespace}")
+            raise NamespaceNotFoundError(
+                f"Dataset not found for namespace: {namespace}"
+            )
         return ds.get_filter_values_at_path(filter_path)
 
     def get_all_stats(self) -> Dict[str, DatasetStats]:

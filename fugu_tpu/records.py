@@ -54,6 +54,11 @@ class ObjectRecord:
 
     @classmethod
     def from_dict(cls, data: Dict[str, Any]) -> "ObjectRecord":
+        if not isinstance(data, dict):
+            # serde would reject the wrong-shape JSON at deserialization;
+            # a ValidationError keeps callers' 400 envelope instead of an
+            # AttributeError -> HTML 500
+            raise ValidationError("object record must be a JSON object")
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in data.items() if k in known})
 

@@ -29,7 +29,7 @@ from aiohttp import web
 
 from fugu_tpu import telemetry
 from fugu_tpu.config import ConfigError
-from fugu_tpu.engine.manager import DatasetManager
+from fugu_tpu.engine.manager import DatasetManager, NamespaceNotFoundError
 from fugu_tpu.records import ObjectRecord, ValidationError
 from fugu_tpu.server.openapi import build_openapi, SWAGGER_HTML
 from fugu_tpu.version import __version__
@@ -43,9 +43,6 @@ def _json(data: Any, status: int = 200) -> web.Response:
     return web.json_response(data, status=status, dumps=lambda d: json.dumps(d, ensure_ascii=False))
 
 
-class NamespaceNotFoundError(Exception):
-    """Caller named a namespace that doesn't exist — a 404, not a 500
-    (a 5xx here is alert noise for a typo'd namespace)."""
 
 
 def _exc_status(e: Exception, default: int = 500) -> int:
@@ -69,6 +66,38 @@ def _err(message: str, status: int = 500) -> web.Response:
 def _clamp_per_page(per_page: int) -> int:
     """(0,100] else 20 (handlers/search.rs:370-374)."""
     return per_page if 0 < per_page <= 100 else 20
+
+
+def _as_dict(value) -> dict:
+    """Shape-tolerant body access: any non-object JSON value (which
+    would AttributeError into an HTML 500) reads as an empty object."""
+    return value if isinstance(value, dict) else {}
+
+
+def _int_or(value, default: int) -> int:
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return default
+
+
+def _page_params(payload: dict):
+    """(page, per_page) from a FuguSearchQuery body, tolerating wrong
+    shapes (serde would 422 them; we default like the query-param path)."""
+    page_obj = _as_dict(payload.get("page"))
+    return (
+        _int_or(page_obj.get("page"), 0),
+        _int_or(page_obj.get("per_page"), 20),
+    )
+
+
+def _filter_list(payload: dict) -> List[str]:
+    """Filters as a list of strings; scalar/wrong-shape values (a bare
+    string would iterate as characters) are dropped."""
+    filters = payload.get("filters")
+    if not isinstance(filters, list):
+        return []
+    return [f for f in filters if isinstance(f, str)]
 
 
 class AppState:
@@ -179,20 +208,24 @@ async def search_endpoint(request: web.Request) -> web.Response:
     with telemetry.server_span("/search", "POST"):
         state = _state(request)
         try:
-            payload = await request.json()
+            payload = _as_dict(await request.json())
         except json.JSONDecodeError:
             return _err("invalid JSON body", 400)
         query = payload.get("query", "")
-        filters = payload.get("filters") or []
-        page_obj = payload.get("page") or {}
-        page = page_obj.get("page") or 0
-        per_page = page_obj.get("per_page") or 20
+        if not isinstance(query, str):
+            query = ""
+        filters = _filter_list(payload)
+        page, per_page = _page_params(payload)
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
         per_page = _clamp_per_page(per_page)  # every search route clamps
+        from fugu_tpu.server.metrics import timed
+
         try:
-            with telemetry.Timer() as t:
+            with telemetry.Timer() as t, timed(
+                "fugu_search", namespace=state.db.config.default_namespace
+            ):
                 results = await state.batcher.search(
                     ds, query, filters, page, per_page
                 )
@@ -219,19 +252,23 @@ async def search_namespace_post(request: web.Request) -> web.Response:
         state = _state(request)
         namespace = request.match_info["namespace"]
         try:
-            payload = await request.json()
+            payload = _as_dict(await request.json())
         except json.JSONDecodeError:
             return _err("invalid JSON body", 400)
         query = payload.get("query", "")
-        filters = payload.get("filters") or []
-        page_obj = payload.get("page") or {}
-        page = page_obj.get("page") or 0
-        per_page = page_obj.get("per_page") or 20
+        if not isinstance(query, str):
+            query = ""
+        filters = _filter_list(payload)
+        page, per_page = _page_params(payload)
         ds = state.db.get_dataset(namespace)
         if ds is None:
             return _err(f"Namespace '{namespace}' not found", 404)
+        from fugu_tpu.server.metrics import timed
+
         try:
-            with telemetry.Timer() as t:
+            with telemetry.Timer() as t, timed(
+                "fugu_search", namespace=namespace
+            ):
                 results = await state.batcher.search(
                     ds, query, filters, page, _clamp_per_page(per_page)
                 )
@@ -249,10 +286,10 @@ async def query_json_post(request: web.Request) -> web.Response:
     with telemetry.server_span("/search/json", "POST"):
         state = _state(request)
         try:
-            payload = await request.json()
+            payload = _as_dict(await request.json())
         except json.JSONDecodeError:
             return _json({"error": "invalid JSON body"}, status=400)
-        if "query" not in payload:
+        if "query" not in payload or not isinstance(payload["query"], str):
             return _json({"error": "missing `query`"}, status=400)
 
         url_text_raw = request.query.get("text")
@@ -266,10 +303,8 @@ async def query_json_post(request: web.Request) -> web.Response:
                 "url and request body are set to different values; using url:true/false"
             )
 
-        filters = payload.get("filters") or []
-        page_obj = payload.get("page") or {}
-        page = page_obj.get("page") or 0
-        per_page = page_obj.get("per_page") or 20
+        filters = _filter_list(payload)
+        page, per_page = _page_params(payload)
 
         targeting = _is_targeting_conv_or_org(filters)
         include_data = payload.get("include_data")
@@ -297,9 +332,17 @@ async def query_json_post(request: web.Request) -> web.Response:
             else:
                 ds = state.db.get_dataset(namespace)
                 if ds is None:
-                    raise KeyError(f"Namespace '{namespace}' not found")
+                    # NamespaceNotFoundError -> 404 like the knob-less
+                    # path (a bare KeyError mapped to 500 here)
+                    raise NamespaceNotFoundError(
+                        f"Namespace '{namespace}' not found"
+                    )
+                from fugu_tpu.server.metrics import timed
+
                 pp = _clamp_per_page(per_page)
-                with telemetry.Timer() as t:
+                with telemetry.Timer() as t, timed(
+                    "fugu_search", namespace=namespace
+                ):
                     results = await state.run_sync(
                         lambda: ds.search(
                             payload["query"], filters, page, pp,
@@ -314,10 +357,13 @@ async def query_json_post(request: web.Request) -> web.Response:
             from fugu_tpu import analysis
             from fugu_tpu.engine.highlight import highlight
 
-            terms = analysis.tokenize_terms(payload["query"])
-            for item in out["results"]:
-                if "text" in item and item["text"]:
-                    item["snippet"] = highlight(item["text"], terms)
+            def add_snippets():  # CPU work off the event loop
+                terms = analysis.tokenize_terms(payload["query"])
+                for item in out["results"]:
+                    if "text" in item and item["text"]:
+                        item["snippet"] = highlight(item["text"], terms)
+
+            await state.run_sync(add_snippets)
         out = _strip_text(out, include_text)
         if developer_message:
             out["developer_message"] = developer_message
@@ -386,7 +432,11 @@ async def upsert_objects(request: web.Request) -> web.Response:
             payload = await request.json()
         except json.JSONDecodeError:
             return _err("invalid JSON body", 400)
-        records = [ObjectRecord.from_dict(d) for d in payload.get("data", [])]
+        data = payload.get("data", []) if isinstance(payload, dict) else []
+        try:
+            records = [ObjectRecord.from_dict(d) for d in data]
+        except ValidationError as e:  # wrong-shape items: 400, not HTML 500
+            return _err(str(e), 400)
         ds = state.db.get_dataset(state.db.config.default_namespace)
         if ds is None:
             return _err("Default dataset not found")
@@ -412,15 +462,23 @@ async def list_objects(request: web.Request) -> web.Response:
             return _err("invalid `page`/`per_page` parameter", 400)
 
         def collect():
+            # early-exit after the requested window: materializing every
+            # stored doc in a 1M-doc corpus per request was a memory
+            # spike and a trivial DoS.  total comes from live-doc counts.
+            need = (page + 1) * per_page
             out = []
+            total = 0
             for seg in ds.docs().segments:
-                for d in range(seg.doc_count):
-                    if not seg.tombstones[d]:
-                        out.append(seg.stored[d])
-            return out
+                total += seg.num_live_docs
+                if len(out) < need:
+                    for d in range(seg.doc_count):
+                        if not seg.tombstones[d]:
+                            out.append(seg.stored[d])
+                            if len(out) >= need:
+                                break
+            return out, total
 
-        objects = await state.run_sync(collect)
-        total = len(objects)
+        objects, total = await state.run_sync(collect)
         window = objects[page * per_page : (page + 1) * per_page]
         return _json(
             {"objects": window, "total": total, "page": page, "per_page": per_page}
@@ -430,7 +488,9 @@ async def list_objects(request: web.Request) -> web.Response:
 # -- ingest (handlers/ingest.rs) ---------------------------------------------
 
 
-async def _validated_records(payload_list) -> List[ObjectRecord]:
+def _validated_records_sync(payload_list) -> List[ObjectRecord]:
+    if not isinstance(payload_list, list):
+        raise ValidationError("expected a JSON array of object records")
     records = [ObjectRecord.from_dict(d) for d in payload_list]
     for i, rec in enumerate(records):
         try:
@@ -438,6 +498,13 @@ async def _validated_records(payload_list) -> List[ObjectRecord]:
         except ValidationError as e:
             raise ValidationError(f"Validation failed for object at index {i}: {e}")
     return records
+
+
+async def _validated_records(state, payload_list) -> List[ObjectRecord]:
+    """Record construction + validation for up to client_max_size bodies
+    is CPU work — run it in the executor so in-flight searches don't
+    stall on a big ingest."""
+    return await state.run_sync(_validated_records_sync, payload_list)
 
 
 async def ingest_objects(request: web.Request) -> web.Response:
@@ -448,7 +515,7 @@ async def ingest_objects(request: web.Request) -> web.Response:
         except json.JSONDecodeError:
             return _err("invalid JSON body", 400)
         try:
-            records = await _validated_records(payload.get("data", []))
+            records = await _validated_records(state, payload.get("data", []))
         except ValidationError as e:
             return _err(str(e), 400)
         ds = state.db.get_dataset(state.db.config.default_namespace)
@@ -479,7 +546,7 @@ async def ingest_objects_with_namespace_facets(request: web.Request) -> web.Resp
             return _err("invalid JSON body", 400)
         data = payload.get("data", [])
         try:
-            records = await _validated_records(data)
+            records = await _validated_records(state, data)
         except ValidationError as e:
             return _err(str(e), 400)
         explicit = sum(1 for r in records if r.facets is not None)
@@ -509,7 +576,7 @@ async def batch_upsert_objects(request: web.Request) -> web.Response:
         except json.JSONDecodeError:
             return _err("invalid JSON body", 400)
         try:
-            records = await _validated_records(payload.get("objects", []))
+            records = await _validated_records(state, payload.get("objects", []))
         except ValidationError as e:
             return _err(str(e), 400)
         ds = state.db.get_dataset(state.db.config.default_namespace)
@@ -888,7 +955,7 @@ async def restore_namespace(request: web.Request) -> web.Response:
 
 
 async def metrics_endpoint(request: web.Request) -> web.Response:
-    from fugu_tpu.server.metrics import REGISTRY
+    from fugu_tpu.server.metrics import REGISTRY, escape_label
 
     state = _state(request)
     # live compaction gauges (write amplification accounting per index)
@@ -898,7 +965,9 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
     for ns, ds in list(state.db.datasets.items()):
         for idx in ds.all_indexes():
             st = idx.compaction_stats
-            lbl = f'namespace="{ns}",index="{idx.name}"'
+            lbl = (
+                f'namespace="{escape_label(ns)}",index="{escape_label(idx.name)}"'
+            )
             lines.append(f"fugu_segments{{{lbl}}} {len(idx.segments)}")
             lines.append(f"fugu_compaction_merges{{{lbl}}} {st['merges']}")
             lines.append(

@@ -101,7 +101,8 @@ class SearchBatcher:
         for p in batch:
             by_page.setdefault((p.page, p.per_page), []).append(p)
         loop = asyncio.get_running_loop()
-        for (page, per_page), items in by_page.items():
+
+        async def run_group(page: int, per_page: int, items: List[_Pending]):
             queries = [(p.query, list(p.filters)) for p in items]
             try:
                 results = await loop.run_in_executor(
@@ -114,3 +115,10 @@ class SearchBatcher:
                 for p in items:
                     if not p.future.done():
                         p.future.set_exception(e)
+
+        # dispatch page groups CONCURRENTLY: sequential awaits made the
+        # second group's waiters eat the first group's whole round trip
+        # (tens of ms at this relay) before their dispatch even started
+        await asyncio.gather(
+            *(run_group(pg, pp, items) for (pg, pp), items in by_page.items())
+        )

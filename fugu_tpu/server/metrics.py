@@ -15,6 +15,18 @@ from typing import Dict, List, Tuple
 _BUCKETS = (0.001, 0.005, 0.01, 0.025, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0)
 
 
+def escape_label(value) -> str:
+    """Prometheus exposition-format label escaping: backslash, quote,
+    newline.  A namespace named 'a\\nb' (legal path component, passes
+    name validation) would otherwise corrupt the whole scrape."""
+    return (
+        str(value)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+    )
+
+
 class Metrics:
     def __init__(self):
         self._lock = threading.Lock()
@@ -45,7 +57,9 @@ class Metrics:
         with self._lock:
             for (name, labels), value in sorted(self.counters.items()):
                 if labels:
-                    lbl = ",".join(f'{k}="{v}"' for k, v in labels)
+                    lbl = ",".join(
+                        f'{k}="{escape_label(v)}"' for k, v in labels
+                    )
                     lines.append(f"{name}{{{lbl}}} {value}")
                 else:
                     lines.append(f"{name} {value}")

@@ -95,8 +95,8 @@ def build_openapi(version: str) -> Dict[str, Any]:
                 "Search endpoint returning full facet paths for each result.",
                 requestBody=_body(
                     {
+                        # no `required`: the handler defaults query to ""
                         "type": "object",
-                        "required": ["query"],
                         "properties": {
                             "query": {"type": "string"},
                             "filters": {"type": "array", "items": {"type": "string"}},
@@ -314,6 +314,17 @@ def build_openapi(version: str) -> Dict[str, Any]:
                     {"name": "q", "in": "query", "schema": {"type": "string"}}
                 ],
             )
+        },
+        "/compact": {
+            "post": _op("Compact every namespace's indexes (explicit merge).")
+        },
+        "/compact/{namespace}": {
+            "post": _op(
+                "Compact one namespace's indexes.", parameters=[ns_param]
+            )
+        },
+        "/metrics": {
+            "get": _op("Prometheus text exposition of server metrics.")
         },
     }
     return {

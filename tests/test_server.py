@@ -381,3 +381,67 @@ def test_invalid_limit_param_400(server):
     status, out = server.get_json("/search?q=fox&limit=abc")
     assert status == 400
     assert "limit" in out["error"]
+
+
+class TestShapeTolerantBodies:
+    """Well-formed JSON with the wrong shape must produce JSON error
+    envelopes / lenient defaults — never an aiohttp HTML 500."""
+
+    def test_post_search_page_as_int(self, server):
+        status, body = server.post_json("/search", {"query": "fox", "page": 5})
+        assert status == 200  # wrong-shape page ignored, defaults used
+        assert body["page"] == 0
+
+    def test_post_search_array_body(self, server):
+        status, raw = server.request("POST", "/search", ["not", "a", "dict"])
+        assert status == 200  # reads as empty query, not HTML 500
+        assert "results" in json.loads(raw)
+
+    def test_post_search_scalar_filters(self, server):
+        status, body = server.post_json(
+            "/search", {"query": "fox", "filters": "abc"}
+        )
+        assert status == 200  # scalar filters dropped, not char-iterated
+        assert body["total"] >= 1
+
+    def test_ingest_non_dict_items_400(self, server):
+        status, body = server.post_json("/ingest", {"data": ["not-a-dict"]})
+        assert status == 400
+        assert body["status"] == "error"
+
+    def test_ingest_scalar_data_400(self, server):
+        status, body = server.post_json("/ingest", {"data": "abc"})
+        assert status == 400
+
+    def test_put_objects_wrong_shape_400(self, server):
+        status, raw = server.request("PUT", "/objects", {"data": [42]})
+        assert status == 400
+        assert json.loads(raw)["status"] == "error"
+
+
+class TestUnknownNamespaceIs404:
+    def test_namespace_facets_404(self, server):
+        status, body = server.get_json("/namespaces/no-such-ns/facets")
+        assert status == 404
+
+    def test_namespace_orgs_404(self, server):
+        status, body = server.get_json("/namespaces/no-such-ns/organizations")
+        assert status == 404
+
+    def test_search_json_with_knobs_404(self, server):
+        status, body = server.post_json(
+            "/search/json",
+            {"query": "x", "namespace": "no-such-ns", "bm25_k1": 1.5},
+        )
+        assert status == 404
+
+
+def test_metrics_label_escaping():
+    from fugu_tpu.server.metrics import Metrics
+
+    m = Metrics()
+    m.inc("reqs", namespace='a\nb"c\\d')
+    text = m.render()
+    assert '\\n' in text and '\\"' in text and "\\\\" in text
+    # exactly two physical lines: the metric line and trailing newline
+    assert len([l for l in text.splitlines() if l.startswith("reqs")]) == 1

@@ -148,13 +148,15 @@ class ServerConfig:
             cfg.default_namespace = d["default_namespace"]
         if "namespaces" in d:
             cfg.namespaces = [NamespaceConfig.from_dict(n) for n in d["namespaces"]]
-        if "writer_memory_budget" in d:
-            cfg.writer_memory_budget = d["writer_memory_budget"]
         if "auto_create_directories" in d:
             cfg.auto_create_directories = bool(d["auto_create_directories"])
         if "validation" in d and d["validation"] is not None:
             cfg.validation = ValidationConfig.from_dict(d["validation"])
         try:
+            if "writer_memory_budget" in d and d["writer_memory_budget"]:
+                # numeric like the fields below: a string budget would
+                # otherwise TypeError at the first upsert, far from here
+                cfg.writer_memory_budget = int(d["writer_memory_budget"])
             if "shard_devices" in d:
                 cfg.shard_devices = int(d["shard_devices"] or 0)
             if "shard_slices" in d:
@@ -214,6 +216,14 @@ class ServerConfig:
                 data = json.loads(content)
             except json.JSONDecodeError as e:
                 raise ConfigError(f"Failed to parse JSON config: {e}") from e
+        if not isinstance(data, dict):
+            # a scalar/list top level parses fine but would TypeError in
+            # from_dict — escaping discover()'s except-ConfigError
+            # warn-and-continue contract and crashing startup
+            raise ConfigError(
+                f"Config file {path} must contain a mapping at the top "
+                f"level, got {type(data).__name__}"
+            )
         return cls.from_dict(data)
 
     @classmethod

@@ -213,6 +213,7 @@ class NamedIndex:
             # ONLY here — no merge can be in flight during open.
             self.manifest.gc(self.manifest.segment_ids)
         self._stats: Optional[oracle_ops.IndexStats] = None
+        self._snap_stats: Optional[tuple] = None
         self._mesh = None
         self._sharded_packs: Dict[str, Any] = {}
         self._sharded_bm: Dict[str, Any] = {}
@@ -240,7 +241,9 @@ class NamedIndex:
         warm_ids = {s.segment_id for s in warm}
         cold = sum(
             int(e.get("live_docs", e.get("doc_count", 0)))
-            for sid, e in self.cold_segments.items()
+            # dict() snapshot: spill()/restore() mutate cold_segments
+            # under the writer lock while this runs lockless
+            for sid, e in dict(self.cold_segments).items()
             if sid not in warm_ids
         )
         return sum(s.num_live_docs for s in warm) + cold
@@ -250,8 +253,37 @@ class NamedIndex:
             self._stats = oracle_ops.IndexStats(self.segments)
         return self._stats
 
+    def stats_for(self, segments) -> oracle_ops.IndexStats:
+        """Stats describing exactly ``segments`` (a reader snapshot).
+
+        Reuses the live-list stats when the snapshot IS the live list
+        (the common case — keeps the df memo warm); a racing mutation
+        makes it a distinct list, and the one-slot snapshot cache keeps
+        repeated queries on the same stale snapshot cheap."""
+        live = self.stats()
+        if len(segments) == len(live.segments) and all(
+            a is b for a, b in zip(segments, live.segments)
+        ):
+            return live
+        key = tuple(id(s) for s in segments)
+        snap = self._snap_stats
+        if snap is not None and snap[0] == key:
+            return snap[1]
+        st = oracle_ops.IndexStats(segments)
+        self._snap_stats = (key, st)
+        return st
+
     def _invalidate(self) -> None:
         self._stats = None
+        self._snap_stats = None
+        # evict sharded caches for segments no longer live (merged away,
+        # spilled): PallasShardedPack holds device_put HBM arrays, so a
+        # stale entry strands the pack in device memory for process life
+        if self._sharded_packs or self._sharded_bm:
+            live = {s.segment_id for s in self.segments}
+            for cache in (self._sharded_packs, self._sharded_bm):
+                for sid in [k for k in cache if k not in live]:
+                    del cache[sid]
 
     def has_field(self, field: str) -> bool:
         return self.schema.has_field(field)
@@ -358,7 +390,12 @@ class NamedIndex:
         """Top-k for many queries, batching device dispatches per segment."""
         if segments is None:
             segments = self.searcher_segments()
-        stats = self.stats()
+        # stats must describe the SNAPSHOT being scored: a background
+        # merge can swap self.segments between the caller's snapshot and
+        # this call, and live-list stats would shift BM25 weights (and
+        # mis-key the fingerprint-keyed sharded caches) relative to the
+        # scored segments
+        stats = self.stats_for(segments)
         all_hits: List[List[oracle_ops.Hit]] = [[] for _ in plans]
         runnable = [
             i
@@ -593,9 +630,7 @@ class NamedIndex:
                     kill_local = set()
 
             if cold_pending:
-                self.manifest.pending_deletes = sorted(
-                    set(self.manifest.pending_deletes) | cold_pending
-                )
+                self._queue_pending_deletes(cold_pending)
             self._commit(builder, kill_local, touched_committed)
 
     def delete_document(self, doc_id: str) -> None:
@@ -615,15 +650,28 @@ class NamedIndex:
                 # the id may live in a cold segment tombstones can't
                 # reach — queue it for restore() (silently no-oping here
                 # would resurrect the doc)
-                self.manifest.pending_deletes = sorted(
-                    set(self.manifest.pending_deletes) | {doc_id}
-                )
+                self._queue_pending_deletes({doc_id})
                 touched = True
             if touched:
                 for seg in self.segments:
                     save_tombstones(seg, self.path)
                 self._manifest_commit()
                 self._invalidate()
+
+    def _queue_pending_deletes(self, terms: set) -> None:
+        """Queue delete-by-id terms against the CURRENTLY-cold segments.
+
+        Scoping to today's cold set is what makes a later spill safe: a
+        segment spilled after this write may hold the term's NEWEST copy
+        (the one this very upsert wrote), and an unscoped delete would
+        tombstone it at restore — silently losing the latest write."""
+        targets = sorted(self.cold_segments)
+        pd = self.manifest.pending_deletes
+        for term in terms:
+            prev = pd.get(term, ())
+            if prev is None:
+                continue  # legacy all-cold entry is already a superset
+            pd[term] = sorted(set(prev) | set(targets))
 
     def _manifest_commit(self) -> None:
         """Commit live segments, always carrying cold (spilled) entries."""
@@ -868,7 +916,13 @@ class NamedIndex:
                     if seg.segment_id not in cold_ids:
                         continue  # warm copies were tombstoned at write
                     hit = False
-                    for d in pending:
+                    for d, targets in pending.items():
+                        # each term is scoped to the segments that were
+                        # cold when it was queued (None = legacy
+                        # all-cold): a segment spilled LATER may hold
+                        # the term's newest copy
+                        if targets is not None and seg.segment_id not in targets:
+                            continue
                         hit = seg.delete_by_term("id", d) or hit
                     if hit:
                         touched.append(seg)
@@ -879,7 +933,7 @@ class NamedIndex:
             if pending:
                 # durably clear: a stale pending list would re-apply old
                 # deletes to FUTURE spill/restore cycles of these ids
-                self.manifest.pending_deletes = []
+                self.manifest.pending_deletes = {}
                 self._manifest_commit()
             self._invalidate()
             return restored

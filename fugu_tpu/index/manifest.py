@@ -21,7 +21,7 @@ import json
 import os
 import uuid
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 
@@ -199,8 +199,11 @@ class Manifest:
         #: here — durably, they ride every commit — and applied to the
         #: restored segments by NamedIndex.restore().  Without this, an
         #: upsert/delete against a cold namespace would resurrect the old
-        #: copy at restore time.
-        self.pending_deletes: List[str] = []
+        #: copy at restore time.  Each term maps to the segment ids that
+        #: were cold WHEN IT WAS QUEUED (None = every cold segment, the
+        #: legacy list format): a segment spilled later may hold the
+        #: term's NEWEST copy, which the delete must not touch.
+        self.pending_deletes: Dict[str, Optional[List[str]]] = {}
 
     @property
     def path(self) -> Path:
@@ -213,7 +216,13 @@ class Manifest:
         self.generation = data.get("generation", 0)
         self.entries = list(data.get("segments", []))
         self.segment_ids = [s["id"] for s in self.entries]
-        self.pending_deletes = list(data.get("pending_deletes", []))
+        raw = data.get("pending_deletes", {})
+        if isinstance(raw, list):  # legacy format: applies to all cold
+            self.pending_deletes = {t: None for t in raw}
+        else:
+            self.pending_deletes = {
+                t: (list(v) if v is not None else None) for t, v in raw.items()
+            }
         return True
 
     def commit(
@@ -234,7 +243,10 @@ class Manifest:
         self.segment_ids = [e["id"] for e in self.entries]
         data = {"generation": self.generation, "segments": self.entries}
         if self.pending_deletes:
-            data["pending_deletes"] = sorted(self.pending_deletes)
+            data["pending_deletes"] = {
+                t: (sorted(v) if v is not None else None)
+                for t, v in sorted(self.pending_deletes.items())
+            }
         _atomic_write(self.path, json.dumps(data, indent=2).encode("utf-8"))
 
     def gc(self, live_ids: List[str]) -> None:

@@ -38,6 +38,22 @@ DEFAULT_BUCKET = "fugu"
 CACHE_TTL_SECS = 30.0
 
 
+def _durable_write(path: Path, data: bytes) -> None:
+    """write + fsync(file) + fsync(dir): survives the metadata-first
+    journal reorder that a following unlink would otherwise win."""
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+    try:
+        os.write(fd, data)
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    dfd = os.open(path.parent, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 @dataclasses.dataclass
 class S3Location:
     key: str
@@ -273,11 +289,13 @@ class SegmentSpiller:
             # restore can ever clear
             return uploaded
         # the marker (the durable pointer to the remote copy) must exist
-        # BEFORE the local files go away: a crash in between then leaves
-        # marker+files coexisting (restore simply re-fetches over them),
-        # never a vanished segment with its remote location lost
+        # DURABLY before the local files go away: unlink is a journaled
+        # metadata op that filesystems can persist ahead of buffered
+        # marker data, so a bare write_text + power loss could leave
+        # neither the files nor a readable marker.  fsync file + dir
+        # first (same reorder manifest._atomic_write defends against).
         marker = index_dir / f"seg-{segment_id}.spilled"
-        marker.write_text(self.remote_prefix)
+        _durable_write(marker, self.remote_prefix.encode("utf-8"))
         for name in uploaded:  # delete only after all uploads succeeded
             (index_dir / name).unlink()
         return uploaded
@@ -292,7 +310,10 @@ class SegmentSpiller:
                 data = remote.raw_fetch()
             except FileNotFoundError:
                 continue
-            (index_dir / name).write_bytes(data)
+            # durable BEFORE the marker unlink below: a crash could
+            # persist the unlink but not buffered segment data,
+            # leaving the segment neither local nor recorded as cold
+            _durable_write(index_dir / name, data)
             restored.append(name)
         # the marker only comes off once the segment pack itself is back
         # — a failed fetch must leave the segment recorded as cold, not

@@ -51,6 +51,11 @@ def init_tracing(
     """Console + file subscriber (tracing_utils.rs:14-95)."""
     root = logging.getLogger("fugu_tpu")
     root.setLevel(os.environ.get("FUGU_LOG", level).upper())
+    for h in root.handlers:  # close before dropping: a cleared
+        try:  # FileHandler otherwise leaks its fd per re-init
+            h.close()
+        except Exception:
+            pass
     root.handlers.clear()
     fmt = logging.Formatter(
         "%(asctime)s %(levelname)s %(name)s [%(span)s] %(message)s"
@@ -97,9 +102,7 @@ def _init_otel():
         # would be ignored by set_tracer_provider (override refused)
         # while overwriting _otel_provider — shutdown would then flush
         # the EMPTY provider and drop the real one's buffered spans.
-        from opentelemetry import trace
-
-        return trace.get_tracer("fugu_tpu")
+        return _otel_provider.get_tracer("fugu_tpu")
     try:
         from opentelemetry import propagate, trace
         from opentelemetry.baggage.propagation import W3CBaggagePropagator
@@ -133,6 +136,11 @@ def _init_otel():
     provider.add_span_processor(
         BatchSpanProcessor(OTLPSpanExporter(endpoint=endpoint))
     )
+    # best-effort global install (third-party instrumentation reads it);
+    # it REFUSES overrides, so after a shutdown_tracing -> init_tracing
+    # cycle the old shut-down provider stays global and would silently
+    # drop every span — which is why the tracer below (and the reuse
+    # branch above) come from OUR provider, never trace.get_tracer()
     trace.set_tracer_provider(provider)
     propagate.set_global_textmap(
         CompositePropagator(
@@ -140,7 +148,7 @@ def _init_otel():
         )
     )
     _otel_provider = provider
-    return trace.get_tracer("fugu_tpu")
+    return provider.get_tracer("fugu_tpu")
 
 
 def shutdown_tracing() -> None:

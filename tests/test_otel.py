@@ -71,6 +71,9 @@ def install_stub_sdk(monkeypatch):
         def shutdown(self):
             rec.shutdowns += 1
 
+        def get_tracer(self, name):  # real SDK API; telemetry uses the
+            return Tracer()          # provider's tracer, not the global
+
     class BatchSpanProcessor:
         def __init__(self, exporter):
             self.exporter = exporter

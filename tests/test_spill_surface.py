@@ -315,3 +315,31 @@ class TestFacetReadsGuarded:
         assert ds2.has_cold_segments
         assert ds2.stats().docs_count == live
         ds2.close()
+
+
+class TestPendingDeleteScoping:
+    def test_respill_does_not_kill_newest_copy(self, tmp_path):
+        """Upsert against a cold namespace queues a pending delete for
+        the COLD copies; if the warm segment holding the NEW copy is
+        spilled later, restore must not tombstone it too (that silently
+        lost the latest write)."""
+        ds = Dataset("pds", tmp_path / "data", use_device=False)
+        ds.ingest(recs(6, "pds"))
+        ds.spill(prefix_of(tmp_path))
+        assert ds.has_cold_segments
+        # lazy write to the cold namespace: new copy of sp0 in a warm
+        # segment, pending delete queued against the cold segments
+        ds.ingest(
+            [ObjectRecord(id="sp0", text="the freshest copy", namespace="pds")]
+        )
+        # spill AGAIN: the warm segment with the fresh copy goes cold too
+        ds.spill(prefix_of(tmp_path))
+        # restore applies pending deletes — scoped to queue-time targets
+        ds.restore()
+        hits = ds.get("sp0")
+        assert hits, "newest copy was tombstoned at restore"
+        assert len(hits) == 1, "stale cold copy resurrected as duplicate"
+        assert "freshest" in hits[0]["text"]
+        matches = [r for r in ds.search("freshest", [], 0, 10)]
+        assert [r.id for r in matches] == ["sp0"]
+        ds.close()

@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
       | (?P<mod>[+-])(?=\()
       | (?P<open>\()
       | (?P<close>\))
-      | (?P<word>[^\s()]+)
+      | (?P<word>[^\s()"]+)
     )
     """,
     re.VERBOSE,
@@ -79,7 +79,13 @@ def _split_tokens(query: str) -> List[_Token]:
             break
         if m.group("phrase") is not None:
             slop = int(m.group("slop") or 0)
-            boost = float(m.group("pboost") or 1.0)
+            try:
+                boost = float(m.group("pboost") or 1.0)
+            except ValueError as e:
+                # [0-9.]+ admits "1.2.3" / "." — a bare ValueError would
+                # escape parse_with_fallback's except-ParseError and 500
+                # where the reference escape-retries (search.rs:118-127)
+                raise ParseError(f"invalid boost: {m.group('pboost')!r}") from e
             out.append(
                 (
                     "phrase",

@@ -56,7 +56,11 @@ class LogMergePolicy:
         eligible = [
             (i, s)
             for i, s in enumerate(segments)
-            if s.doc_count <= self.max_docs_before_merge
+            # LIVE docs, like Tantivy's num_docs(): filtering on total
+            # doc_count would permanently exclude an over-size segment
+            # no matter how many of its docs are deleted, so its space
+            # (and per-query tombstone scanning) is never reclaimed
+            if s.num_live_docs <= self.max_docs_before_merge
         ]
         if len(eligible) <= 1:
             return []
@@ -152,7 +156,9 @@ class BackgroundCompactor:
             drained = self._cv.wait_for(
                 lambda: self._pending == 0 or self._closed, timeout
             )
-            return drained and not self._pass_failed
+            # closed with undrained notifications = the drain did NOT
+            # complete; True here would falsely report policy-satisfied
+            return drained and self._pending == 0 and not self._pass_failed
 
     def close(self) -> None:
         with self._cv:

@@ -250,3 +250,24 @@ class TestRangeEdges:
         )
         assert not any(g.ranges for g in plan.groups)
         assert plan.groups[0].phrases
+
+
+def test_bad_phrase_boost_is_parse_error():
+    """'\"a b\"^1.2.3' matched [0-9.]+ and raised a bare ValueError that
+    escaped the escape-retry fallback into a 500."""
+    plan = qp.parse_with_fallback('"a b"^1.2.3', FIELDS, KNOWN)
+    assert plan is not None  # escape-retry handled it
+
+
+def test_glued_quote_starts_phrase():
+    """'milk\"whole foods\"' must parse as milk + phrase(whole foods),
+    not word('milk\"whole') + word('foods\"')."""
+    plan = qp.parse_query('milk"whole foods"', FIELDS, KNOWN)
+    phrases = [p for g in plan.groups for p in g.phrases]
+    assert phrases and all(
+        list(p.terms) == ["whole", "foods"] for p in phrases
+    )
+    words = [
+        c.term for g in plan.groups for c in g.clauses if not c.is_facet
+    ]
+    assert "milk" in words

@@ -197,3 +197,34 @@ def test_search_during_ingest_sharded(tmp_path):
     assert not errors, errors
     hits = ds.search("fresh", [], 0, 200)
     assert len(hits) == 120
+
+
+def test_concurrent_get_or_create_single_instance(tmp_path):
+    """Dataset construction now runs OUTSIDE the registry lock (with a
+    _creating guard): racing creators of the same namespace must all get
+    the SAME instance, and other namespaces must not block."""
+    import threading
+
+    from fugu_tpu.config import ServerConfig
+    from fugu_tpu.engine.manager import DatasetManager
+
+    mgr = DatasetManager(
+        ServerConfig.with_defaults(str(tmp_path), "default"), use_device=False
+    )
+    results = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def create(i):
+        barrier.wait()
+        ns = "shared" if i < 6 else f"other{i}"
+        results[i] = (ns, mgr.get_or_create_dataset(ns))
+
+    threads = [threading.Thread(target=create, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    shared = {id(ds) for ns, ds in results if ns == "shared"}
+    assert len(shared) == 1, "racing creators built distinct datasets"
+    assert all(ds is not None for _, ds in results)
+    mgr.close()

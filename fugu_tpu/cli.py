@@ -85,17 +85,23 @@ def _request(
 
 
 def health_check(server: str) -> None:
-    """Probe /health before doing anything (cli.rs:436-452)."""
+    """Probe /health before doing anything (cli.rs:436-452).
+
+    An HTTP error (server up but unhealthy) re-raises as-is so the
+    generic handler reports the real status; only a connection failure
+    gets the 'may not be running' hint.  The hint replaces the generic
+    message (raise-from below) rather than printing both.
+    """
     try:
         _request("GET", f"{server}/health", timeout=5.0)
-    except CliError:
-        print(f"Error: could not reach server at {server}", file=sys.stderr)
-        print(
-            "The server may not be running. Start it with `fugu serve` "
-            "(or `python -m fugu_tpu`).",
-            file=sys.stderr,
-        )
+    except CliHttpError:
         raise
+    except CliError as e:
+        raise CliError(
+            f"could not reach server at {server} ({e}). The server may "
+            "not be running — start it with `fugu serve` (or "
+            "`python -m fugu_tpu`)."
+        ) from e
 
 
 def _print(payload: Any) -> None:

@@ -55,6 +55,7 @@ import numpy as np
 
 from fugu_tpu import jax_setup
 from fugu_tpu.index.segment import Segment, _pow2_bucket
+from fugu_tpu.ops import buckets
 from fugu_tpu.ops.oracle import IndexStats
 from fugu_tpu.query import (
     Occur,
@@ -132,6 +133,11 @@ def _device_positions(segment: Segment, field: str):
     if len(dat) and int(dat.max()) >= _POS_CAP:
         cache[field] = None  # pathological positions: host matcher only
         return None
+    if len(dat) >= 2**31:
+        # int64 offsets would wrap in the int32 cast below and gather
+        # garbage positions with no error — host matcher only
+        cache[field] = None
+        return None
     off = segment.pos_offsets[field]
     off_pad = np.zeros(_pow2_bucket(len(off)), dtype=np.int32)
     off_pad[: len(off)] = off.astype(np.int32)
@@ -196,10 +202,8 @@ def _build_phrase_fn(k_terms, pads, ppads, k_out):
         # doc intersection + per-term entry resolution
         entries = [entry0]
         for i in range(1, k_terms):
-            wi = _window(e_doc, starts[i], pads[i], pads[i])
-            wi = jnp.where(
-                jnp.arange(pads[i], dtype=jnp.int32) < dfs[i], wi, _INT_MAX
-            )
+            # same masked-window op as term 0 (df masks past-df lanes)
+            wi = _window(e_doc, starts[i], dfs[i], pads[i])
             loc = jnp.searchsorted(wi, w0).astype(jnp.int32)
             loc = jnp.minimum(loc, pads[i] - 1)
             valid = valid & (wi[loc] == w0)
@@ -310,7 +314,7 @@ def device_phrase_begin(
     # bucket boundary (mirrors pallas_scorer's k-ladder fix); limits
     # past the last bucket would silently truncate the device top-k —
     # decline them all to the exact host matcher instead
-    k_out = next((v for v in (16, 32, 64, 128) if limit < v), None)
+    k_out = buckets.k_extract(limit)
     if k_out is None:
         return results, staged, segment, plans, stats, limit
     e_doc = None
@@ -400,12 +404,18 @@ def _exact_phrase_rescore(segment, plan, stats, docs, limit):
         base = segment.field_entry_base[field]
         offs = segment.pos_offsets[field]
         dat = segment.pos_data[field]
+        # per-term lookups hoisted out of the candidate loop (they were
+        # rebuilt k_out*k_terms times)
+        term_windows = []
+        for t in pc.terms:
+            info = segment.term_info(field, t)
+            term_windows.append(
+                (info, segment.e_doc[info.start : info.start + info.doc_freq])
+            )
         tf = np.zeros(len(docs), dtype=np.float32)
         for di, d in enumerate(docs):
             inter = None
-            for k, t in enumerate(pc.terms):
-                info = segment.term_info(field, t)
-                tdocs = segment.e_doc[info.start : info.start + info.doc_freq]
+            for k, (info, tdocs) in enumerate(term_windows):
                 loc = int(np.searchsorted(tdocs, np.int32(d)))
                 e = info.start + loc - base
                 poss = dat[offs[e] : offs[e + 1]].astype(np.int64) - k

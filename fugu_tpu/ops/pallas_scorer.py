@@ -484,7 +484,7 @@ def pallas_search_begin(
     # a last-ulp TPU-vs-IEEE rounding flip at the k-th/(k+1)-th boundary
     # could otherwise exclude the true k-th doc before rescore runs.  At
     # limit == MAX_K there is no headroom (documented zero-slack case).
-    k = next((v for v in (16, 32, 64) if limit < v), MAX_K)
+    k = buckets.k_extract(limit) or MAX_K
 
     n_blocks = max((segment.doc_count + BLOCK - 1) // BLOCK, 1)
     staged = []

@@ -217,7 +217,7 @@ def pallas_sharded_search_batch(
         interpret = pack.mesh.devices.flat[0].platform == "cpu"
     # strict <: at limit == bucket extract one ladder step above so host
     # rescoring sees slack candidates (see ops/pallas_scorer.py)
-    k = next((v for v in (16, 32, 64) if limit < v), MAX_K)
+    k = buckets.k_extract(limit) or MAX_K
     d = pack.n_shards
 
     staged = []

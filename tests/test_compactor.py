@@ -69,6 +69,16 @@ class TestLogMergePolicy:
         segs = [FakeSeg(20_000_000), FakeSeg(21_000_000), FakeSeg(10)]
         assert p.select(segs) == []
 
+    def test_oversize_becomes_eligible_as_docs_die(self):
+        """Eligibility is LIVE docs (Tantivy num_docs): an over-size
+        segment with most docs deleted must re-enter compaction so its
+        space is reclaimed."""
+        p = LogMergePolicy(min_num_segments=2, min_layer_size=1)
+        seg = FakeSeg(20_000_000, dead=19_600_000)  # 400k live, 98% dead
+        other = FakeSeg(500_000)
+        cands = p.select([seg, other])
+        assert cands and 0 in cands[0]
+
     def test_fully_deleted_triggers_small_level(self):
         p = LogMergePolicy(min_num_segments=8)
         segs = [FakeSeg(100), FakeSeg(100, dead=100)]

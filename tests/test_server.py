@@ -445,3 +445,40 @@ def test_metrics_label_escaping():
     assert '\\n' in text and '\\"' in text and "\\\\" in text
     # exactly two physical lines: the metric line and trailing newline
     assert len([l for l in text.splitlines() if l.startswith("reqs")]) == 1
+
+
+def test_every_route_is_in_the_openapi_spec():
+    """Drift guard: every registered route (method+path) must appear in
+    /api.json — the review found /compact and /metrics missing once."""
+    from aiohttp import web
+
+    from fugu_tpu.config import ServerConfig
+    from fugu_tpu.engine.manager import DatasetManager
+    from fugu_tpu.server.app import create_app
+    from fugu_tpu.server.openapi import build_openapi
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        db = DatasetManager(
+            ServerConfig.with_defaults(td, "default"), use_device=False
+        )
+        app = create_app(db)
+        spec = build_openapi("0")["paths"]
+        missing = []
+        for resource in app.router.resources():
+            info = resource.get_info()
+            path = info.get("path") or info.get("formatter")
+            if path in ("/api.json", "/swagger"):
+                continue  # the docs endpoints describe, not appear in,
+                # the spec (matching the reference's aide setup)
+            # aiohttp regex routes ({filter:.+}) normalize to {filter}
+            norm = path.replace("{filter:.+}", "{filter}")
+            for route in resource:
+                method = route.method.lower()
+                if method in ("head", "options"):
+                    continue
+                if norm not in spec or method not in spec[norm]:
+                    missing.append((method.upper(), path))
+        db.close()
+        assert not missing, f"routes missing from /api.json: {missing}"

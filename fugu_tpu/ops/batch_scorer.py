@@ -141,7 +141,11 @@ _STREAM_PENALTY_LANES = 96
 #: halves of hot blocks drop out of the candidate mask.  Env-tunable
 #: (FUGU_FINE_PER_BLOCK in {1,2,4,8}; new values compile fresh phase-A
 #: signatures) for same-day A/B — 1->2 gained +46% on the limit100
-#: class; 4 is the untested next step.
+#: class.  2->4 MEASURED (interleaved A/B at 1M docs): mixed headline
+#: -8% (538-580 vs 507-525 QPS — the 2x postproc top_k rows + 2x mask
+#: traffic cost every stream) but isolated limit100 +28% and should
+#: +17% at full batches; keep 2 as default, 4 is a deployment knob for
+#: deep-extraction-dominated workloads.
 FINE_PER_BLOCK = int(os.environ.get("FUGU_FINE_PER_BLOCK", "2"))
 if FINE_PER_BLOCK not in (1, 2, 4, 8):
     raise ValueError(f"FUGU_FINE_PER_BLOCK={FINE_PER_BLOCK} not in (1,2,4,8)")

@@ -505,6 +505,8 @@ def main() -> None:
                     if blockmax_qps >= naive_qps
                     else "naive-oracle-host"
                 ),
+                "exact_order": f"{exact}/{len(mix)}",
+                "tie_tolerant": f"{tie_ok}/{len(mix)}",
             }
         )
     )

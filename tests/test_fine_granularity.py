@@ -107,7 +107,12 @@ def test_fine_per_block_parity(seg, fine):
 
 
 def test_fine_per_block_rejects_bad_values():
+    # normalize prev BEFORE the failing reload: if the ambient env itself
+    # carried an invalid value, the restoring reload in finally would
+    # raise the same ValueError and mask the module's half-reloaded state
     prev = os.environ.get("FUGU_FINE_PER_BLOCK")
+    if prev not in (None, "1", "2", "4", "8"):
+        prev = None
     try:
         with pytest.raises(ValueError):
             _reload_with("3")

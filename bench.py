@@ -218,6 +218,9 @@ def device_run(seg, stats, mix):
         pallas_search_collect,
     )
 
+    import jax
+
+    interp = jax.default_backend() == "cpu"  # CPU smoke runs interpret
     plans = [m[1] for m in mix]
     lims = [m[2] for m in mix]
     results = [None] * len(mix)
@@ -270,7 +273,7 @@ def device_run(seg, stats, mix):
             by_limit.setdefault(lims[i], []).append(i)
     groups = list(by_limit.items())
     handles = [
-        pallas_search_begin(seg, [plans[i] for i in idxs], stats, limit)
+        pallas_search_begin(seg, [plans[i] for i in idxs], stats, limit, interpret=interp)
         for limit, idxs in groups
     ]
     for (limit, idxs), fill in zip(groups, pallas_search_collect(handles)):
@@ -328,23 +331,43 @@ def main() -> None:
     device_run(seg, stats, mix)
     log(f"warmup done in {time.time() - t0:.1f}s")
 
+    # converge the warmup: one compile pass does NOT saturate the relay
+    # (BENCH_r03 recorded a 121-QPS cold pass 0 right after "warmup
+    # done", dragging the median below what the engine measures all
+    # day).  Keep warming until two consecutive passes agree within 10%
+    # (bounded retries), so the TIMED passes measure the engine, not
+    # the tunnel's wakeup.
+    prev = None
+    for attempt in range(6):
+        t0 = time.time()
+        device_run(seg, stats, mix)
+        dt = time.time() - t0
+        log(f"  warm pass {attempt}: {len(mix) / dt:.1f} QPS")
+        if prev is not None and abs(dt - prev) <= 0.10 * max(dt, prev):
+            break
+        prev = dt
+
     profile_dir = os.environ.get("FUGU_PROFILE_DIR")
     if profile_dir:
         import jax
 
         jax.profiler.start_trace(profile_dir)
 
-    # median of 3 timed passes: the relay's round-trip latency swings
+    # median of 5 timed passes: the relay's round-trip latency swings
     # +-15% minute to minute, and a single pass under-/over-states the
-    # engine by whatever the tunnel was doing at that moment
+    # engine by whatever the tunnel was doing at that moment; the
+    # per-pass spread ships in the JSON artifact so a noisy run is
+    # visible as such
     times = []
     device_hits = None
-    for rep in range(3):
+    n_passes = int(os.environ.get("BENCH_PASSES", "5"))
+    for rep in range(n_passes):
         t0 = time.time()
         device_hits = device_run(seg, stats, mix)
         times.append(time.time() - t0)
         log(f"  pass {rep}: {len(mix) / times[-1]:.1f} QPS")
-    device_s = sorted(times)[1]
+    device_s = sorted(times)[len(times) // 2]
+    pass_qps = [round(len(mix) / t, 1) for t in times]
     qps = len(mix) / device_s
     log(
         f"device mixed-workload: {qps:.1f} QPS (median of 3), "
@@ -374,6 +397,7 @@ def main() -> None:
     # Timing each class as its own N_QUERIES-sized batch is the
     # apples-to-apples class throughput (same amortization as the mixed
     # headline). Skippable for quick runs with BENCH_CLASS_FULL=0.
+    class_full_qps = {}
     if os.environ.get("BENCH_CLASS_FULL", "1") != "0":
         for cls in classes:
             full = make_query_mix(seg, counts={cls: N_QUERIES}, seed_offset=2)
@@ -381,19 +405,23 @@ def main() -> None:
             t0 = time.time()
             device_run(seg, stats, full)
             dt = time.time() - t0
+            class_full_qps[cls] = round(len(full) / dt, 1)
             log(
                 f"  class {cls:9s} @ full batch: {len(full)/dt:8.1f} QPS "
                 f"({len(full)} queries)"
             )
 
     # single-stream latency through the production single-query path
+    import jax
+
     from fugu_tpu.ops.pallas_scorer import pallas_search_batch
 
+    interp = jax.default_backend() == "cpu"
     lat_samples = []
     singles = [m for m in mix if m[0] == "should"][:40]
     for _cls, plan, limit in singles:
         t1 = time.time()
-        r = pallas_search_batch(seg, [plan], stats, limit)[0]
+        r = pallas_search_batch(seg, [plan], stats, limit, interpret=interp)[0]
         assert r is not None
         lat_samples.append((time.time() - t1) * 1000)
     lat_samples.sort()
@@ -412,7 +440,7 @@ def main() -> None:
 
     t0 = time.time()
     handles = [
-        pallas_search_begin(seg, [plan], stats, limit)
+        pallas_search_begin(seg, [plan], stats, limit, interpret=interp)
         for _cls, plan, limit in singles
     ]
     outs = pallas_search_collect(handles)
@@ -507,6 +535,8 @@ def main() -> None:
                 ),
                 "exact_order": f"{exact}/{len(mix)}",
                 "tie_tolerant": f"{tie_ok}/{len(mix)}",
+                "passes_qps": pass_qps,
+                "per_class_full_qps": class_full_qps,
             }
         )
     )

@@ -493,6 +493,7 @@ class Segment:
             object.__setattr__(self, "_device_tomb_flags", None)
             object.__setattr__(self, "_block_major", None)
             object.__setattr__(self, "_device_pos", None)  # phrase path
+            object.__setattr__(self, "_token_stream", None)  # phrase stream
         return int(fresh.sum())
 
     # -- device --------------------------------------------------------------

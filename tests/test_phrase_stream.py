@@ -1,0 +1,184 @@
+"""Parity tests for the TPU-native phrase stream engine
+(ops/phrase_stream.py) against the exact oracle matcher.
+
+Runs in interpret mode on the CPU backend (conftest forces CPU); the
+same kernel compiles for the real chip.  Every result must be
+bit-identical to oracle.search — phase B host-rescores survivors with
+the exact float sequence, so no ulp tolerance is needed.
+"""
+
+import numpy as np
+import pytest
+
+from fugu_tpu.index.schema import DOCS_SCHEMA
+from fugu_tpu.index.segment import SegmentBuilder
+from fugu_tpu.ops import oracle
+from fugu_tpu.ops.phrase_stream import (
+    batch_phrase_search,
+    eligible_phrase,
+    get_token_stream,
+)
+from fugu_tpu.query import (
+    Occur,
+    PhraseClause,
+    QueryGroup,
+    QueryPlan,
+    TermClause,
+)
+
+
+def _phrase_plan(words, occur=Occur.SHOULD, slop=0, boost=1.0):
+    return QueryPlan(
+        groups=(
+            QueryGroup(
+                occur,
+                phrases=(
+                    PhraseClause("text", tuple(words), slop=slop, boost=boost),
+                ),
+            ),
+        )
+    )
+
+
+def _expect(seg, stats, plan, limit):
+    return [
+        (np.float32(h.score), h.doc)
+        for h in oracle.search([seg], plan, limit, stats)
+    ]
+
+
+def _got(res):
+    return [(np.float32(s), d) for s, d in res]
+
+
+@pytest.fixture(scope="module")
+def seg():
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(30)]
+    b = SegmentBuilder(DOCS_SCHEMA)
+    for i in range(2600):  # > 4 blocks of 512 docs
+        n = int(rng.integers(4, 30))
+        text = " ".join(rng.choice(words, size=n))
+        vals = [text]
+        if i % 7 == 0:
+            # multi-value field: adjacency must not cross the gap
+            vals = [text, " ".join(rng.choice(words, size=5))]
+        b.add_document({"text": vals}, stored={"id": f"d{i}"})
+    # one LONG doc spanning multiple 2048-row chunks (overlap path)
+    b.add_document(
+        {"text": [" ".join(["w1 w2"] * 1500 + ["w3 w4 w5 w6 w7 w8 w9 w10"])]},
+        stored={"id": "long"},
+    )
+    s = b.build()
+    s.tombstones[::37] = True
+    return s
+
+
+@pytest.fixture(scope="module")
+def stats(seg):
+    return oracle.IndexStats([seg])
+
+
+def test_two_term_parity(seg, stats):
+    rng = np.random.default_rng(3)
+    plans, limits = [], []
+    for _ in range(24):
+        w = rng.integers(0, 30, size=2)
+        plans.append(_phrase_plan([f"w{w[0]}", f"w{w[1]}"]))
+        limits.append(10)
+    res = batch_phrase_search(seg, plans, stats, limits, interpret=True)
+    served = 0
+    for plan, lim, got in zip(plans, limits, res):
+        assert got is not None
+        served += 1
+        assert _got(got) == _expect(seg, stats, plan, lim), plan
+    assert served == len(plans)
+
+
+def test_variable_lengths_and_limits(seg, stats):
+    plans = [
+        _phrase_plan(["w1"]),                      # single term
+        _phrase_plan(["w1", "w2", "w1"]),          # repeated term slots
+        _phrase_plan(["w3", "w4", "w5", "w6"]),
+        _phrase_plan(["w3", "w4", "w5", "w6", "w7", "w8", "w9", "w10"]),
+        _phrase_plan(["w0", "zzz-absent"]),        # absent term -> []
+        _phrase_plan(["w2", "w0"], occur=Occur.MUST),
+        _phrase_plan(["w5", "w9"], boost=2.5),
+    ]
+    limits = [5, 10, 10, 10, 10, 100, 7]
+    res = batch_phrase_search(seg, plans, stats, limits, interpret=True)
+    for plan, lim, got in zip(plans, limits, res):
+        assert got is not None
+        assert _got(got) == _expect(seg, stats, plan, lim), plan
+    assert res[4] == []
+
+
+def test_long_doc_chunk_overlap(seg, stats):
+    # the 1500x "w1 w2" doc: adjacency pairs straddle chunk boundaries;
+    # phrase_tf must match the oracle exactly (anchors counted once)
+    plan = _phrase_plan(["w1", "w2"])
+    res = batch_phrase_search(seg, [plan], stats, [3], interpret=True)
+    assert _got(res[0]) == _expect(seg, stats, plan, 3)
+    # the long doc dominates on tf; it must be the top hit
+    assert res[0][0][1] == seg.doc_count - 1
+
+
+def test_tombstones_drop_out(seg, stats):
+    # doc 0 is tombstoned (::37); no result may contain a dead doc
+    plans = [_phrase_plan([f"w{i}", f"w{(i + 1) % 30}"]) for i in range(12)]
+    res = batch_phrase_search(seg, plans, stats, [50] * 12, interpret=True)
+    dead = set(np.nonzero(seg.tombstones)[0].tolist())
+    for plan, got in zip(plans, res):
+        assert got is not None
+        assert not ({d for _s, d in got} & dead)
+        assert _got(got) == _expect(seg, stats, plan, 50), plan
+
+
+def test_ineligible_plans_fall_through(seg, stats):
+    slop = _phrase_plan(["w1", "w2"], slop=1)
+    multi = QueryPlan(
+        groups=(
+            QueryGroup(
+                Occur.SHOULD, phrases=(PhraseClause("text", ("w1", "w2")),)
+            ),
+            QueryGroup(Occur.SHOULD, (TermClause("text", "w3"),)),
+        )
+    )
+    nine = _phrase_plan([f"w{i}" for i in range(9)])
+    assert eligible_phrase(slop) is None
+    assert eligible_phrase(multi) is None
+    assert eligible_phrase(nine) is None
+    res = batch_phrase_search(
+        seg, [slop, multi, nine], stats, [10, 10, 10], interpret=True
+    )
+    assert res == [None, None, None]
+
+
+def test_multivalue_gap_blocks_adjacency():
+    b = SegmentBuilder(DOCS_SCHEMA)
+    b.add_document({"text": ["alpha beta", "gamma delta"]}, stored={})
+    b.add_document({"text": ["alpha beta gamma delta"]}, stored={})
+    s = b.build()
+    st = oracle.IndexStats([s])
+    plan = _phrase_plan(["beta", "gamma"])
+    res = batch_phrase_search(s, [plan], st, [10], interpret=True)
+    assert _got(res[0]) == _expect(s, st, plan, 10)
+    assert [d for _s, d in res[0]] == [1]  # doc 0's gap blocks the match
+
+
+def test_pack_invalidated_on_delete(seg, stats):
+    import copy
+
+    s2 = copy.copy(seg)
+    s2.tombstones = seg.tombstones.copy()
+    pack1 = get_token_stream(s2, "text", stats)
+    assert pack1 is not None
+    # deleting any doc resets the cached stream; a fresh stats object
+    # (fingerprint moves with tombstone counts) rebuilds it
+    assert s2.delete_by_term("text", "w0") > 0
+    st2 = oracle.IndexStats([s2])
+    pack2 = get_token_stream(s2, "text", st2)
+    assert pack2 is not pack1
+    plan = _phrase_plan(["w1", "w2"])
+    res = batch_phrase_search(s2, [plan], st2, [10], interpret=True)
+    assert _got(res[0]) == _expect(s2, st2, plan, 10)

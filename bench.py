@@ -235,11 +235,34 @@ def device_run(seg, stats, mix):
         return r
 
     host_is = [i for i, p in enumerate(plans) if p.host_only]
-    # device phrase execution (opt-in: FUGU_DEVICE_PHRASE=1 — the host
-    # matcher measured faster in every regime on this chip; see
-    # ops/device_phrase.py)
+    all_host = list(host_is)
+    # phrase stream engine (DEFAULT; FUGU_PHRASE_STREAM=0 keeps phrases
+    # on the host matcher) — one corpus-position stream serves the whole
+    # phrase batch; ops/phrase_stream.  The round-3 gather-bound path
+    # stays opt-in via FUGU_DEVICE_PHRASE=1.
     phrase_handle = None
-    if host_is and os.environ.get("FUGU_DEVICE_PHRASE") == "1":
+    stream_handle = None
+    if host_is and os.environ.get("FUGU_PHRASE_STREAM", "1") != "0":
+        from fugu_tpu.ops.phrase_stream import (
+            phrase_stream_begin,
+            phrase_stream_collect,
+        )
+
+        stream_handle = phrase_stream_begin(
+            seg,
+            [plans[i] for i in host_is],
+            stats,
+            [lims[i] for i in host_is],
+            interpret=interp,
+        )
+        pre, staged = stream_handle[0], stream_handle[1]
+        covered = {qi for qi, _ in staged} | {
+            j for j, r in enumerate(pre) if r is not None
+        }
+        host_is = [i for j, i in enumerate(host_is) if j not in covered]
+    if host_is and stream_handle is None and os.environ.get(
+        "FUGU_DEVICE_PHRASE"
+    ) == "1":
         from fugu_tpu.ops.device_phrase import (
             device_phrase_begin,
             device_phrase_collect,
@@ -279,12 +302,17 @@ def device_run(seg, stats, mix):
     for (limit, idxs), fill in zip(groups, pallas_search_collect(handles)):
         for i, r in zip(idxs, fill):
             results[i] = r
+    if stream_handle is not None:
+        # phrase_stream_collect imported where stream_handle was set
+        stream_res = phrase_stream_collect(stream_handle)
+        for j, i in enumerate(all_host):
+            if stream_res[j] is not None:
+                results[i] = stream_res[j]
     if phrase_handle is not None:
         # device_phrase_collect already imported where phrase_handle was set
         phrase_res = device_phrase_collect(phrase_handle)
-        all_host = [i for i, p in enumerate(plans) if p.host_only]
         for j, i in enumerate(all_host):
-            if phrase_res[j] is not None:
+            if phrase_res[j] is not None and results[i] is None:
                 results[i] = phrase_res[j][: lims[i]]
     if th is not None:
         th.join()

@@ -431,20 +431,52 @@ class NamedIndex:
             host_only_idx = [i for i in runnable if plans[i].host_only]
             host_map: Dict[int, Any] = {}
             host_thread = None
-            # device phrase execution (ops/device_phrase): opt-in via
-            # FUGU_DEVICE_PHRASE=1.  Measured on this v5e: the host
-            # matcher's bound-ordered pruning beats the device's
-            # gather-bound searchsorted in EVERY regime (3,764 vs 3 QPS
-            # on selective 2-3 term phrases at 1M docs), so the default
-            # keeps phrases on the host; the device path stays for
-            # hardware where gathers are cheaper and as the multi-chip
-            # scaling story (parity-tested either way).
+            # Device phrase execution, two generations:
+            # - phrase_stream (DEFAULT; FUGU_PHRASE_STREAM=0 disables):
+            #   ops/phrase_stream — brute-force streaming over the
+            #   forward token pack, the phase-A-shaped engine; batches
+            #   of >= PHRASE_MIN_BATCH eligible phrases run in one
+            #   corpus stream with host rescore of surviving blocks.
+            # - device_phrase (opt-in via FUGU_DEVICE_PHRASE=1): the
+            #   round-3 searchsorted/gather path, measured 1000x slower
+            #   than the host on this v5e (pointer-chasing loses);
+            #   kept for hardware where gathers are cheap.
             import os as _os
 
             phrase_handle = None
+            stream_handle = None
             phrase_host_idx = list(host_only_idx)
             if (
                 host_only_idx
+                and device_ok
+                and seg.n_entries >= DEVICE_MIN_ENTRIES
+            ):
+                if _os.environ.get("FUGU_PHRASE_STREAM", "1") != "0":
+                    try:
+                        from fugu_tpu.ops.phrase_stream import (
+                            phrase_stream_begin,
+                        )
+
+                        stream_handle = phrase_stream_begin(
+                            seg,
+                            [plans[i] for i in host_only_idx],
+                            stats,
+                            [limit] * len(host_only_idx),
+                        )
+                        pre, staged = stream_handle[0], stream_handle[1]
+                        covered = {qi for qi, _ in staged} | {
+                            j for j, r in enumerate(pre) if r is not None
+                        }
+                        phrase_host_idx = [
+                            i
+                            for j, i in enumerate(host_only_idx)
+                            if j not in covered
+                        ]
+                    except Exception:
+                        stream_handle = None
+            if (
+                phrase_host_idx
+                and stream_handle is None
                 and device_ok
                 and _os.environ.get("FUGU_DEVICE_PHRASE") == "1"
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
@@ -508,6 +540,23 @@ class NamedIndex:
                         e,
                         backoff,
                         self._device_failures,
+                    )
+            if stream_handle is not None:
+                try:
+                    from fugu_tpu.ops.phrase_stream import (
+                        phrase_stream_collect,
+                    )
+
+                    stream_res = phrase_stream_collect(stream_handle)
+                    for j, i in enumerate(host_only_idx):
+                        if stream_res[j] is not None:
+                            host_map.setdefault(i, stream_res[j])
+                except Exception as e:
+                    import logging
+
+                    logging.getLogger("fugu_tpu").warning(
+                        "phrase stream collect failed (%s); host matcher",
+                        e,
                     )
             if phrase_handle is not None:
                 try:

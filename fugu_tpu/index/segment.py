@@ -489,11 +489,16 @@ class Segment:
         fresh = ~self.tombstones[docs]
         self.tombstones[docs] = True
         if fresh.any():
+            from fugu_tpu.ops import residency
+
             self._device_pack = None  # device tombstone words are stale
             object.__setattr__(self, "_device_tomb_flags", None)
             object.__setattr__(self, "_block_major", None)
             object.__setattr__(self, "_device_pos", None)  # phrase path
             object.__setattr__(self, "_token_stream", None)  # phrase stream
+            for kind in ("entry", "bm"):
+                residency.unregister((kind, id(self)))
+            residency.unregister_prefix(("tok", id(self)))
         return int(fresh.sum())
 
     # -- device --------------------------------------------------------------
@@ -517,9 +522,12 @@ class Segment:
         """Cached BlockMajorPack (rebuilt after deletes; keyed on the
         index-wide df-sensitive stats fingerprint since per-term idf and
         fieldnorm caches are global — see IndexStats.fingerprint)."""
+        from fugu_tpu.ops import residency
+
         key = stats.fingerprint
         cached = getattr(self, "_block_major", None)
         if cached is not None and cached[0] == key:
+            residency.touch(("bm", id(self)))
             return cached[1]
         pack = BlockMajorPack(self, stats)
         object.__setattr__(self, "_block_major", (key, pack))
@@ -533,6 +541,8 @@ class Segment:
         segment size would compile a fresh program (~minutes each on this
         stack).  Padding is sentinel/zero and invisible to the kernel.
         """
+        from fugu_tpu.ops import residency
+
         if self._device_pack is None:
             import jax.numpy as jnp
 
@@ -548,11 +558,20 @@ class Segment:
             tomb_words = pack_dead_bits(
                 self.tombstones, pack_word_size(self.doc_count)
             )
+            residency.reserve(
+                ("entry", id(self)),
+                e_doc.nbytes + e_tffid.nbytes + tomb_words.nbytes,
+                self,
+                _evict_entry_pack,
+                kind="entry",
+            )
             self._device_pack = (
                 jnp.asarray(e_doc),
                 jnp.asarray(e_tffid),
                 jnp.asarray(tomb_words),
             )
+        else:
+            residency.touch(("entry", id(self)))
         return self._device_pack
 
 
@@ -640,6 +659,14 @@ def pack_block_major(docs, tids, contribs, doc_count):
     return bm_doc, bm_tid, bm_con, chunk_offs, n_blocks
 
 
+def _evict_entry_pack(seg: "Segment") -> None:
+    seg._device_pack = None
+
+
+def _evict_block_major(seg: "Segment") -> None:
+    object.__setattr__(seg, "_block_major", None)
+
+
 class BlockMajorPack:
     """The corpus re-sorted by (doc block, term) for the batched
     corpus-stream scorer (ops/batch_scorer).
@@ -651,6 +678,8 @@ class BlockMajorPack:
     """
 
     def __init__(self, segment: "Segment", stats):
+        from fugu_tpu.ops import residency
+
         e = segment.n_entries
         docs = segment.e_doc[:e]
         tid_entry, contrib, self.tid_of, self.n_terms = entry_term_contribs(
@@ -662,6 +691,13 @@ class BlockMajorPack:
 
         import jax.numpy as jnp
 
+        residency.reserve(
+            ("bm", id(segment)),
+            bm_doc.nbytes + bm_tid.nbytes + bm_con.nbytes // 2,
+            segment,
+            _evict_block_major,
+            kind="block_major",
+        )
         self.d_doc = jnp.asarray(bm_doc)
         self.d_tid = jnp.asarray(bm_tid)
         # bf16 storage: the phase-A kernel multiplies v * con and casts

@@ -206,6 +206,15 @@ class TokenStreamPack:
         # tf > 0.5 gate excludes them before the 0/0 division could matter
         cv[cv == 0.0] = np.float32(1.0)
 
+        from fugu_tpu.ops import residency
+
+        residency.reserve(
+            ("tok", id(segment), field),
+            pack.nbytes + cv.nbytes,
+            segment,
+            functools.partial(_evict_token_stream, field=field),
+            kind="token_stream",
+        )
         self.d_tok = jnp.asarray(pack)
         self.d_cv = jnp.asarray(cv)
         self.hbm_bytes = pack.nbytes + cv.nbytes
@@ -232,21 +241,34 @@ def _pack_rows(total_chunks: int) -> int:
     return _pow2_bucket(max(total_chunks, 1) * BM_CHUNK)
 
 
+def _evict_token_stream(seg: Segment, field: str) -> None:
+    cache = getattr(seg, "_token_stream", None)
+    if isinstance(cache, dict):
+        cache.pop(field, None)
+
+
 def get_token_stream(segment: Segment, field: str, stats) -> Optional[
     TokenStreamPack
 ]:
-    """Cached TokenStreamPack (rebuilt after deletes — keyed on the same
-    df-sensitive stats fingerprint as Segment.block_major)."""
+    """Cached per-field TokenStreamPack (rebuilt after deletes — keyed
+    on the same df-sensitive stats fingerprint as Segment.block_major;
+    residency-managed, so a cold field's stream can be evicted)."""
+    from fugu_tpu.ops import residency
+
     if field not in segment.pos_offsets:
         return None
-    key = (field, stats.fingerprint)
     cache = getattr(segment, "_token_stream", None)
-    if cache is not None and cache[0] == key:
-        return cache[1]
+    if not isinstance(cache, dict):
+        cache = {}
+        object.__setattr__(segment, "_token_stream", cache)
+    hit = cache.get(field)
+    if hit is not None and hit[0] == stats.fingerprint:
+        residency.touch(("tok", id(segment), field))
+        return hit[1]
     pack = TokenStreamPack(segment, field, stats)
     if not pack.ok:
         return None
-    object.__setattr__(segment, "_token_stream", (key, pack))
+    cache[field] = (stats.fingerprint, pack)
     return pack
 
 

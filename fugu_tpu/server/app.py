@@ -976,6 +976,20 @@ async def metrics_endpoint(request: web.Request) -> web.Response:
             lines.append(
                 f"fugu_docs_ingested{{{lbl}}} {st['docs_ingested']}"
             )
+    # HBM residency (ops/residency): budget accounting across every
+    # resident device pack in the process
+    from fugu_tpu.ops import residency
+
+    rs = residency.stats()
+    lines.append(f"fugu_device_resident_bytes {rs['resident_bytes']}")
+    lines.append(f"fugu_device_resident_packs {rs['resident_packs']}")
+    lines.append(f"fugu_device_evictions {rs['evictions']}")
+    if rs["budget_bytes"] is not None:
+        lines.append(f"fugu_device_mem_budget_bytes {rs['budget_bytes']}")
+    for kind, nb in sorted(rs["by_kind"].items()):
+        lines.append(
+            f'fugu_device_resident_bytes_by_kind{{kind="{kind}"}} {nb}'
+        )
     extra = ("\n".join(lines) + "\n") if lines else ""
     return web.Response(
         text=REGISTRY.render() + extra,

@@ -20,6 +20,7 @@ yields just ``/metadata/details``.  We replicate that observable behavior.
 from __future__ import annotations
 
 import datetime
+import functools
 import re
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -28,6 +29,22 @@ from fugu_tpu.records import ObjectRecord
 
 
 def get_all_facet_paths(record: ObjectRecord) -> List[str]:
+    # one record builds docs for all THREE per-namespace indexes, and
+    # both the docs and filter builders need the same derived paths —
+    # memoize on the instance (records are not mutated between the three
+    # per-index upsert passes; Dataset.upsert owns that invariant)
+    cached = getattr(record, "_facet_paths", None)
+    if cached is not None:
+        return cached
+    all_facets = _derive_facet_paths(record)
+    try:
+        record._facet_paths = all_facets
+    except AttributeError:
+        pass  # slots/frozen callers just recompute
+    return all_facets
+
+
+def _derive_facet_paths(record: ObjectRecord) -> List[str]:
     all_facets: List[str] = []
     if record.facets is not None:
         for facet_path in record.facets:
@@ -107,11 +124,19 @@ def build_full_document(record: ObjectRecord) -> DocSpec:
     for field in ("date_created", "date_updated", "date_published"):
         value = getattr(record, field)
         if value is not None:
-            micros = parse_rfc3339(value)
-            if micros is not None:
-                stored[field] = format_rfc3339(micros)
+            normalized = _normalize_date(value)
+            if normalized is not None:
+                stored[field] = normalized
 
     return text_fields, facets, stored
+
+
+@functools.lru_cache(maxsize=4096)
+def _normalize_date(date_str: str) -> Optional[str]:
+    """parse + reformat in one cached step: real ingest batches repeat a
+    handful of timestamps thousands of times."""
+    micros = parse_rfc3339(date_str)
+    return None if micros is None else format_rfc3339(micros)
 
 
 _SENTENCE_SPLIT = re.compile(r"[.!?\n]")

@@ -29,8 +29,10 @@ length and the sort pushes sentinels to the tail.
 
 from __future__ import annotations
 
+import array
 import dataclasses
 import functools
+import re
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -49,6 +51,9 @@ DOC_SENTINEL = np.int32(2**31 - 1)
 POSITION_GAP = 2
 
 
+_ASCII_RUNS = re.compile(r"[0-9A-Za-z]+")
+
+
 @functools.lru_cache(maxsize=4096)
 def facet_ancestors(path: str) -> Tuple[str, ...]:
     """All ancestor paths of a facet, including itself: /a/b/c -> /a, /a/b, /a/b/c.
@@ -64,6 +69,24 @@ def facet_ancestors(path: str) -> Tuple[str, ...]:
 class TermInfo:
     start: int
     doc_freq: int
+
+
+class _FieldBuf:
+    """Incremental pre-encoded value buffer for one field (native path).
+
+    ``data`` concatenates every value's UTF-8 bytes in add order;
+    ``lens`` the per-value byte lengths; ``(docs, nvals)`` the sparse
+    per-doc value counts.  int64 arrays so build() can wrap them with
+    ``np.frombuffer`` zero-copy and hand pointers straight to the C ABI
+    (native.py ``add_docs_encoded``)."""
+
+    __slots__ = ("data", "lens", "docs", "nvals")
+
+    def __init__(self) -> None:
+        self.data = bytearray()
+        self.lens = array.array("q")
+        self.docs = array.array("q")
+        self.nvals = array.array("q")
 
 
 class SegmentBuilder:
@@ -85,10 +108,14 @@ class SegmentBuilder:
         self._postings: Dict[str, Dict[str, List[Tuple[int, int]]]] = {}
         self._positions: Dict[str, Dict[str, List[List[int]]]] = {}
         self._fieldnorms: Dict[str, Dict[int, int]] = {}  # field -> doc -> tokens
-        # native path: SPARSE per-field value buffers [(doc, values)],
-        # aligned and fed to the C++ accumulator in ONE batched FFI call
-        # at build() (+ id-term side table for in-batch upsert dedupe)
-        self._native_buf: Dict[str, List[Tuple[int, List[str]]]] = {}
+        # native path: SPARSE per-field PRE-ENCODED byte buffers fed to
+        # the C++ accumulator in ONE batched FFI call at build() (+
+        # id-term side table for in-batch upsert dedupe).  Values are
+        # UTF-8-encoded at add_document time into a growing bytearray so
+        # flush-time marshalling is pure numpy (the previous
+        # list-of-(doc, values) layout re-encoded and re-joined every
+        # value at build: ~40% of the whole ingest path at 20k docs)
+        self._native_buf: Dict[str, _FieldBuf] = {}
         self._id_docs: Dict[str, List[int]] = {}
         self._facet_postings: Dict[str, List[int]] = {}  # expanded path -> docs
         self._stored: List[Dict[str, Any]] = []
@@ -145,27 +172,43 @@ class SegmentBuilder:
     def _add_document_native(
         self, doc: int, text_fields: Dict[str, Sequence[str]]
     ) -> None:
-        # values are only BUFFERED here (sparsely: absent fields cost
-        # nothing); the C++ accumulator ingests the whole buffer in one
-        # FFI call at build() (fugu_builder_add_docs) — per-doc ctypes
-        # crossings measured ~40us each, the single largest ingest cost
-        # before batching
+        # values are encoded + buffered here (sparsely: absent fields
+        # cost nothing); the C++ accumulator ingests the whole buffer in
+        # one FFI call at build() (fugu_builder_add_docs) — per-doc
+        # ctypes crossings measured ~40us each, and per-value flush-time
+        # encode/join was the next cost after batching removed those
         nb = self._native_buf
         approx = 16
         for field, values in text_fields.items():
-            vals = [v if type(v) is str else str(v) for v in values]
-            nb.setdefault(field, []).append((doc, vals))
-            for v in vals:
-                approx += len(v) * 2
+            buf = nb.get(field)
+            if buf is None:
+                buf = nb[field] = _FieldBuf()
+            n = 0
+            for v in values:
+                if type(v) is not str:
+                    v = str(v)
+                # errors="replace" matches NativeFieldAccumulator.add_doc
+                b = v.encode("utf-8", "replace")
+                buf.data += b
+                buf.lens.append(len(b))
+                n += 1
+                approx += len(b) * 2
+            buf.docs.append(doc)
+            buf.nvals.append(n)
         self.approx_bytes += approx
         if "id" in text_fields:
             # raw-id-token side table for in-batch upsert dedupe
             for v in text_fields["id"]:
                 v = str(v)
-                if v.isascii() and v.isalnum() and len(v) < 40:
-                    # common case: a plain alnum id IS its one token
-                    # (single maximal run, ascii byte length, lowercased)
-                    self._id_docs.setdefault(v.lower(), []).append(doc)
+                if v.isascii() and len(v) < 40:
+                    # ascii fast path: tokens are maximal [0-9A-Za-z]
+                    # runs (== str.isalnum for ascii), each under the
+                    # 40-byte RemoveLongFilter limit since the whole id
+                    # is, lowercased (char-wise == str.lower for ascii)
+                    for m in _ASCII_RUNS.finditer(v):
+                        self._id_docs.setdefault(
+                            m.group().lower(), []
+                        ).append(doc)
                 else:
                     for tok in analysis.tokenize(v):
                         self._id_docs.setdefault(tok.text, []).append(doc)
@@ -215,13 +258,15 @@ class SegmentBuilder:
         from fugu_tpu.native import NativeFieldAccumulator
 
         for field in sorted(self._native_buf.keys()):
-            # align the sparse buffer: docs missing this field get []
-            sparse = self._native_buf[field]
-            aligned: List[List[str]] = [[]] * self._doc_count
-            for d, vals in sparse:
-                aligned[d] = vals
+            buf = self._native_buf[field]
             acc = NativeFieldAccumulator()
-            acc.add_docs(aligned)
+            acc.add_docs_encoded(
+                buf.data,
+                np.frombuffer(buf.lens, dtype=np.int64),
+                np.frombuffer(buf.docs, dtype=np.int64),
+                np.frombuffer(buf.nvals, dtype=np.int64),
+                self._doc_count,
+            )
             (tlist, dfs, docs, tfs, poffs, pdata, tok_counts) = acc.finish()
             norms = np.zeros(self._doc_count, dtype=np.int64)
             norms[: len(tok_counts)] = tok_counts

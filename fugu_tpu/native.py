@@ -213,6 +213,36 @@ class NativeFieldAccumulator:
         )
         self.n_docs += 1
 
+    def add_docs_encoded(
+        self,
+        data,
+        value_lens: np.ndarray,
+        doc_ids: np.ndarray,
+        doc_nvals: np.ndarray,
+        n_docs: int,
+    ) -> None:
+        """Batched ingestion from PRE-ENCODED buffers: ``data`` is the
+        UTF-8 concatenation of every value in order, ``value_lens`` the
+        per-value byte lengths, and ``(doc_ids, doc_nvals)`` the sparse
+        per-doc value counts (docs absent from ``doc_ids`` contribute 0
+        values).  The ingest hot path accumulates these incrementally
+        (index/segment.py ``_FieldBuf``) so flush-time marshalling is
+        pure numpy — no per-value Python work, no giant ``b"".join``."""
+        offs = np.zeros(len(value_lens) + 1, dtype=np.int64)
+        if len(value_lens):
+            np.cumsum(value_lens, dtype=np.int64, out=offs[1:])
+        counts = np.zeros(max(n_docs, 1), dtype=np.int64)
+        if len(doc_ids):
+            counts[doc_ids] = doc_nvals
+        self._lib.fugu_builder_add_docs(
+            self._h,
+            bytes(data),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_docs,
+        )
+        self.n_docs += n_docs
+
     def add_docs(self, docs_values: List[List[str]]) -> None:
         """Batched ingestion: ONE FFI call for many documents (the
         per-call ctypes overhead dominates the per-doc path)."""

@@ -151,6 +151,29 @@ if FINE_PER_BLOCK not in (1, 2, 4, 8):
     raise ValueError(f"FUGU_FINE_PER_BLOCK={FINE_PER_BLOCK} not in (1,2,4,8)")
 BM_FINE_DOCS = BM_BLOCK_DOCS // FINE_PER_BLOCK
 
+#: granularity is a PER-STREAM planner decision unless the env var pins
+#: it globally: a stream whose every live query extracts deep
+#: (limit > DEEP_LIMIT, the k-extract ladder's mid rung) takes the
+#: measured +28%-isolated-limit100 fine=4, while mixed/shallow streams
+#: keep the default and dodge the measured -8% mixed-headline tax (the
+#: 2x postproc top_k rows + 2x candidate-mask traffic cost every
+#: stream, paying off only when the kth threshold actually needs the
+#: tighter maxima).  FUGU_FINE_PER_BLOCK=N forces N everywhere (the
+#: deployment knob and the parity-pin tests).
+_FINE_PINNED = "FUGU_FINE_PER_BLOCK" in os.environ
+DEEP_LIMIT = 32
+DEEP_FINE = 4
+
+
+def _fine_for_stream(q_idx, limits) -> int:
+    """Phase-A maxima granularity for one corpus stream."""
+    if _FINE_PINNED:
+        return FINE_PER_BLOCK
+    live = [limits[i] for i in q_idx if i is not None]
+    if live and all(lim > DEEP_LIMIT for lim in live):
+        return DEEP_FINE
+    return FINE_PER_BLOCK
+
 
 @functools.lru_cache(maxsize=None)
 def _lane_plan(n: int) -> Tuple[int, ...]:
@@ -175,9 +198,10 @@ def _phasea_kernel(
     w_ref,         # bf16[U, 2B] lane-concat [weights | must-counts]
     tids_ref,      # int32[8, U] union term ids (row 0; sublane-padded)
     nm_ref,        # f32[8, B]   required must-count per query (row 0)
-    out_ref,       # f32[1, FINE_PER_BLOCK, B] per-256-doc-half maxima
+    out_ref,       # f32[1, fine, B] per-(512/fine)-doc-slice maxima
     *scratch,
     u_pad: int,
+    fine: int,
 ):
     doc_s, tid_s, con_s, sems = scratch
     j = pl.program_id(0)
@@ -304,7 +328,7 @@ def _phasea_kernel(
         ok = scores > nm_ref[0:1, :]
     m = jnp.where(ok, scores, NEG_INF)
     out_ref[0, :, :] = m.reshape(
-        FINE_PER_BLOCK, BM_FINE_DOCS, b
+        fine, BM_BLOCK_DOCS // fine, b
     ).max(axis=1)
     del u_iota  # slot-index variant unused (kept for layout reference)
 
@@ -316,10 +340,13 @@ def phasea_callable(
     wide: bool,
     interpret: bool,
     packed: bool = False,
+    fine: Optional[int] = None,
 ):
     """The raw (unjitted) phase-A pallas call — jitted directly for the
     single-chip engine, wrapped in shard_map by parallel/batch_sharded."""
-    kernel = functools.partial(_phasea_kernel, u_pad=u_pad)
+    if fine is None:
+        fine = FINE_PER_BLOCK
+    kernel = functools.partial(_phasea_kernel, u_pad=u_pad, fine=fine)
     if packed:
         w_lanes = b_pad + b_pad // 2
     else:
@@ -336,7 +363,7 @@ def phasea_callable(
             pl.BlockSpec((8, b_pad), lambda j, *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, FINE_PER_BLOCK, b_pad), lambda j, *_: (j, 0, 0)),
+            pl.BlockSpec((1, fine, b_pad), lambda j, *_: (j, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * BM_CHUNK,), jnp.int32),
@@ -352,7 +379,7 @@ def phasea_callable(
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(
-                    (nb_pad, FINE_PER_BLOCK, b_pad), jnp.float32
+                    (nb_pad, fine, b_pad), jnp.float32
                 )
             ],
             interpret=interpret,
@@ -364,11 +391,16 @@ def phasea_callable(
 _PHASEA_CACHE: dict = {}
 
 
-def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed=False):
-    key = (nb_pad, u_pad, b_pad, wide, interpret, packed)
+def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed=False,
+                fine=None):
+    if fine is None:
+        fine = FINE_PER_BLOCK
+    key = (nb_pad, u_pad, b_pad, wide, interpret, packed, fine)
     if key not in _PHASEA_CACHE:
         _PHASEA_CACHE[key] = jax.jit(
-            phasea_callable(nb_pad, u_pad, b_pad, wide, interpret, packed)
+            phasea_callable(
+                nb_pad, u_pad, b_pad, wide, interpret, packed, fine
+            )
         )
     return _PHASEA_CACHE[key]
 
@@ -377,10 +409,10 @@ def _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed=False):
 _PACK = 16
 
 
-def _build_postproc(nb_pad: int, b_pad: int):
+def _build_postproc(nb_pad: int, b_pad: int, fine: int):
     """Device-side phase-A candidate selection (plain XLA).
 
-    The raw maxima are [nb_pad, FINE_PER_BLOCK, b_pad] f32 — ~2-4MB per
+    The raw maxima are [nb_pad, fine, b_pad] f32 — ~2-4MB per
     batch, ~95ms through the relay.  The host only needs, per query, the
     fine blocks whose maximum clears the kth-score threshold, so compute
     kth-of-maxima and the margin threshold on device and ship a
@@ -388,7 +420,7 @@ def _build_postproc(nb_pad: int, b_pad: int):
     instead.  Matches the host logic exactly up to f32-vs-f64 threshold
     rounding, which the bf16 margin dwarfs (MARGIN_REL covers the
     3-bf16-rounding worst case — see the constant's comment)."""
-    nb2 = nb_pad * FINE_PER_BLOCK
+    nb2 = nb_pad * fine
     k_top = min(128, nb2)
 
     def post(amax, shift, limidx, margin):
@@ -427,10 +459,12 @@ def _build_postproc(nb_pad: int, b_pad: int):
 _POSTPROC_CACHE: dict = {}
 
 
-def _get_postproc(nb_pad, b_pad):
-    key = (nb_pad, b_pad)
+def _get_postproc(nb_pad, b_pad, fine=None):
+    if fine is None:
+        fine = FINE_PER_BLOCK
+    key = (nb_pad, b_pad, fine)
     if key not in _POSTPROC_CACHE:
-        _POSTPROC_CACHE[key] = _build_postproc(nb_pad, b_pad)
+        _POSTPROC_CACHE[key] = _build_postproc(nb_pad, b_pad, fine)
     return _POSTPROC_CACHE[key]
 
 
@@ -1011,7 +1045,8 @@ def batch_search(
             plans, eff, q_idx, terms, stats, pack.tid_of, b_pad, wide,
             k1, shifts, packed=packed,
         )
-        fn = _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed)
+        fine = _fine_for_stream(q_idx, limits)
+        fn = _get_phasea(nb_pad, u_pad, b_pad, wide, interpret, packed, fine)
         amax = fn(
             jnp.asarray(offs),
             pack.d_doc,
@@ -1025,11 +1060,11 @@ def batch_search(
             # "upper" bounds need the raw per-block maxima on the host
             # (wave-1 ordering + the post-wave-1 re-threshold), so this
             # batch ships the full [NB, B] array
-            pending.append(("full", q_idx, amax, None))
+            pending.append(("full", q_idx, amax, fine))
         else:
             # compact path: kth + margin threshold computed on device,
             # only a bit-packed candidate mask + counts cross the relay
-            k_top = min(128, nb_pad * FINE_PER_BLOCK)
+            k_top = min(128, nb_pad * fine)
             shift_v = np.zeros(b_pad, dtype=np.float32)
             limidx = np.full(b_pad, -1, dtype=np.int32)
             margin_v = np.zeros(b_pad, dtype=np.float32)
@@ -1044,21 +1079,23 @@ def batch_search(
                 # would only loosen its threshold for nothing
                 if eff[i] == "gate":
                     margin_v[qi] = GATE_MARGIN
-            post = _get_postproc(nb_pad, b_pad)
+            post = _get_postproc(nb_pad, b_pad, fine)
             packed = post(
                 amax,
                 jnp.asarray(shift_v),
                 jnp.asarray(limidx),
                 jnp.asarray(margin_v),
             )
-            pending.append(("compact", q_idx, packed, None))
+            pending.append(("compact", q_idx, packed, fine))
 
     # phase B: per-query candidate 2048-blocks from the maxima
     from fugu_tpu.ops.pallas_scorer import BLOCK as B_BLOCK
 
     sub_per_big = B_BLOCK // BM_BLOCK_DOCS
-    # candidate indices arrive at FINE granularity (256-doc halves)
-    fine_sub = sub_per_big * FINE_PER_BLOCK
+    # candidate indices arrive at each stream's own FINE granularity
+    # ((512/fine)-doc slices); fine_of remembers it for the "upper"
+    # two-wave re-threshold
+    fine_of: Dict[int, int] = {}
 
     def run_wave(idxs: List[int], lists: Dict[int, np.ndarray]):
         """One batched block-kernel wave, grouped by per-plan limit; all
@@ -1098,7 +1135,8 @@ def batch_search(
     wave1_lists: Dict[int, np.ndarray] = {}
     # one overlapped transfer for all phase-A outputs (relay round trips)
     it = iter(jax_setup.fetch_np([arr for _tag, _q, arr, _ in pending]))
-    for tag, q_idx, _a, _c in pending:
+    for tag, q_idx, _a, fine in pending:
+        fine_sub = sub_per_big * fine
         if tag == "compact":
             buf = next(it)     # [NB*F/16 + 1, b_pad] int32
             packed, count = buf[:-1], buf[-1]
@@ -1108,13 +1146,13 @@ def batch_search(
                 if count[qi] == 0:
                     results[i] = []  # no doc scores any positive clause
                     continue
-                cand = _unpack_mask(packed[:, qi], nb * FINE_PER_BLOCK)
+                cand = _unpack_mask(packed[:, qi], nb * fine)
                 wave1_lists[i] = np.unique(cand // fine_sub).astype(
                     np.int64
                 )
                 wave1_idx.append(i)
             continue
-        amax = next(it)[:nb].reshape(nb * FINE_PER_BLOCK, -1)  # [NB*F, b_pad]
+        amax = next(it)[:nb].reshape(nb * fine, -1)  # [NB*F, b_pad]
         for qi, i in enumerate(q_idx):
             if i is None:
                 continue
@@ -1140,6 +1178,7 @@ def batch_search(
                 # "upper": maxima are only upper bounds; wave 1 scores
                 # the best-bounded big-blocks to establish kth
                 cols[i] = col
+                fine_of[i] = fine
                 n_big = (len(col) + fine_sub - 1) // fine_sub
                 big_u = np.full(n_big * fine_sub, NEG_INF, dtype=col.dtype)
                 big_u[: len(col)] = col
@@ -1172,7 +1211,8 @@ def batch_search(
             np.nonzero(np.isfinite(col))[0]
         )
         rest = np.setdiff1d(
-            np.unique(cand // fine_sub).astype(np.int64), wave1_lists[i]
+            np.unique(cand // (sub_per_big * fine_of[i])).astype(np.int64),
+            wave1_lists[i],
         )
         if len(rest) == 0:
             results[i] = hits1[:lim]

@@ -52,7 +52,6 @@ from fugu_tpu.index.segment import (
 )
 from fugu_tpu.ops.batch_scorer import (
     B_BUCKETS,
-    FINE_PER_BLOCK,
     GATE_MARGIN,
     MIN_BATCH,
     NARROW_KINDS,
@@ -60,6 +59,7 @@ from fugu_tpu.ops.batch_scorer import (
     _PACK_MIN_B,
     _classify,
     _effective_kinds,
+    _fine_for_stream,
     _get_postproc,
     _merge_streams,
     _nb_pad,
@@ -139,17 +139,19 @@ _SHARDED_PHASEA_CACHE: dict = {}
 
 
 def _get_sharded_phasea(mesh, nbs_pad, u_pad, b_pad, wide, interpret,
-                        packed=False):
+                        packed=False, fine=None):
     """jit(shard_map(phase-A kernel)) + the device postprocessor over the
     gathered maxima, emitting only the packed candidate mask."""
-    key = (mesh, nbs_pad, u_pad, b_pad, wide, interpret, packed)
+    key = (mesh, nbs_pad, u_pad, b_pad, wide, interpret, packed, fine)
     fn = _SHARDED_PHASEA_CACHE.get(key)
     if fn is not None:
         return fn
-    call = phasea_callable(nbs_pad, u_pad, b_pad, wide, interpret, packed)
+    call = phasea_callable(
+        nbs_pad, u_pad, b_pad, wide, interpret, packed, fine
+    )
     d = mesh.devices.size
     axes = shard_axes(mesh)
-    post = _get_postproc(d * nbs_pad, b_pad)
+    post = _get_postproc(d * nbs_pad, b_pad, fine)
 
     def local(offs, doc, tid, con, w, tids, nm):
         return call(offs[0], doc[0], tid[0], con[0], w, tids, nm)
@@ -219,7 +221,6 @@ def batch_search_sharded(
     d = pack2.n_shards
     nbs_pad = pack2.nbs_pad
     nb_tot = d * nbs_pad
-    k_top = min(128, nb_tot * FINE_PER_BLOCK)
 
     pending = []
     shifts: Dict[int, float] = {}
@@ -243,6 +244,8 @@ def batch_search_sharded(
             plans, eff, q_idx, terms, stats, pack2.tid_of, b_pad, wide,
             k1, shifts, packed=is_packed,
         )
+        fine = _fine_for_stream(q_idx, limits)
+        k_top = min(128, nb_tot * fine)
         shift_v = np.zeros(b_pad, dtype=np.float32)
         limidx = np.full(b_pad, -1, dtype=np.int32)
         margin_v = np.zeros(b_pad, dtype=np.float32)
@@ -258,7 +261,8 @@ def batch_search_sharded(
             if eff[i] == "gate":
                 margin_v[qi] = GATE_MARGIN
         fn = _get_sharded_phasea(
-            pack2.mesh, nbs_pad, u_pad, b_pad, wide, interpret, is_packed
+            pack2.mesh, nbs_pad, u_pad, b_pad, wide, interpret, is_packed,
+            fine,
         )
         packed = fn(
             pack2.d_offs,
@@ -272,16 +276,16 @@ def batch_search_sharded(
             jnp.asarray(limidx),
             jnp.asarray(margin_v),
         )
-        pending.append((q_idx, packed))
+        pending.append((q_idx, packed, fine))
 
     if not pending:
         return results
 
     sub_per_big = B_BLOCK // BM_BLOCK_DOCS
-    it = iter(jax_setup.fetch_np([p for _q, p in pending]))
+    it = iter(jax_setup.fetch_np([p for _q, p, _f in pending]))
     wave_idx: List[int] = []
     wave_lists: Dict[int, List[np.ndarray]] = {}
-    for q_idx, _p in pending:
+    for q_idx, _p, fine in pending:
         buf = next(it)              # [nb_tot*F/16 + 1, b_pad] int32
         packed_np, count = buf[:-1], buf[-1]
         for qi, i in enumerate(q_idx):
@@ -290,10 +294,8 @@ def batch_search_sharded(
             if count[qi] == 0:
                 results[i] = []  # no doc scores any positive clause
                 continue
-            fine = _unpack_mask(
-                packed_np[:, qi], nb_tot * FINE_PER_BLOCK
-            )
-            cand = np.unique(fine // FINE_PER_BLOCK)  # 512-doc block ids
+            fine_ids = _unpack_mask(packed_np[:, qi], nb_tot * fine)
+            cand = np.unique(fine_ids // fine)  # 512-doc block ids
             # global index -> (shard, local 512-block) -> the sharded
             # block scorer's local 2048-doc block ids; per-shard padded
             # tail blocks (>= nbs[s]) are NEG_INF unless the query fell

@@ -106,6 +106,48 @@ def test_fine_per_block_parity(seg, fine):
         _reload_with(prev)
 
 
+def test_planner_deep_stream_picks_fine4(seg):
+    """Unpinned env: granularity is a per-stream planner decision —
+    streams whose every live query extracts deep (limit > DEEP_LIMIT)
+    take DEEP_FINE, mixed/shallow streams keep the default — and an
+    all-deep batch stays bit-identical to the oracle through it."""
+    prev = os.environ.get("FUGU_FINE_PER_BLOCK")
+    try:
+        bs = _reload_with(None)
+        assert not bs._FINE_PINNED
+        assert bs._fine_for_stream([0, 1, None], [100, 64]) == bs.DEEP_FINE
+        assert bs._fine_for_stream([0, 1], [100, 10]) == bs.FINE_PER_BLOCK
+        # boundary: DEEP_LIMIT itself is not deep (strictly greater)
+        assert bs._fine_for_stream([0], [bs.DEEP_LIMIT]) == bs.FINE_PER_BLOCK
+        stats = oracle.IndexStats([seg])
+        plans, _ = _mixed_plans(np.random.default_rng(13))
+        limits = [100] * len(plans)
+        res = bs.batch_search(seg, plans, stats, limits, interpret=True)
+        for plan, lim, got in zip(plans, limits, res):
+            exp = [
+                (h.score, h.doc)
+                for h in oracle.search([seg], plan, lim, stats)
+            ]
+            assert got is not None
+            assert [(np.float32(s), d) for s, d in got] == [
+                (np.float32(s), d) for s, d in exp
+            ], plan
+    finally:
+        _reload_with(prev)
+
+
+def test_pinned_env_overrides_planner():
+    prev = os.environ.get("FUGU_FINE_PER_BLOCK")
+    try:
+        bs = _reload_with("2")
+        assert bs._FINE_PINNED
+        assert bs._fine_for_stream([0], [100]) == 2
+        bs = _reload_with("8")
+        assert bs._fine_for_stream([0], [100]) == 8
+    finally:
+        _reload_with(prev)
+
+
 def test_fine_per_block_rejects_bad_values():
     # normalize prev BEFORE the failing reload: if the ambient env itself
     # carried an invalid value, the restoring reload in finally would

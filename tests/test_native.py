@@ -119,6 +119,30 @@ def test_pending_docs_for_term_native():
     assert b.pending_docs_for_term("id", "dupid") == [0, 2]
 
 
+def test_id_side_table_matches_tokenizer():
+    """The ascii-run fast path in _add_document_native must produce the
+    same id-token side table as the full tokenizer for every id shape
+    (hyphens, underscores, case, multi-byte, overlong, punctuation)."""
+    ids = [
+        "doc-123",
+        "UUID_4f9A-b",
+        "plain",
+        "UPPER",
+        "a.b.c",
+        "héllo-Wörld",
+        "x" * 45,
+        "--",
+        "mix3d-Case_ID.7",
+    ]
+    b = SegmentBuilder(DOCS_SCHEMA, use_native=True)
+    expected = {}
+    for i, v in enumerate(ids):
+        b.add_document({"id": [v], "text": ["t"]}, stored={})
+        for tok in analysis.tokenize(v):
+            expected.setdefault(tok.text, []).append(i)
+    assert b._id_docs == expected
+
+
 def test_ingest_speedup_sanity():
     """Native path should be meaningfully faster on a real workload."""
     import time

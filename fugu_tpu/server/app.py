@@ -43,6 +43,23 @@ def _json(data: Any, status: int = 200) -> web.Response:
     return web.json_response(data, status=status, dumps=lambda d: json.dumps(d, ensure_ascii=False))
 
 
+def _json_search(data: Any) -> web.Response:
+    """Search responses: same encoding, plus a serialize-stage histogram
+    (the live-stack breakdown: parse / queue / engine / serialize)."""
+    import time
+
+    from fugu_tpu.server.metrics import REGISTRY
+
+    t0 = time.perf_counter()
+    text = json.dumps(data, ensure_ascii=False)
+    REGISTRY.observe(
+        "fugu_search_serialize_seconds", time.perf_counter() - t0
+    )
+    return web.Response(
+        text=text, status=200, content_type="application/json"
+    )
+
+
 
 
 def _exc_status(e: Exception, default: int = 500) -> int:
@@ -185,7 +202,7 @@ async def query_text_get(request: web.Request) -> web.Response:
             payload = await _perform_search(state, namespace, q, [], 0, limit)
         except Exception as e:  # parse/engine errors -> 500 envelope
             return _json({"error": f"Search failed: {e}"}, status=_exc_status(e))
-        return _json(_strip_text(payload, include_text))
+        return _json_search(_strip_text(payload, include_text))
 
 
 async def query_text_path(request: web.Request) -> web.Response:
@@ -200,7 +217,7 @@ async def query_text_path(request: web.Request) -> web.Response:
             payload = await _perform_search(state, namespace, query, [], 0, 20)
         except Exception as e:  # parse/engine errors -> 500 envelope
             return _json({"error": f"Search failed: {e}"}, status=_exc_status(e))
-        return _json(_strip_text(payload, include_text))
+        return _json_search(_strip_text(payload, include_text))
 
 
 async def search_endpoint(request: web.Request) -> web.Response:
@@ -231,7 +248,7 @@ async def search_endpoint(request: web.Request) -> web.Response:
                 )
         except Exception as e:  # engine errors -> 500 envelope
             return _err(f"Search failed: {e}", _exc_status(e))
-        return _json(
+        return _json_search(
             {
                 "status": "success",
                 "query": query,
@@ -274,7 +291,7 @@ async def search_namespace_post(request: web.Request) -> web.Response:
                 )
         except Exception as e:
             return _err(f"Search failed: {e}", _exc_status(e))
-        return _json(
+        return _json_search(
             _search_response(results, query, page, _clamp_per_page(per_page), t.took_ms)
         )
 
@@ -370,7 +387,7 @@ async def query_json_post(request: web.Request) -> web.Response:
         out["includes_data_objects"] = include_data
         out["targeting_conversations_or_organizations"] = targeting
         out["total_hits"] = out["total"]  # API.md:108-115 naming alias
-        return _json(out)
+        return _json_search(out)
 
 
 def _is_targeting_conv_or_org(filters: List[str]) -> bool:

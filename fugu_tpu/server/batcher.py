@@ -16,9 +16,11 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import time
 from typing import Dict, List, Sequence, Set, Tuple
 
 from fugu_tpu.engine.dataset import Dataset, FuguSearchResult
+from fugu_tpu.server.metrics import REGISTRY
 
 
 @dataclasses.dataclass
@@ -28,6 +30,7 @@ class _Pending:
     page: int
     per_page: int
     future: asyncio.Future
+    t_enq: float = 0.0  # perf_counter at enqueue (queue-wait metric)
 
 
 class SearchBatcher:
@@ -56,7 +59,10 @@ class SearchBatcher:
         key = id(dataset)
         self._datasets[key] = dataset
         loop = asyncio.get_running_loop()
-        pending = _Pending(query, tuple(filters), page, per_page, loop.create_future())
+        pending = _Pending(
+            query, tuple(filters), page, per_page, loop.create_future(),
+            t_enq=time.perf_counter(),
+        )
         queue = self._queues.setdefault(key, [])
         queue.append(pending)
         if len(queue) >= self.max_batch:
@@ -104,10 +110,31 @@ class SearchBatcher:
 
         async def run_group(page: int, per_page: int, items: List[_Pending]):
             queries = [(p.query, list(p.filters)) for p in items]
-            try:
-                results = await loop.run_in_executor(
-                    None, dataset.search_many, queries, page, per_page
+            # per-stage serving breakdown (task: show where live-stack
+            # time goes vs the engine): queue wait = batching window,
+            # exec wait = executor-thread availability (nproc=1 boxes
+            # serialize here), engine = search_many wall time
+            t_dispatch = time.perf_counter()
+            for p in items:
+                REGISTRY.observe(
+                    "fugu_search_queue_wait_seconds", t_dispatch - p.t_enq
                 )
+
+            def call():
+                t0 = time.perf_counter()
+                REGISTRY.observe(
+                    "fugu_search_exec_wait_seconds", t0 - t_dispatch
+                )
+                try:
+                    return dataset.search_many(queries, page, per_page)
+                finally:
+                    REGISTRY.observe(
+                        "fugu_search_engine_seconds",
+                        time.perf_counter() - t0,
+                    )
+
+            try:
+                results = await loop.run_in_executor(None, call)
                 for p, res in zip(items, results):
                     if not p.future.done():
                         p.future.set_result(res)

@@ -236,13 +236,17 @@ def device_run(seg, stats, mix):
 
     host_is = [i for i, p in enumerate(plans) if p.host_only]
     all_host = list(host_is)
-    # phrase stream engine (DEFAULT; FUGU_PHRASE_STREAM=0 keeps phrases
-    # on the host matcher) — one corpus-position stream serves the whole
-    # phrase batch; ops/phrase_stream.  The round-3 gather-bound path
-    # stays opt-in via FUGU_DEVICE_PHRASE=1.
+    # phrase stream engine (FUGU_PHRASE_STREAM=auto default: stream
+    # only batches >= PHRASE_AUTO_MIN, where the fixed corpus-sweep
+    # cost amortizes — see engine/named_index.py's routing comment) —
+    # one corpus-position stream serves the whole phrase batch;
+    # ops/phrase_stream.  The round-3 gather-bound path stays opt-in
+    # via FUGU_DEVICE_PHRASE=1.
+    from fugu_tpu.ops.phrase_stream import want_stream
+
     phrase_handle = None
     stream_handle = None
-    if host_is and os.environ.get("FUGU_PHRASE_STREAM", "1") != "0":
+    if host_is and want_stream(len(host_is)):
         from fugu_tpu.ops.phrase_stream import (
             phrase_stream_begin,
             phrase_stream_collect,

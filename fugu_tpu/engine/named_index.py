@@ -432,11 +432,15 @@ class NamedIndex:
             host_map: Dict[int, Any] = {}
             host_thread = None
             # Device phrase execution, two generations:
-            # - phrase_stream (DEFAULT; FUGU_PHRASE_STREAM=0 disables):
+            # - phrase_stream (FUGU_PHRASE_STREAM=auto, the default):
             #   ops/phrase_stream — brute-force streaming over the
-            #   forward token pack, the phase-A-shaped engine; batches
-            #   of >= PHRASE_MIN_BATCH eligible phrases run in one
-            #   corpus stream with host rescore of surviving blocks.
+            #   forward token pack, with exact INTEGER (tf, fid) class
+            #   bounds and a margin-free ordered host verification.
+            #   The corpus sweep is a fixed cost (~300ms at 1M docs)
+            #   that only amortizes over LARGE phrase batches, so auto
+            #   mode streams batches >= PHRASE_AUTO_MIN and keeps small
+            #   ones on the host matcher (measured 2026-08-19: 256-
+            #   batch device 224 QPS vs host 162; 24-batch 90 vs 110+).
             # - device_phrase (opt-in via FUGU_DEVICE_PHRASE=1): the
             #   round-3 searchsorted/gather path, measured 1000x slower
             #   than the host on this v5e (pointer-chasing loses);
@@ -451,7 +455,9 @@ class NamedIndex:
                 and device_ok
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
             ):
-                if _os.environ.get("FUGU_PHRASE_STREAM", "1") != "0":
+                from fugu_tpu.ops.phrase_stream import want_stream
+
+                if want_stream(len(host_only_idx)):
                     try:
                         from fugu_tpu.ops.phrase_stream import (
                             phrase_stream_begin,

@@ -173,6 +173,74 @@ class PhraseMatcher:
         return out_docs.astype(np.int32), out_tf.astype(np.int32)
 
 
+def match_ranges(
+    segment: Segment, clause: PhraseClause, los: np.ndarray, his: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(docs, phrase_tf) of ``clause`` restricted to the doc-id windows
+    ``[los[i], his[i])`` — NO full-posting intersection: each term's
+    entries are located inside the windows with a searchsorted over its
+    own (doc-sorted) posting range, so the cost scales with the windowed
+    entry counts, not with doc frequency.  Anchor semantics are the same
+    integer arithmetic as :meth:`PhraseMatcher.match` (slop 0), so the
+    (docs, tf) sets are identical.  Windows must be disjoint ascending."""
+    field = clause.field
+    terms = clause.terms
+    infos = [segment.term_info(field, t) for t in terms]
+    if any(i is None for i in infos):
+        return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+
+    bounds_ls = np.concatenate([los, his])
+
+    def windowed_entries(info):
+        ent0 = info.start
+        docs_t = segment.e_doc[ent0 : ent0 + info.doc_freq]
+        se = np.searchsorted(docs_t, bounds_ls)  # one call: starts|ends
+        starts, ends = se[: len(los)], se[len(los) :]
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int64)
+        rep = np.repeat(starts, lens)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        return ent0 + rep + within  # global entry ids, doc-ascending
+
+    if len(infos) == 1:
+        ent = windowed_entries(infos[0])
+        docs = segment.e_doc[ent]
+        live = ~segment.tombstones[docs]
+        return docs[live].astype(np.int32), segment.e_tf[ent][live].astype(
+            np.int32
+        )
+
+    base = segment.field_entry_base[field]
+    offs = segment.pos_offsets[field]
+    data = segment.pos_data[field]
+    inter: Optional[np.ndarray] = None
+    for k, info in enumerate(infos):
+        ent = windowed_entries(info) - base
+        if len(ent) == 0:
+            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+        starts_k = offs[ent]
+        lens_k = offs[ent + 1] - starts_k
+        positions = _ragged_gather(data, starts_k, lens_k).astype(np.int64)
+        docs_k = segment.e_doc[ent + base].astype(np.int64)
+        docrep = np.repeat(docs_k, lens_k)
+        anchors = docrep * _POS_SHIFT + (positions - k)
+        if k:
+            keep = positions >= k
+            anchors = anchors[keep]
+        inter = anchors if inter is None else np.intersect1d(
+            inter, anchors, assume_unique=True
+        )
+        if inter.size == 0:
+            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    out_docs, out_tf = np.unique(inter // _POS_SHIFT, return_counts=True)
+    live = ~segment.tombstones[out_docs]
+    return out_docs[live].astype(np.int32), out_tf[live].astype(np.int32)
+
+
 def _phrase_only_clauses(plan: QueryPlan) -> Optional[List[PhraseClause]]:
     """The plan's phrases when every group is a single-phrase scoring
     group (SHOULD/MUST, no term/range/subplan mixing); else None."""

@@ -30,11 +30,11 @@ score per (FINE_PER_BLOCK-split block, query):
 Match anchors are counted once (chunk tails are masked and re-scored at
 the next chunk's overlapped head), so tf IS the oracle's phrase_tf
 (ops/oracle.py::phrase_postings) and the maxima are achievable doc
-scores — the same compact device postprocessor as phase A
-(batch_scorer._get_postproc) ships a kth-thresholded candidate mask, and
-the host re-checks only surviving fine blocks with the exact
-PhraseMatcher (ops/phrase.py), making final scores bit-identical to the
-oracle.  Reference behavior: phrase queries inside Tantivy via
+scores — a phrase postprocessor ships each query's top-K fine blocks
+SORTED BY BOUND, and the host matches them in that order with
+float-safe early termination (block-max pruning with device-exact
+bounds), re-checking survivors with the exact PhraseMatcher
+(ops/phrase.py) so final scores stay bit-identical to the oracle.  Reference behavior: phrase queries inside Tantivy via
 QueryParser -> PhraseQuery (`/root/reference/src/db/search.rs:112`).
 
 Eligibility: single-group single-phrase plans (the quoted-query shape),
@@ -60,9 +60,7 @@ from fugu_tpu.index.segment import BM_BLOCK_DOCS, BM_CHUNK, Segment
 from fugu_tpu.ops.batch_scorer import (
     BM_FINE_DOCS,
     FINE_PER_BLOCK,
-    _get_postproc,
     _nb_pad,
-    _unpack_mask,
 )
 from fugu_tpu.ops.scoring import NEG_INF
 from fugu_tpu.query import (
@@ -95,6 +93,31 @@ PK_BUCKETS = (2, 4, 8)
 #: one stream pays phase-A-like fixed cost (~40ms at 1M docs); below
 #: this many staged phrases the host matcher is cheaper
 PHRASE_MIN_BATCH = int(os.environ.get("FUGU_PHRASE_MIN_BATCH", "8"))
+
+#: auto-routing threshold: the corpus sweep's fixed cost (~200ms kernel
+#: + ~80ms postproc/fetch at 1M docs, b_pad 256) amortizes over the
+#: batch, while the host matcher costs ~4-6ms/query on this box — the
+#: device wins decisively only on LARGE phrase batches (measured
+#: 2026-08-19: 256-batch device 224 QPS vs host 162; 24-batch device 90
+#: vs host 110-230).  "auto" (the default) streams a batch only when at
+#: least this many phrases stage.
+PHRASE_AUTO_MIN = int(os.environ.get("FUGU_PHRASE_AUTO_MIN", "128"))
+
+
+def phrase_stream_mode() -> str:
+    """'0' (host only) | '1' (stream any batch >= PHRASE_MIN_BATCH) |
+    'auto' (stream only batches >= PHRASE_AUTO_MIN)."""
+    v = os.environ.get("FUGU_PHRASE_STREAM", "auto").strip().lower()
+    return v if v in ("0", "1") else "auto"
+
+
+def want_stream(n_phrases: int) -> bool:
+    mode = phrase_stream_mode()
+    if mode == "0":
+        return False
+    if mode == "1":
+        return n_phrases >= 1  # begin() itself applies PHRASE_MIN_BATCH
+    return n_phrases >= PHRASE_AUTO_MIN
 
 
 # --------------------------------------------------------------------------
@@ -205,19 +228,26 @@ class TokenStreamPack:
         # padded/empty doc slots keep cv=0; their tf is always 0, and the
         # tf > 0.5 gate excludes them before the 0/0 division could matter
         cv[cv == 0.0] = np.float32(1.0)
+        # per-doc fieldnorm ids, same layout: the kernel packs each
+        # block-max doc's exact INTEGER (tf, fid) class alongside the
+        # f32 maxima, so the host can recompute bit-exact bounds with
+        # its own float arithmetic (margin-free pruning)
+        fid_arr = np.zeros(self.nb_pad * 1024, dtype=np.int32)
+        fid_arr[(didx // BM_BLOCK_DOCS) * 1024 + didx % BM_BLOCK_DOCS] = fids
 
         from fugu_tpu.ops import residency
 
         residency.reserve(
             ("tok", id(segment), field),
-            pack.nbytes + cv.nbytes,
+            pack.nbytes + cv.nbytes + fid_arr.nbytes,
             segment,
             functools.partial(_evict_token_stream, field=field),
             kind="token_stream",
         )
         self.d_tok = jnp.asarray(pack)
         self.d_cv = jnp.asarray(cv)
-        self.hbm_bytes = pack.nbytes + cv.nbytes
+        self.d_fid = jnp.asarray(fid_arr)
+        self.hbm_bytes = pack.nbytes + cv.nbytes + fid_arr.nbytes
 
 
 def _ragged_positions(data, offs, lens, keep_e):
@@ -281,16 +311,18 @@ def _phrase_kernel(
     offs,        # int32[NB+1] scalar prefetch: chunk offsets per block
     tok_hbm,     # int32[T]    packed (doc_local << 22 | tid) stream
     cv_hbm,      # f32[NB*1024] per-doc BM25 denominator constants
-    w_ref,       # bf16[KMAX_b, U, B] per-slot one-hot weights
+    fid_hbm,     # int32[NB*1024] per-doc fieldnorm ids
+    w_ref,       # bf16[KMAX_b * U, B] flattened per-slot one-hot weights
     tids_ref,    # int32[8, U] union term ordinals (row 0)
     wp_ref,      # f32[8, B]   per-query phrase BM25 weights (row 0)
     out_ref,     # f32[1, FINE_PER_BLOCK, B] per-fine-block score maxima
+    cls_ref,     # i32[1, FINE_PER_BLOCK, B] (tf<<8 | 255-fid) of argmax
     *scratch,
     kmax: int,
     u_pad: int,
     interpret: bool,
 ):
-    tok_s, cv_s, sems = scratch
+    tok_s, cv_s, fid_s, sems = scratch
     j = pl.program_id(0)
     c0 = offs[j]
     c1 = offs[j + 1]
@@ -311,7 +343,14 @@ def _phrase_kernel(
             cv_hbm.at[pl.ds(a, 1024)], cv_s.at[...], sems.at[2]
         )
 
+    def fid_dma():
+        a = pl.multiple_of(j * 1024, 1024)
+        return pltpu.make_async_copy(
+            fid_hbm.at[pl.ds(a, 1024)], fid_s.at[...], sems.at[3]
+        )
+
     cv_dma().start()
+    fid_dma().start()
 
     @pl.when(c1 > c0)
     def _():
@@ -339,33 +378,39 @@ def _phrase_kernel(
 
         tok_dma(ci, slot).wait()
 
-        x = tok_s[pl.ds(woff, BM_CHUNK)]
-        tid = jnp.bitwise_and(x, TID_MASK).reshape(BM_CHUNK, 1)
-        doc = jax.lax.shift_right_logical(x, TID_BITS).reshape(
-            BM_CHUNK, 1
-        )
-        # one-hot vs union ordinals, plus the ALWAYS-ONE column u_pad-1
-        # (dead slots j >= k_q route there so they never veto a match)
-        oh = (
-            (tid == tids_ref[0:1, :]) | (u_iota == u_pad - 1)
-        ).astype(jnp.bfloat16)                            # [C, U]
-        m = None
+        # slot-count formulation (the first cut's per-slot [C, B] f32
+        # rolls + product chain were ~60GB of VPU traffic per sweep and
+        # scaled superlinearly with lanes — measured 5.7s for a 256-lane
+        # 1M-doc sweep): shift the PACKED TOKEN COLUMN [C, 1] instead
+        # (8KB per roll, 256x less traffic; wrapped rows only reach
+        # masked anchors), one-hot each shifted view against the union,
+        # matmul against that slot's weight plane, and SUM — an anchor
+        # matches query q iff all kmax planes contribute 1 (dead slots
+        # ride the ALWAYS-ONE column), i.e. s == kmax.
+        x0 = tok_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
+        doc = jax.lax.shift_right_logical(x0, TID_BITS)   # [C, 1]
+        s = None
         for jj in range(kmax):
+            if jj == 0:
+                xs = x0
+            elif interpret:
+                xs = jnp.roll(x0, -jj, axis=0)
+            else:
+                xs = pltpu.roll(x0, BM_CHUNK - jj, axis=0)
+            tid = jnp.bitwise_and(xs, TID_MASK)           # [C, 1]
+            oh = (
+                (tid == tids_ref[0:1, :]) | (u_iota == u_pad - 1)
+            ).astype(jnp.bfloat16)                        # [C, U]
             xj = jax.lax.dot_general(
                 oh,
-                w_ref[jj],
+                w_ref[pl.ds(jj * u_pad, u_pad)],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                             # [C, B] in {0,1}
-            if jj:
-                # xj[p] <- xj[p + jj]: wrapped rows land only in the
-                # masked tail (jj < KGAP)
-                if interpret:
-                    xj = jnp.roll(xj, -jj, axis=0)
-                else:
-                    xj = pltpu.roll(xj, BM_CHUNK - jj, axis=0)
-            m = xj if m is None else m * xj
-        m = m * row_ok.astype(jnp.float32)
+            s = xj if s is None else s + xj
+        m = jnp.where(
+            (s > kmax - 0.5) & row_ok, 1.0, 0.0
+        )                                                 # [C, B]
         oh_d = (doc == d_iota).astype(jnp.bfloat16)       # [C, D]
         S = S + jax.lax.dot_general(
             oh_d,
@@ -382,12 +427,28 @@ def _phrase_kernel(
         jnp.zeros((BM_BLOCK_DOCS, b_pad), jnp.float32),
     )
     cv_dma().wait()
+    fid_dma().wait()
     cv = cv_s[pl.ds(0, BM_BLOCK_DOCS)].reshape(BM_BLOCK_DOCS, 1)
+    fid = fid_s[pl.ds(0, BM_BLOCK_DOCS)].reshape(BM_BLOCK_DOCS, 1)
     score = wp_ref[0:1, :] * (tf / (tf + cv))
-    res = jnp.where(tf > 0.5, score, NEG_INF)
-    out_ref[0, :, :] = res.reshape(
-        FINE_PER_BLOCK, BM_FINE_DOCS, b_pad
-    ).max(axis=1)
+    matched = tf > 0.5
+    res = jnp.where(matched, score, NEG_INF)
+    resh = res.reshape(FINE_PER_BLOCK, BM_FINE_DOCS, b_pad)
+    fmax = resh.max(axis=1)
+    out_ref[0, :, :] = fmax
+    # exact INTEGER class (tf << 8 | 255 - fid) of each fine slice's
+    # score-argmax doc: the host recomputes the bound from (tf, fid)
+    # with its own f32 arithmetic, so pruning needs no rounding margin.
+    # Ties pick the largest class int; distinct classes tie in device
+    # f32 only within a few ulp of each other — covered by the host's
+    # 1e-5 guard band (see _rescore_blocks)
+    cls = jnp.where(
+        matched,
+        tf.astype(jnp.int32) * 256 + (255 - fid),
+        -1,
+    ).reshape(FINE_PER_BLOCK, BM_FINE_DOCS, b_pad)
+    is_max = resh >= fmax[:, None, :]
+    cls_ref[0, :, :] = jnp.where(is_max, cls, -1).max(axis=1)
 
 
 def _phrase_callable(nb_pad, u_pad, b_pad, kmax, interpret):
@@ -400,7 +461,8 @@ def _phrase_callable(nb_pad, u_pad, b_pad, kmax, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((kmax, u_pad, b_pad), lambda j, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((kmax * u_pad, b_pad), lambda j, *_: (0, 0)),
             pl.BlockSpec((8, u_pad), lambda j, *_: (0, 0)),
             pl.BlockSpec((8, b_pad), lambda j, *_: (0, 0)),
         ],
@@ -408,25 +470,32 @@ def _phrase_callable(nb_pad, u_pad, b_pad, kmax, interpret):
             pl.BlockSpec(
                 (1, FINE_PER_BLOCK, b_pad), lambda j, *_: (j, 0, 0)
             ),
+            pl.BlockSpec(
+                (1, FINE_PER_BLOCK, b_pad), lambda j, *_: (j, 0, 0)
+            ),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * BM_CHUNK,), jnp.int32),
             pltpu.VMEM((1024,), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((1024,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 
-    def call(offs, tok, cv, w, tids, wp):
+    def call(offs, tok, cv, fid, w, tids, wp):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(
                     (nb_pad, FINE_PER_BLOCK, b_pad), jnp.float32
-                )
+                ),
+                jax.ShapeDtypeStruct(
+                    (nb_pad, FINE_PER_BLOCK, b_pad), jnp.int32
+                ),
             ],
             interpret=interpret,
-        )(offs, tok, cv, w, tids, wp)[0]
+        )(offs, tok, cv, fid, w, tids, wp)
 
     return call
 
@@ -559,7 +628,9 @@ def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret):
     b_pad = next(b for b in PB_BUCKETS if len(q_idx) <= b)
     kmax = next(k for k in PK_BUCKETS if kmax_need <= k)
 
-    w = np.zeros((kmax, u_pad, b_pad), dtype=np.float32)
+    # flattened [kmax * u_pad, b_pad]: slot jj's one-hot plane lives at
+    # rows [jj * u_pad, (jj+1) * u_pad) (kernel slices per shifted view)
+    w = np.zeros((kmax * u_pad, b_pad), dtype=np.float32)
     tid_arr = np.full((8, u_pad), -2, dtype=np.int32)
     tid_arr[0, u_pad - 1] = -3  # reserved ALWAYS-ONE slot
     wp = np.zeros((8, b_pad), dtype=np.float32)
@@ -570,30 +641,86 @@ def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret):
         pc = clauses[i]
         for jj in range(kmax):
             if jj < len(pc.terms):
-                w[jj, terms[pc.terms[jj]], qi] = 1.0
+                w[jj * u_pad + terms[pc.terms[jj]], qi] = 1.0
             else:
-                w[jj, u_pad - 1, qi] = 1.0
+                w[jj * u_pad + u_pad - 1, qi] = 1.0
         dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
         wp[0, qi] = float(
             bm25_weight(max(dfs), stats.doc_count, pc.boost)
         )
 
     fn = _get_kernel(pack.nb_pad, u_pad, b_pad, kmax, interpret)
-    amax = fn(
+    amax, acls = fn(
         jnp.asarray(pack.chunk_offs),
         pack.d_tok,
         pack.d_cv,
+        pack.d_fid,
         jnp.asarray(w, dtype=jnp.bfloat16),
         jnp.asarray(tid_arr),
         jnp.asarray(wp),
     )
-    return (q_idx, amax, b_pad)
+    return (q_idx, (amax, acls), b_pad)
+
+
+#: fine blocks whose (value, class, id) the phrase postprocessor ships
+#: per query, sorted by bound descending.  64 covers limit<=10 scans by
+#: a wide margin (ties terminate via the doc-id rule after ~limit hits)
+#: while keeping the fetched buffer small — 256 was measured spending
+#: 262ms of a 785ms batch just crossing the relay.  Queries whose scan
+#: is inconclusive within the shipped blocks fall back to a
+#: full-common match (correct, rare).
+PHRASE_TOPK = 64
+
+_PHRASE_POST_CACHE: dict = {}
+
+
+def _get_phrase_post(nb_pad: int, b_pad: int):
+    """Device postproc for phrase dispatches: per query the top-K fine
+    blocks by maxima (achievable scores!), their EXACT integer
+    (tf, fid) classes, ids, and the finite count — the host recomputes
+    each block's bound bit-exactly from the class with its own float
+    arithmetic and scans in bound order with margin-free termination.
+
+    The first cut shipped phase A's kth-thresholded MASK here; for
+    near-tied phrase scores (tf=1 everywhere) the threshold kept nearly
+    every matching block and the host re-matched them all with no order
+    to stop in — measured 773ms of PhraseMatcher.match against 116ms of
+    kernel for a 24-phrase 1M-doc batch."""
+    key = (nb_pad, b_pad)
+    fn = _PHRASE_POST_CACHE.get(key)
+    if fn is not None:
+        return fn
+    nb2 = nb_pad * FINE_PER_BLOCK
+    k = min(PHRASE_TOPK, nb2)
+
+    @jax.jit
+    def post(amax, acls):
+        col = amax.reshape(nb2, -1).T                   # [B, NB*F]
+        ccol = acls.reshape(nb2, -1).T                  # [B, NB*F] i32
+        finite = jnp.isfinite(col)
+        count = jnp.sum(finite.astype(jnp.int32), axis=1)   # [B]
+        vals, idx = jax.lax.top_k(col, k)               # [B, k] desc
+        cls = jnp.take_along_axis(ccol, idx, axis=1)
+        # one buffer, one relay round trip: [B, 3k+1] f32 (ids < 2^24
+        # and classes < 2^24 stay f32-exact)
+        return jnp.concatenate(
+            [
+                vals,
+                idx.astype(jnp.float32),
+                cls.astype(jnp.float32),
+                count[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+
+    _PHRASE_POST_CACHE[key] = post
+    return post
 
 
 def phrase_stream_collect(handle):
-    """Finish the batch: fetch candidate masks, host-rescore survivors
-    with the exact PhraseMatcher.  Returns a list aligned with the
-    plans given to begin (None = not served here)."""
+    """Finish the batch: fetch per-query ordered block bounds, then
+    host-match in bound order with early termination.  Returns a list
+    aligned with the plans given to begin (None = not served here)."""
     from fugu_tpu.ops.phrase import PhraseMatcher
 
     pre, staged, dispatches, segment, stats, limits = handle
@@ -601,90 +728,188 @@ def phrase_stream_collect(handle):
     if not dispatches:
         return results
 
-    # one postproc per dispatch, one overlapped fetch for all
-    posts = []
-    for q_idx, amax, b_pad in dispatches:
-        nb_pad = amax.shape[0]
-        k_top = min(128, nb_pad * FINE_PER_BLOCK)
-        limarr = np.full(b_pad, -1, dtype=np.int32)
-        for qi, i in enumerate(q_idx):
-            if limits[i] <= k_top:
-                limarr[qi] = limits[i] - 1
-        post = _get_postproc(nb_pad, b_pad)
-        posts.append(
-            post(
-                amax,
-                jnp.zeros(b_pad, dtype=jnp.float32),
-                jnp.asarray(limarr),
-                jnp.zeros(b_pad, dtype=jnp.float32),
-            )
-        )
+    posts = [
+        _get_phrase_post(arrs[0].shape[0], b_pad)(*arrs)
+        for _q, arrs, b_pad in dispatches
+    ]
     bufs = jax_setup.fetch_np(posts)
 
     clause_of = dict(staged)
-    matchers: Dict[tuple, PhraseMatcher] = {}
-    nb = None
+    nb = max((segment.doc_count + BM_BLOCK_DOCS - 1) // BM_BLOCK_DOCS, 1)
+    nb2 = nb * FINE_PER_BLOCK
     for (q_idx, _a, _b), buf in zip(dispatches, bufs):
-        packed, count = buf[:-1], buf[-1]
-        nb = (
-            max((segment.doc_count + BM_BLOCK_DOCS - 1) // BM_BLOCK_DOCS, 1)
-        )
+        k = (buf.shape[1] - 1) // 3
         for qi, i in enumerate(q_idx):
-            if count[qi] == 0:
+            row = buf[qi]
+            count = int(row[-1])
+            if count == 0:
                 results[i] = []
                 continue
-            cand = _unpack_mask(packed[:, qi], nb * FINE_PER_BLOCK)
+            ids = row[k : 2 * k].astype(np.int64)
+            cls = row[2 * k : 3 * k].astype(np.int64)
+            take = min(count, k)
+            # padded-block entries (id >= nb2) carry NEG_INF and sort
+            # after every finite bound; trim alongside the finite count
+            keep = ids[:take] < nb2
             results[i] = _rescore_blocks(
-                segment, clause_of[i], stats, cand, limits[i], matchers
+                segment,
+                clause_of[i],
+                stats,
+                ids[:take][keep],
+                cls[:take][keep],
+                count > k,
+                limits[i],
             )
     return results
 
 
-def _rescore_blocks(segment, pc, stats, fine_ids, limit, matchers):
-    """Exact host top-k restricted to candidate fine blocks — the same
-    float sequence as ops/oracle.phrase_postings scoring."""
-    key = (pc.field, pc.terms)
-    matcher = matchers.get(key)
-    if matcher is None:
-        matcher = matchers[key] = _matcher(segment, pc)
-    if not matcher.ok or len(matcher.common) == 0:
+#: relative guard band for device-argmax class flips: the kernel picks
+#: each block's class by device-f32 score, whose rounding differs from
+#: the host's by a few ulp (~1e-7 rel) — any block whose exact bound
+#: sits within this band of the kth must be visited (or trigger the
+#: fallback), making the pruning airtight without a bf16-sized margin
+_CLS_GUARD = 1e-6
+
+
+def _rescore_blocks(
+    segment, pc, stats, fine_ids, classes, truncated, limit
+):
+    """Exact host top-k over candidate fine blocks in descending-bound
+    order with margin-free early termination.
+
+    ``classes`` are the kernel's per-block INTEGER (tf << 8 | 255-fid)
+    classes of the score-argmax doc; the host recomputes each bound
+    with the same np.float32 expression as final scoring, so
+    bound-vs-kth comparisons are exact.  Ties (bound == kth) use the
+    doc-id rule: blocks are doc-ranges in id order, so a tied block
+    whose range starts at or past the current limit-th holder's doc id
+    cannot displace it (doc-ascending tie-break).  Candidate matching
+    runs through ops/phrase.match_ranges — windowed posting lookups,
+    no full intersection — so host work scales with limit, not df."""
+    from fugu_tpu.ops.phrase import match_ranges
+
+    if len(fine_ids) == 0:
         return []
-    # candidate doc ranges -> indices into matcher.common
-    lo = fine_ids.astype(np.int64) * BM_FINE_DOCS
-    hi = lo + BM_FINE_DOCS
-    starts = np.searchsorted(matcher.common, lo)
-    ends = np.searchsorted(matcher.common, hi)
-    lens = ends - starts
-    total = int(lens.sum())
-    if total == 0:
+    dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
+    if max(dfs) == 0:
         return []
-    rep = np.repeat(starts, lens)
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(lens) - lens, lens
-    )
-    idx = rep + within
-    docs, ptf = matcher.match(idx)
-    if len(docs) == 0:
-        return []
-    w = np.float32(
-        bm25_weight(
-            max(stats.doc_freq(pc.field, t) for t in pc.terms),
-            stats.doc_count,
-            pc.boost,
-        )
-    )
+    w = np.float32(bm25_weight(max(dfs), stats.doc_count, pc.boost))
     cache = fieldnorm_cache(stats.avg_fieldnorm(pc.field))
-    fids = segment.fieldnorm_ids[pc.field][docs].astype(np.int64)
-    ptf_f = ptf.astype(np.float32)
-    scores = w * (ptf_f / (ptf_f + cache[fids]))
-    order = np.lexsort((docs, -scores))[:limit]
-    return [(float(scores[o]), int(docs[o])) for o in order]
+    fid_all = segment.fieldnorm_ids[pc.field]
+
+    tf_c = (classes >> 8).astype(np.float32)
+    fid_c = (255 - (classes & 255)).astype(np.int64)
+    bounds = (w * (tf_c / (tf_c + cache[fid_c]))).astype(np.float32)
+
+    order = np.lexsort((fine_ids, -bounds))
+    ids_o = fine_ids[order]
+    bnd_o = bounds[order]
+
+    hits_docs: List[np.ndarray] = []
+    hits_scores: List[np.ndarray] = []
+    n_hits = 0
+    kth = None        # limit-th best score so far
+    worst_doc = None  # its doc id (ties displace only below this)
+
+    remaining = np.arange(len(ids_o))
+    group = 8
+    while len(remaining):
+        if kth is not None:
+            b = bnd_o[remaining]
+            keep = (
+                (b > kth)
+                | ((b == kth) & (ids_o[remaining] * BM_FINE_DOCS < worst_doc))
+                | ((b < kth) & (kth - b <= abs(kth) * _CLS_GUARD))
+            )
+            remaining = remaining[keep]
+            if not len(remaining):
+                break
+        chunk, remaining = remaining[:group], remaining[group:]
+        sel = np.sort(ids_o[chunk])
+        los = sel * BM_FINE_DOCS
+        docs, ptf = match_ranges(segment, pc, los, los + BM_FINE_DOCS)
+        if len(docs):
+            ptf_f = ptf.astype(np.float32)
+            fids = fid_all[docs].astype(np.int64)
+            scores = w * (ptf_f / (ptf_f + cache[fids]))
+            hits_docs.append(docs.astype(np.int64))
+            hits_scores.append(scores)
+            n_hits += len(docs)
+            if n_hits >= limit:
+                alls = np.concatenate(hits_scores)
+                alld = np.concatenate(hits_docs)
+                top = np.lexsort((alld, -alls))[:limit]
+                kth = float(alls[top[-1]])
+                worst_doc = int(alld[top[-1]])
+        group = min(group * 4, 1024)
+
+    need_fallback = truncated
+    if need_fallback and kth is not None and len(bnd_o):
+        b_min = float(bnd_o[-1])
+        if b_min < kth - abs(kth) * _CLS_GUARD:
+            # every unshipped block's true bound sits below kth with
+            # margin to spare (device ordering is within ~1e-7)
+            need_fallback = False
+        elif b_min == kth and worst_doc is not None:
+            # unshipped ties: same-class blocks share the same device
+            # value, and top_k keeps the lowest ids, so every unshipped
+            # tied block starts past the shipped ones — skippable iff
+            # even the next id couldn't reach worst_doc AND no OTHER
+            # class collides with kth (a colliding class's blocks may
+            # order differently in device f32)
+            tied = ids_o[bnd_o == b_min]
+            next_lo = (int(tied.max()) + 1) * BM_FINE_DOCS
+            if next_lo >= worst_doc and not _class_collides(kth, w, cache):
+                need_fallback = False
+
+    if need_fallback:
+        # exact, slow path: match the full intersection
+        from fugu_tpu.ops.phrase import PhraseMatcher
+
+        matcher = PhraseMatcher(segment, pc)
+        if not matcher.ok or len(matcher.common) == 0:
+            return []
+        docs, ptf = matcher.match(
+            np.arange(len(matcher.common), dtype=np.int64)
+        )
+        if len(docs) == 0:
+            return []
+        ptf_f = ptf.astype(np.float32)
+        fids = fid_all[docs].astype(np.int64)
+        scores = w * (ptf_f / (ptf_f + cache[fids]))
+        order2 = np.lexsort((docs, -scores))[:limit]
+        return [(float(scores[o]), int(docs[o])) for o in order2]
+
+    if not hits_docs:
+        return []
+    docs = np.concatenate(hits_docs)
+    scores = np.concatenate(hits_scores)
+    order2 = np.lexsort((docs, -scores))[:limit]
+    return [(float(scores[o]), int(docs[o])) for o in order2]
 
 
-def _matcher(segment: Segment, pc: PhraseClause):
-    from fugu_tpu.ops.phrase import PhraseMatcher
-
-    return PhraseMatcher(segment, pc)
+def _class_collides(kth: float, w, cache) -> bool:
+    """True when MORE THAN ONE (tf, fid) class scores exactly ``kth``
+    — then device-f32 ordering between the colliding classes is not
+    guaranteed to match the host tie order and the unshipped-ties skip
+    is unsafe.  Per fid, the candidate tf solves kth = w*tf/(tf+cv)
+    analytically; only its integer neighbours can produce the exact f32
+    value, so the check is ~256 x 4 score evaluations."""
+    w64 = float(np.float32(w))
+    if not (0.0 < kth < w64):
+        return True  # degenerate; be conservative
+    cv = cache.astype(np.float64)
+    t_est = kth * cv / (w64 - kth)
+    hits = 0
+    for delta in (-1.0, 0.0, 1.0, 2.0):
+        tf = np.floor(t_est) + delta
+        ok = tf >= 1.0
+        tf32 = tf.astype(np.float32)
+        sc = np.float32(w) * (tf32 / (tf32 + cache))
+        hits += int(((sc == np.float32(kth)) & ok).sum())
+        if hits > 1:
+            return True
+    return hits > 1
 
 
 def batch_phrase_search(

@@ -166,6 +166,44 @@ def test_multivalue_gap_blocks_adjacency():
     assert [d for _s, d in res[0]] == [1]  # doc 0's gap blocks the match
 
 
+def test_topk_truncation_with_pervasive_ties():
+    """More matching fine blocks than PHRASE_TOPK ships, with IDENTICAL
+    (tf, fid) classes everywhere: the clean-tie skip (device top_k keeps
+    lowest ids for equal values; later blocks lose the doc-asc
+    tie-break) or the full-common fallback must both reproduce the
+    oracle exactly."""
+    from fugu_tpu.ops.phrase_stream import PHRASE_TOPK
+
+    b = SegmentBuilder(DOCS_SCHEMA)
+    need_docs = (PHRASE_TOPK + 8) * 256  # > PHRASE_TOPK fine blocks
+    for i in range(need_docs // 16):
+        # 16 docs per batch-row keeps the Python loop tolerable; every
+        # doc matches "foo bar" with the same length (same class)
+        for j in range(16):
+            b.add_document(
+                {"text": ["foo bar baz qux"]}, stored={"id": f"d{i}_{j}"}
+            )
+    s = b.build()
+    st = oracle.IndexStats([s])
+    plan = _phrase_plan(["foo", "bar"])
+    for lim in (3, 10):
+        res = batch_phrase_search(s, [plan], st, [lim], interpret=True)
+        assert _got(res[0]) == _expect(s, st, plan, lim)
+
+
+def test_want_stream_auto_routing(monkeypatch):
+    from fugu_tpu.ops import phrase_stream as ps
+
+    monkeypatch.delenv("FUGU_PHRASE_STREAM", raising=False)
+    assert ps.phrase_stream_mode() == "auto"
+    assert not ps.want_stream(ps.PHRASE_AUTO_MIN - 1)
+    assert ps.want_stream(ps.PHRASE_AUTO_MIN)
+    monkeypatch.setenv("FUGU_PHRASE_STREAM", "0")
+    assert not ps.want_stream(10_000)
+    monkeypatch.setenv("FUGU_PHRASE_STREAM", "1")
+    assert ps.want_stream(1)
+
+
 def test_pack_invalidated_on_delete(seg, stats):
     import copy
 

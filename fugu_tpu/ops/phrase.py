@@ -189,7 +189,9 @@ def match_ranges(
     if any(i is None for i in infos):
         return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
 
-    bounds_ls = np.concatenate([los, his])
+    # int32 to match e_doc: int64 bounds make np.searchsorted cast the
+    # ENTIRE posting slice per call (measured 360x slower on 200k docs)
+    bounds_ls = np.concatenate([los, his]).astype(np.int32)
 
     def windowed_entries(info):
         ent0 = info.start

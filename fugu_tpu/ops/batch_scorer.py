@@ -54,6 +54,8 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -1005,6 +1007,13 @@ def batch_search(
     if len(elig) < (1 if interpret else MIN_BATCH):
         return results
 
+    #: FUGU_TIMING=1 prints a per-call phase breakdown to stderr
+    #: (dispatch / maxima fetch / candidate math / wave1 / wave2) —
+    #: the knob behind the measured limit100/phase budgets in
+    #: ARCHITECTURE.md
+    _timing = os.environ.get("FUGU_TIMING") == "1"
+    _t = time.perf_counter() if _timing else 0.0
+
     pack = segment.block_major(stats)
     k1 = plans[elig[0]].k1
     batches, batch_terms = plan_batches(plans, elig, kinds, pack.tid_of)
@@ -1088,6 +1097,12 @@ def batch_search(
             )
             pending.append(("compact", q_idx, packed, fine))
 
+    if _timing:
+        _now = time.perf_counter()
+        print(f"[timing] phaseA dispatch: {(_now - _t) * 1e3:.1f}ms"
+              f" ({len(pending)} streams)", file=sys.stderr)
+        _t = _now
+
     # phase B: per-query candidate 2048-blocks from the maxima
     from fugu_tpu.ops.pallas_scorer import BLOCK as B_BLOCK
 
@@ -1135,6 +1150,11 @@ def batch_search(
     wave1_lists: Dict[int, np.ndarray] = {}
     # one overlapped transfer for all phase-A outputs (relay round trips)
     it = iter(jax_setup.fetch_np([arr for _tag, _q, arr, _ in pending]))
+    if _timing:
+        _now = time.perf_counter()
+        print(f"[timing] phaseA kernel+fetch: {(_now - _t) * 1e3:.1f}ms",
+              file=sys.stderr)
+        _t = _now
     for tag, q_idx, _a, fine in pending:
         fine_sub = sub_per_big * fine
         if tag == "compact":
@@ -1190,9 +1210,21 @@ def batch_search(
                 )
             wave1_idx.append(i)
 
+    if _timing:
+        _now = time.perf_counter()
+        _n_cand = sum(len(v) for v in wave1_lists.values())
+        print(f"[timing] candidate math: {(_now - _t) * 1e3:.1f}ms"
+              f" ({_n_cand} wave1 blocks / {len(wave1_idx)} queries)",
+              file=sys.stderr)
+        _t = _now
+
     if not wave1_idx:
         return results
     wave1 = run_wave(wave1_idx, wave1_lists)
+    if _timing:
+        _now = time.perf_counter()
+        print(f"[timing] wave1: {(_now - _t) * 1e3:.1f}ms", file=sys.stderr)
+        _t = _now
 
     wave2_idx: List[int] = []
     wave2_lists: Dict[int, np.ndarray] = {}
@@ -1220,8 +1252,17 @@ def batch_search(
             wave2_idx.append(i)
             wave2_lists[i] = rest
 
+    if _timing and wave2_idx:
+        _n2 = sum(len(v) for v in wave2_lists.values())
+        print(f"[timing] wave2 pending: {_n2} blocks / {len(wave2_idx)}"
+              " queries", file=sys.stderr)
     if wave2_idx:
         wave2 = run_wave(wave2_idx, wave2_lists)
+        if _timing:
+            _now = time.perf_counter()
+            print(f"[timing] wave2: {(_now - _t) * 1e3:.1f}ms",
+                  file=sys.stderr)
+            _t = _now
         for i in wave2_idx:
             hits2 = wave2[i]
             if hits2 is None:

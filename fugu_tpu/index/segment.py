@@ -758,18 +758,21 @@ def _pow2_bucket(n: int) -> int:
 
     Plain powers of two up to 2^28 elements — few shapes, few compiles.
     Above that a doubling step wastes up to ~50% of multi-GB HBM arrays
-    (a 16M-doc corpus is ~880M postings; the next pow2 is 1.07G), so
-    huge arrays use quarter steps {1, 1.25, 1.5, 1.75}·2^k: at most
-    +25% padding for at most 4x the (persistently cached, corpus-scale)
-    compile shapes."""
+    (a 16M-doc corpus is ~700M postings; the next pow2 is 1.07G), so
+    huge arrays step by 2^k/16: at most +12.5% padding for at most 16x
+    the (persistently cached, corpus-scale) compile shapes.  The finer
+    ladder is what lets a 16M-doc corpus keep BOTH query-path packs
+    (flat entry ~5.9GB + block-major ~7.4GB) under the 16GB chip's
+    residency budget at once — quarter steps put the pair ~1GB over and
+    the LRU thrashed a whole pack per phase.  Steps are multiples of
+    2^25, so every alignment the packs rely on (1024-entry DMA windows,
+    BM_CHUNK runs) is preserved."""
     p = 1024
     while p < n:
         p <<= 1
     if p > 2 ** 28:
-        for num in (5, 6, 7):  # 1.25, 1.5, 1.75 of the previous pow2
-            q = (p >> 3) * num
-            if q >= n:
-                return q
+        step = p >> 4
+        return ((n + step - 1) // step) * step
     return p
 
 

@@ -396,6 +396,16 @@ class NamedIndex:
         # mis-key the fingerprint-keyed sharded caches) relative to the
         # scored segments
         stats = self.stats_for(segments)
+        # parser-expanded multi-field phrases ('"a b"' over text AND
+        # name) reduce to their live alternatives here — score-exact
+        # (dead alternatives match nothing) and required for the fast
+        # phrase paths, which only serve single-alternative groups
+        from fugu_tpu.query import prune_dead_phrases
+
+        plans = [
+            prune_dead_phrases(p, stats.doc_freq) if p.has_phrase else p
+            for p in plans
+        ]
         all_hits: List[List[oracle_ops.Hit]] = [[] for _ in plans]
         runnable = [
             i
@@ -457,7 +467,11 @@ class NamedIndex:
             ):
                 from fugu_tpu.ops.phrase_stream import want_stream
 
-                if want_stream(len(host_only_idx)):
+                if want_stream(
+                    len(host_only_idx),
+                    plans=[plans[i] for i in host_only_idx],
+                    stats=stats,
+                ):
                     try:
                         from fugu_tpu.ops.phrase_stream import (
                             phrase_stream_begin,

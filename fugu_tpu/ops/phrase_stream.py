@@ -99,25 +99,89 @@ PHRASE_MIN_BATCH = int(os.environ.get("FUGU_PHRASE_MIN_BATCH", "8"))
 #: batch, while the host matcher costs ~4-6ms/query on this box — the
 #: device wins decisively only on LARGE phrase batches (measured
 #: 2026-08-19: 256-batch device 224 QPS vs host 162; 24-batch device 90
-#: vs host 110-230).  "auto" (the default) streams a batch only when at
-#: least this many phrases stage.
+#: vs host 110-230).  "auto" (the default) streams a batch at this many
+#: phrases unconditionally; smaller batches stream when the df cost
+#: model below says the host matcher would be slower.
 PHRASE_AUTO_MIN = int(os.environ.get("FUGU_PHRASE_AUTO_MIN", "128"))
+
+#: df cost model for auto routing (calibrated on the 1M bench corpus,
+#: 2026-08-19).  The host matcher intersects rarest-first (ops/phrase.py
+#: PhraseMatcher), so its cost tracks the SMALLEST constituent df plus
+#: the adjacency work on the candidate intersection — NOT the summed
+#: posting mass (a head-tail pair with Σdf ~1M finishes in 3 ms while a
+#: head-head pair with the same Σdf takes 326 ms).  Measured points
+#: (min_df, E[inter]=Πdf/N, ms): (963k, 962k, 326) (414k, 328k, 36.5)
+#: (49k, 7.9k, 2.6) (4.2k, 65, 0.3) (134, ~0, 0.02).  Linear fit
+#: cost = 44ns·min_df + 55.6ns·inter undershoots the saturated-pair
+#: point 3.4x (positions/doc also grow with df), so the inter term
+#: carries a (1 + 3·min_df/N) correction — predicts the live-mix
+#: 8-phrase batch at 76 ms (measured 94) and the saturated pair at
+#: 250 ms (measured 326; routes to stream either way).  The stream
+#: engine's sweep is df-INDEPENDENT: measured 168 ms for 8 phrases /
+#: 513 ms for 256 at 55M corpus tokens → fixed ~2.0 ns/token staging +
+#: sweep, plus ~1.4 ms marginal per phrase (host verify + lane cost).
+HOST_NS_PER_MIN_POSTING = float(os.environ.get("FUGU_PHRASE_HOST_NS", "44"))
+HOST_NS_PER_INTER_DOC = float(os.environ.get("FUGU_PHRASE_HOST_INTER_NS", "55.6"))
+STREAM_NS_PER_TOKEN = float(os.environ.get("FUGU_PHRASE_STREAM_NS", "2.0"))
+STREAM_FIXED_MS = float(os.environ.get("FUGU_PHRASE_STREAM_FIXED_MS", "45"))
+STREAM_MS_PER_PHRASE = float(os.environ.get("FUGU_PHRASE_STREAM_PER_MS", "1.4"))
 
 
 def phrase_stream_mode() -> str:
     """'0' (host only) | '1' (stream any batch >= PHRASE_MIN_BATCH) |
-    'auto' (stream only batches >= PHRASE_AUTO_MIN)."""
+    'auto' (cost-model routing, PHRASE_AUTO_MIN forces large batches)."""
     v = os.environ.get("FUGU_PHRASE_STREAM", "auto").strip().lower()
     return v if v in ("0", "1") else "auto"
 
 
-def want_stream(n_phrases: int) -> bool:
+def estimate_host_ms(plans, stats) -> float:
+    """Predicted host-matcher cost: rarest-posting walk + intersection
+    adjacency work per phrase (see the calibration note above)."""
+    n = max(stats.doc_count, 1)
+    total = 0.0
+    for p in plans:
+        for g in p.groups:
+            for pc in g.phrases:
+                dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
+                if not dfs or min(dfs) == 0:
+                    continue  # dead phrase: host rejects instantly
+                min_df = min(dfs)
+                inter = 1.0
+                for d in dfs:
+                    inter *= d
+                inter /= float(n) ** (len(dfs) - 1)
+                total += min_df * HOST_NS_PER_MIN_POSTING * 1e-6
+                total += (
+                    inter
+                    * HOST_NS_PER_INTER_DOC
+                    * 1e-6
+                    * (1.0 + 3.0 * min_df / n)
+                )
+    return total
+
+
+def estimate_stream_ms(stats, n_phrases: int) -> float:
+    """Predicted stream cost: the df-independent corpus sweep plus the
+    small per-phrase verify/lane cost."""
+    toks = sum(stats.total_tokens.values())
+    return (
+        STREAM_FIXED_MS
+        + toks * STREAM_NS_PER_TOKEN * 1e-6
+        + n_phrases * STREAM_MS_PER_PHRASE
+    )
+
+
+def want_stream(n_phrases: int, plans=None, stats=None) -> bool:
     mode = phrase_stream_mode()
     if mode == "0":
         return False
     if mode == "1":
         return n_phrases >= 1  # begin() itself applies PHRASE_MIN_BATCH
-    return n_phrases >= PHRASE_AUTO_MIN
+    if n_phrases >= PHRASE_AUTO_MIN:
+        return True
+    if n_phrases < PHRASE_MIN_BATCH or plans is None or stats is None:
+        return False
+    return estimate_host_ms(plans, stats) > estimate_stream_ms(stats, n_phrases)
 
 
 # --------------------------------------------------------------------------

@@ -157,6 +157,51 @@ def with_constants(
     )
 
 
+def prune_dead_phrases(plan: QueryPlan, df_of) -> QueryPlan:
+    """Drop phrase alternatives that can never match: a phrase whose ANY
+    constituent term has index-wide df 0 in its field matches no doc (a
+    match needs every term), so removing it is score-exact.
+
+    Matters because the query parser expands a quoted query over every
+    default field ('"a b"' -> phrases over text AND name,
+    queryparser shape) — multi-alternative groups bypass both the
+    pruned host matcher (ops/phrase.py single-clause shape) and the
+    stream engine (phrase_stream.eligible_phrase), landing on the dense
+    oracle at ~40ms/phrase on 1M docs.  On a corpus where the extra
+    field is absent this prune restores the single-alternative shape.
+
+    A group whose every phrase is dead keeps one (the group still must
+    report "matches nothing" downstream); groups with other clause kinds
+    or a single phrase pass through untouched.  ``df_of(field, term)``
+    is IndexStats.doc_freq.
+    """
+    changed = False
+    groups = []
+    for g in plan.groups:
+        sub = g.subplan
+        if sub is not None:
+            pruned_sub = prune_dead_phrases(sub, df_of)
+            if pruned_sub is not sub:
+                g = dataclasses.replace(g, subplan=pruned_sub)
+                changed = True
+        if len(g.phrases) >= 2:
+            live = tuple(
+                pc
+                for pc in g.phrases
+                if all(df_of(pc.field, t) > 0 for t in pc.terms)
+            )
+            if len(live) < len(g.phrases):
+                if not live and not (g.clauses or g.ranges or g.subplan):
+                    live = g.phrases[:1]  # preserve matches-nothing
+                if live != g.phrases:
+                    g = dataclasses.replace(g, phrases=live)
+                    changed = True
+        groups.append(g)
+    if not changed:
+        return plan
+    return dataclasses.replace(plan, groups=tuple(groups))
+
+
 @dataclasses.dataclass
 class FieldStats:
     """Searcher-wide per-field statistics feeding BM25 weights.

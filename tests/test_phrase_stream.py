@@ -204,6 +204,104 @@ def test_want_stream_auto_routing(monkeypatch):
     assert ps.want_stream(1)
 
 
+class _FakeStats:
+    """Minimal stats shim for the routing cost model: 1M docs, 55M
+    corpus tokens (the calibration corpus's shape)."""
+
+    doc_count = 1_000_000
+    total_tokens = {"text": 55_000_000}
+
+    def __init__(self, dfs):
+        self._dfs = dfs
+
+    def doc_freq(self, field, term):
+        return self._dfs.get(term, 0)
+
+
+def test_want_stream_cost_model(monkeypatch):
+    """Below PHRASE_AUTO_MIN the router compares calibrated cost models:
+    selective phrases stay on the host; Zipf-head pairs (whose host
+    intersection cost explodes) go to the stream.  Measured 2026-08-19
+    on the 1M corpus: live-mix 8 phrases host 87-94ms vs stream 168ms;
+    8 saturated head pairs host 1035ms vs stream 189ms."""
+    from fugu_tpu.ops import phrase_stream as ps
+
+    monkeypatch.delenv("FUGU_PHRASE_STREAM", raising=False)
+
+    def plans_for(pairs):
+        return [_phrase_plan(list(p)) for p in pairs]
+
+    selective = _FakeStats({"a": 5_000, "b": 15_000})
+    sel_plans = plans_for([("a", "b")] * 8)
+    assert not ps.want_stream(8, plans=sel_plans, stats=selective)
+
+    head = _FakeStats({"a": 963_000, "b": 999_000})
+    head_plans = plans_for([("a", "b")] * 8)
+    assert ps.want_stream(8, plans=head_plans, stats=head)
+
+    # dead phrases (df=0 terms) cost the host nothing — never stream
+    dead = _FakeStats({"a": 0, "b": 999_000})
+    assert not ps.want_stream(8, plans=plans_for([("a", "b")] * 8), stats=dead)
+
+    # below PHRASE_MIN_BATCH the stream's fixed cost always loses
+    assert not ps.want_stream(
+        ps.PHRASE_MIN_BATCH - 1,
+        plans=head_plans[: ps.PHRASE_MIN_BATCH - 1],
+        stats=head,
+    )
+
+
+def test_prune_dead_phrases():
+    """Parser-expanded multi-field phrases ('"a b"' over text AND name)
+    reduce to live alternatives when the extra field's terms have df=0 —
+    restoring the single-alternative shape both fast paths require."""
+    from fugu_tpu.query import prune_dead_phrases
+
+    df = {("text", "a"): 100, ("text", "b"): 50}
+
+    def df_of(field, term):
+        return df.get((field, term), 0)
+
+    two = QueryPlan(
+        groups=(
+            QueryGroup(
+                Occur.SHOULD,
+                phrases=(
+                    PhraseClause("text", ("a", "b")),
+                    PhraseClause("name", ("a", "b")),
+                ),
+            ),
+        )
+    )
+    pruned = prune_dead_phrases(two, df_of)
+    assert len(pruned.groups[0].phrases) == 1
+    assert pruned.groups[0].phrases[0].field == "text"
+
+    # all-dead group keeps one alternative (still matches nothing)
+    dead = QueryPlan(
+        groups=(
+            QueryGroup(
+                Occur.MUST,
+                phrases=(
+                    PhraseClause("name", ("a", "b")),
+                    PhraseClause("other", ("a", "b")),
+                ),
+            ),
+        )
+    )
+    pruned = prune_dead_phrases(dead, df_of)
+    assert len(pruned.groups[0].phrases) == 1
+
+    # single-phrase groups pass through untouched (identity)
+    one = _phrase_plan(["a", "b"])
+    assert prune_dead_phrases(one, df_of) is one
+
+    # live alternatives are kept
+    df[("name", "a")] = 1
+    df[("name", "b")] = 1
+    assert prune_dead_phrases(two, df_of) is two
+
+
 def test_pack_invalidated_on_delete(seg, stats):
     import copy
 

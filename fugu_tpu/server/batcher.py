@@ -37,12 +37,30 @@ class SearchBatcher:
     """One batcher per process; batches are grouped per (dataset, page,
     per_page) — mixed paging is rare enough to split batches on."""
 
-    def __init__(self, window_ms: float = 3.0, max_batch: int = 256):
+    def __init__(
+        self,
+        window_ms: float = 3.0,
+        max_batch: int = 256,
+        max_inflight: int | None = None,
+    ):
+        import os
+
         self.window_ms = window_ms
         self.max_batch = max_batch
+        #: batches allowed to execute concurrently per dataset.  The
+        #: engine's fixed per-stream cost (~100ms at this relay) makes
+        #: many small overlapping batches far slower than one large one:
+        #: under a 64-way HTTP soak the 3ms window alone produced ~10-query
+        #: batches 2.8 deep (38 QPS); gating to one in-flight batch lets
+        #: the queue grow to the natural concurrency while the previous
+        #: batch runs (continuous batching, same as inference serving).
+        self.max_inflight = max_inflight if max_inflight is not None else int(
+            os.environ.get("FUGU_BATCH_INFLIGHT", "1")
+        )
         self._queues: Dict[int, List[_Pending]] = {}
         self._tasks: Dict[int, asyncio.Task] = {}
         self._datasets: Dict[int, Dataset] = {}
+        self._running: Dict[int, int] = {}  # per-key in-flight batches
         #: strong refs to in-flight batch tasks — the event loop keeps
         #: only weak refs, so without this a batch task can be GC'd
         #: mid-flight and every waiter in it hangs forever
@@ -93,13 +111,34 @@ class SearchBatcher:
         # enqueue that registered it) — looking it up inside the batch
         # task would race the drained-waiter cleanup in search()
         dataset = self._datasets[key]
+        self._running[key] = self._running.get(key, 0) + 1
         task = asyncio.create_task(self._run_batch(dataset, batch))
         self._inflight.add(task)
-        task.add_done_callback(self._inflight.discard)
+
+        def done(t: asyncio.Task, key: int = key) -> None:
+            self._inflight.discard(t)
+            self._running[key] = self._running.get(key, 1) - 1
+            if self._running[key] <= 0:
+                self._running.pop(key, None)
+            # continuous batching: everything that queued while this
+            # batch ran dispatches the moment a slot frees — no second
+            # window wait (the engine is idle; waiting only adds latency)
+            if self._queues.get(key) and self._gate_open(key):
+                self._flush_now(key)
+
+        task.add_done_callback(done)
+
+    def _gate_open(self, key: int) -> bool:
+        return self._running.get(key, 0) < self.max_inflight
 
     async def _flush_later(self, key: int) -> None:
         await asyncio.sleep(self.window_ms / 1000.0)
-        self._flush_now(key)
+        # gate: while a batch is executing, hold the queue (it keeps
+        # growing toward the client's true concurrency) — the completion
+        # callback flushes it; a queue that hits max_batch bypasses the
+        # gate in search() so memory stays bounded
+        if self._gate_open(key):
+            self._flush_now(key)
 
     async def _run_batch(self, dataset: Dataset, batch: List[_Pending]) -> None:
         # group by paging so search_many's shared limit stays tight

@@ -396,16 +396,15 @@ class NamedIndex:
         # mis-key the fingerprint-keyed sharded caches) relative to the
         # scored segments
         stats = self.stats_for(segments)
-        # parser-expanded multi-field phrases ('"a b"' over text AND
-        # name) reduce to their live alternatives here — score-exact
-        # (dead alternatives match nothing) and required for the fast
-        # phrase paths, which only serve single-alternative groups
-        from fugu_tpu.query import prune_dead_phrases
+        # parser-expanded multi-field alternatives ('a' / '"a b"' over
+        # text AND name) reduce to their live alternatives here —
+        # score-exact (dead alternatives match nothing).  Dead TERMS
+        # would otherwise double the batch scorer's union-term lanes
+        # (2.2x engine time on parser-built batches); dead PHRASE
+        # alternatives bypass both fast phrase paths
+        from fugu_tpu.query import prune_dead_alternatives
 
-        plans = [
-            prune_dead_phrases(p, stats.doc_freq) if p.has_phrase else p
-            for p in plans
-        ]
+        plans = [prune_dead_alternatives(p, stats.doc_freq) for p in plans]
         all_hits: List[List[oracle_ops.Hit]] = [[] for _ in plans]
         runnable = [
             i

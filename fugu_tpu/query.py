@@ -157,49 +157,74 @@ def with_constants(
     )
 
 
-def prune_dead_phrases(plan: QueryPlan, df_of) -> QueryPlan:
-    """Drop phrase alternatives that can never match: a phrase whose ANY
-    constituent term has index-wide df 0 in its field matches no doc (a
-    match needs every term), so removing it is score-exact.
+def prune_dead_alternatives(plan: QueryPlan, df_of) -> QueryPlan:
+    """Drop clause alternatives that can never match: a term with
+    index-wide df 0 in its field matches no doc, and a phrase whose ANY
+    constituent term has df 0 matches no doc (a match needs every term).
+    Clauses within a group are OR-alternatives, so removing a dead one
+    is score-exact in every occur position (it contributes no match and
+    no score either way).
 
-    Matters because the query parser expands a quoted query over every
-    default field ('"a b"' -> phrases over text AND name,
-    queryparser shape) — multi-alternative groups bypass both the
-    pruned host matcher (ops/phrase.py single-clause shape) and the
-    stream engine (phrase_stream.eligible_phrase), landing on the dense
-    oracle at ~40ms/phrase on 1M docs.  On a corpus where the extra
-    field is absent this prune restores the single-alternative shape.
+    Matters because the query parser expands every bare word/phrase over
+    every default field ('a' -> TermClause over text AND name,
+    queryparser._leaf_group) — on a corpus where the extra field is
+    absent, HALF of every live query's union terms are dead:
 
-    A group whose every phrase is dead keeps one (the group still must
-    report "matches nothing" downstream); groups with other clause kinds
-    or a single phrase pass through untouched.  ``df_of(field, term)``
-    is IndexStats.doc_freq.
+    - dead TERMS still occupy union-term lanes in the batch scorer's
+      staging and weight matrix, inflating the u_pad bucket (measured
+      2026-08-19, mixed 64-query parser batch at 1M docs: 555ms with
+      the dead name-field lanes vs 237-255ms pruned — 2.2x);
+    - dead PHRASE alternatives make groups multi-alternative, which
+      bypasses both fast phrase paths (ops/phrase.py single-clause
+      shape, phrase_stream.eligible_phrase) and lands on the dense
+      oracle at ~40ms/phrase.
+
+    A group whose every alternative is dead keeps one (the group still
+    must report "matches nothing" downstream); single-alternative groups
+    pass through untouched.  ``df_of(field, term)`` is
+    IndexStats.doc_freq.
     """
     changed = False
     groups = []
     for g in plan.groups:
         sub = g.subplan
         if sub is not None:
-            pruned_sub = prune_dead_phrases(sub, df_of)
+            pruned_sub = prune_dead_alternatives(sub, df_of)
             if pruned_sub is not sub:
                 g = dataclasses.replace(g, subplan=pruned_sub)
                 changed = True
-        if len(g.phrases) >= 2:
-            live = tuple(
+        n_alts = len(g.clauses) + len(g.phrases)
+        if n_alts >= 2:
+            live_c = tuple(
+                tc for tc in g.clauses if df_of(tc.field, tc.term) > 0
+            )
+            live_p = tuple(
                 pc
                 for pc in g.phrases
                 if all(df_of(pc.field, t) > 0 for t in pc.terms)
             )
-            if len(live) < len(g.phrases):
-                if not live and not (g.clauses or g.ranges or g.subplan):
-                    live = g.phrases[:1]  # preserve matches-nothing
-                if live != g.phrases:
-                    g = dataclasses.replace(g, phrases=live)
+            if len(live_c) + len(live_p) < n_alts:
+                if (
+                    not live_c
+                    and not live_p
+                    and not (g.ranges or g.subplan)
+                ):
+                    # preserve matches-nothing (cheapest: one dead term)
+                    if g.clauses:
+                        live_c = g.clauses[:1]
+                    else:
+                        live_p = g.phrases[:1]
+                if live_c != g.clauses or live_p != g.phrases:
+                    g = dataclasses.replace(g, clauses=live_c, phrases=live_p)
                     changed = True
         groups.append(g)
     if not changed:
         return plan
     return dataclasses.replace(plan, groups=tuple(groups))
+
+
+#: back-compat name (round-4 phrase-only prune, generalized above)
+prune_dead_phrases = prune_dead_alternatives
 
 
 @dataclasses.dataclass

@@ -302,6 +302,72 @@ def test_prune_dead_phrases():
     assert prune_dead_phrases(two, df_of) is two
 
 
+def test_prune_dead_term_alternatives():
+    """Bare words expand to TermClause alternatives over text AND name
+    (queryparser._leaf_group); dead name-field terms double the batch
+    scorer's union-term lanes (measured 2.2x on parser-built 64-query
+    batches) and must prune in every occur position."""
+    from fugu_tpu.query import TermClause, prune_dead_alternatives
+
+    df = {("text", "a"): 100, ("text", "b"): 50}
+
+    def df_of(field, term):
+        return df.get((field, term), 0)
+
+    def word_group(occur, term):
+        return QueryGroup(
+            occur,
+            clauses=(TermClause("text", term), TermClause("name", term)),
+        )
+
+    plan = QueryPlan(
+        groups=(
+            word_group(Occur.SHOULD, "a"),
+            word_group(Occur.MUST, "b"),
+            word_group(Occur.MUST_NOT, "a"),
+        )
+    )
+    pruned = prune_dead_alternatives(plan, df_of)
+    for g in pruned.groups:
+        assert len(g.clauses) == 1 and g.clauses[0].field == "text", g
+
+    # all-dead group keeps one clause (still matches nothing)
+    dead = QueryPlan(groups=(word_group(Occur.MUST, "zzz"),))
+    pruned = prune_dead_alternatives(dead, df_of)
+    assert len(pruned.groups[0].clauses) == 1
+
+    # mixed term+phrase group: dead members of both kinds prune together
+    mixed = QueryPlan(
+        groups=(
+            QueryGroup(
+                Occur.SHOULD,
+                clauses=(TermClause("text", "a"), TermClause("name", "a")),
+                phrases=(
+                    PhraseClause("text", ("a", "b")),
+                    PhraseClause("name", ("a", "b")),
+                ),
+            ),
+        )
+    )
+    pruned = prune_dead_alternatives(mixed, df_of)
+    g = pruned.groups[0]
+    assert len(g.clauses) == 1 and len(g.phrases) == 1
+    assert g.clauses[0].field == "text" and g.phrases[0].field == "text"
+
+    # single-alternative groups pass through untouched (identity),
+    # even when dead
+    single = QueryPlan(groups=(QueryGroup(Occur.SHOULD, clauses=(TermClause("name", "a"),)),))
+    assert prune_dead_alternatives(single, df_of) is single
+
+    # subplans prune recursively
+    nested = QueryPlan(
+        groups=(QueryGroup(Occur.MUST, subplan=plan),)
+    )
+    pruned = prune_dead_alternatives(nested, df_of)
+    for g in pruned.groups[0].subplan.groups:
+        assert len(g.clauses) == 1
+
+
 def test_pack_invalidated_on_delete(seg, stats):
     import copy
 

@@ -246,7 +246,9 @@ def device_run(seg, stats, mix):
 
     phrase_handle = None
     stream_handle = None
-    if host_is and want_stream(len(host_is)):
+    if host_is and want_stream(
+        len(host_is), plans=[plans[i] for i in host_is], stats=stats
+    ):
         from fugu_tpu.ops.phrase_stream import (
             phrase_stream_begin,
             phrase_stream_collect,

@@ -171,12 +171,47 @@ def estimate_stream_ms(stats, n_phrases: int) -> float:
     )
 
 
+def _stream_fits_budget(stats) -> bool:
+    """False when staging the token-stream pack would blow the HBM
+    residency budget past what is already resident.
+
+    Matters at 16M docs on a 16GB chip: the phase-A packs alone are
+    ~12.9GB of the 13.6GB auto budget, and the ~4.5GB token pack would
+    evict them — every subsequent mixed batch then re-uploads multi-GB
+    packs over a 10-35MB/s relay (minutes per batch, vs the ~100ms/
+    phrase host cost the eviction was meant to beat).  Auto mode routes
+    to the host instead; ``FUGU_PHRASE_STREAM=1`` still forces the
+    stream for operators with phrase-dominant workloads.  Token bytes
+    already resident (an earlier phrase batch staged them) count as
+    free, so a warm phrase-heavy workload keeps streaming.
+    """
+    from fugu_tpu.index.segment import _pow2_bucket
+    from fugu_tpu.ops import residency
+
+    budget = residency.budget_bytes()
+    if budget is None:
+        return True
+    toks = sum(stats.total_tokens.values())
+    docs = stats.doc_count
+    # stream rows = tokens + per-doc KGAP sentinel gap, chunk-overlap
+    # inflated, pow2/16-step bucketed; plus the [nb_pad*1024] cv/fid rows
+    rows = (toks + docs * KGAP) * BM_CHUNK // max(BM_CHUNK - KGAP, 1)
+    est = _pow2_bucket(max(int(rows), BM_CHUNK)) * 4
+    est += _nb_pad(max((docs + BM_BLOCK_DOCS - 1) // BM_BLOCK_DOCS, 1)) * 1024 * 8
+    st = residency.stats()
+    already = st["by_kind"].get("token_stream", 0)
+    needed = max(est - already, 0)
+    return st["resident_bytes"] + needed <= budget
+
+
 def want_stream(n_phrases: int, plans=None, stats=None) -> bool:
     mode = phrase_stream_mode()
     if mode == "0":
         return False
     if mode == "1":
         return n_phrases >= 1  # begin() itself applies PHRASE_MIN_BATCH
+    if stats is not None and not _stream_fits_budget(stats):
+        return False
     if n_phrases >= PHRASE_AUTO_MIN:
         return True
     if n_phrases < PHRASE_MIN_BATCH or plans is None or stats is None:

@@ -251,6 +251,54 @@ def test_want_stream_cost_model(monkeypatch):
     )
 
 
+def test_want_stream_respects_residency_budget(monkeypatch):
+    """Auto routing refuses to stage a token pack that would blow the
+    HBM budget past what is resident (the 16M-on-16GB case: evicting
+    the phase-A packs costs minutes of relay re-uploads per batch);
+    already-resident token bytes count as free; FUGU_PHRASE_STREAM=1
+    still forces."""
+    from fugu_tpu.ops import phrase_stream as ps
+    from fugu_tpu.ops import residency
+
+    monkeypatch.delenv("FUGU_PHRASE_STREAM", raising=False)
+
+    big = _FakeStats({"a": 963_000, "b": 999_000})
+    big.doc_count = 16_000_000
+    big.total_tokens = {"text": 880_000_000}
+    plans = [_phrase_plan(["a", "b"])] * 256
+
+    # unlimited budget: streams (the >=AUTO_MIN branch)
+    monkeypatch.setattr(residency, "budget_bytes", lambda: None)
+    assert ps.want_stream(256, plans=plans, stats=big)
+
+    # 13.6GB budget with 12.9GB resident: the ~4.5GB token pack cannot
+    # fit -> host, even at full batch
+    monkeypatch.setattr(residency, "budget_bytes", lambda: 13_600_000_000)
+    monkeypatch.setattr(
+        residency, "stats",
+        lambda: {"resident_bytes": 12_900_000_000, "by_kind": {}},
+    )
+    assert not ps.want_stream(256, plans=plans, stats=big)
+
+    # same pressure but the token pack is ALREADY resident: streams
+    monkeypatch.setattr(
+        residency, "stats",
+        lambda: {
+            "resident_bytes": 12_900_000_000,
+            "by_kind": {"token_stream": 6_000_000_000},
+        },
+    )
+    assert ps.want_stream(256, plans=plans, stats=big)
+
+    # forced mode bypasses the guard
+    monkeypatch.setattr(
+        residency, "stats",
+        lambda: {"resident_bytes": 12_900_000_000, "by_kind": {}},
+    )
+    monkeypatch.setenv("FUGU_PHRASE_STREAM", "1")
+    assert ps.want_stream(256, plans=plans, stats=big)
+
+
 def test_prune_dead_phrases():
     """Parser-expanded multi-field phrases ('"a b"' over text AND name)
     reduce to live alternatives when the extra field's terms have df=0 —

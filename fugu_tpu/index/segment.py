@@ -588,7 +588,12 @@ class Segment:
         """
         from fugu_tpu.ops import residency
 
-        if self._device_pack is None:
+        # capture a local: a residency eviction from another thread's
+        # reserve() can null the attribute between the check and the
+        # return — the captured tuple stays valid (references are
+        # dropped, never freed under a dispatch), only re-reads race
+        pack = self._device_pack
+        if pack is None:
             import jax.numpy as jnp
 
             # tf and fieldnorm-id travel PACKED in one int32 (tf in the
@@ -610,14 +615,15 @@ class Segment:
                 _evict_entry_pack,
                 kind="entry",
             )
-            self._device_pack = (
+            pack = (
                 jnp.asarray(e_doc),
                 jnp.asarray(e_tffid),
                 jnp.asarray(tomb_words),
             )
+            self._device_pack = pack
         else:
             residency.touch(("entry", id(self)))
-        return self._device_pack
+        return pack
 
 
 #: block-major pack constants (ops/batch_scorer phase A): docs per block

@@ -242,12 +242,21 @@ def device_run(seg, stats, mix):
     # one corpus-position stream serves the whole phrase batch;
     # ops/phrase_stream.  The round-3 gather-bound path stays opt-in
     # via FUGU_DEVICE_PHRASE=1.
-    from fugu_tpu.ops.phrase_stream import want_stream
+    from fugu_tpu.ops.phrase_stream import (
+        estimate_device_batch_ms,
+        want_stream,
+    )
 
+    n_dev = sum(1 for p in plans if not p.host_only)
     phrase_handle = None
     stream_handle = None
     if host_is and want_stream(
-        len(host_is), plans=[plans[i] for i in host_is], stats=stats
+        len(host_is),
+        plans=[plans[i] for i in host_is],
+        stats=stats,
+        # host phrases overlap the device batch's wait for free (worker
+        # thread below); only their excess competes with the stream
+        overlap_ms=estimate_device_batch_ms(stats, n_dev),
     ):
         from fugu_tpu.ops.phrase_stream import (
             phrase_stream_begin,

@@ -464,12 +464,21 @@ class NamedIndex:
                 and device_ok
                 and seg.n_entries >= DEVICE_MIN_ENTRIES
             ):
-                from fugu_tpu.ops.phrase_stream import want_stream
+                from fugu_tpu.ops.phrase_stream import (
+                    estimate_device_batch_ms,
+                    want_stream,
+                )
 
                 if want_stream(
                     len(host_only_idx),
                     plans=[plans[i] for i in host_only_idx],
                     stats=stats,
+                    # host matcher work hides under the concurrent
+                    # device batch's wait (worker thread below) — only
+                    # its excess competes with the stream's sweep
+                    overlap_ms=estimate_device_batch_ms(
+                        stats, len(device_idx)
+                    ),
                 ):
                     try:
                         from fugu_tpu.ops.phrase_stream import (

@@ -204,7 +204,21 @@ def _stream_fits_budget(stats) -> bool:
     return st["resident_bytes"] + needed <= budget
 
 
-def want_stream(n_phrases: int, plans=None, stats=None) -> bool:
+def want_stream(
+    n_phrases: int, plans=None, stats=None, overlap_ms: float = 0.0
+) -> bool:
+    """``overlap_ms``: estimated wall time of the DEVICE batch the same
+    call dispatches concurrently (0 for a pure phrase batch).  The host
+    matcher runs on a worker thread UNDER the device wait (both sides
+    release the GIL — engine/named_index), so up to ``overlap_ms`` of
+    host phrase work is free, while the stream's sweep ADDS device time
+    to the same serial device queue.  Without this credit the 1M mixed
+    bench batch streamed its 24 phrases (est. host 215ms > stream
+    189ms) and paid the sweep on the critical path where the host
+    matcher's 215ms had been hiding under a ~450ms device batch —
+    measured same-day 2026-08-20: mixed headline 429 QPS streamed vs
+    ~530 host-overlapped.  Callers estimate overlap with
+    :func:`estimate_device_batch_ms`."""
     mode = phrase_stream_mode()
     if mode == "0":
         return False
@@ -212,11 +226,33 @@ def want_stream(n_phrases: int, plans=None, stats=None) -> bool:
         return n_phrases >= 1  # begin() itself applies PHRASE_MIN_BATCH
     if stats is not None and not _stream_fits_budget(stats):
         return False
+    if plans is not None and stats is not None and overlap_ms > 0.0:
+        # a concurrent device batch: only the host excess beyond the
+        # device wall competes with the stream's serial sweep (applies
+        # at ANY batch size — a huge overlapped host budget beats the
+        # sweep even above PHRASE_AUTO_MIN)
+        return (
+            n_phrases >= PHRASE_MIN_BATCH
+            and estimate_host_ms(plans, stats) - overlap_ms
+            > estimate_stream_ms(stats, n_phrases)
+        )
     if n_phrases >= PHRASE_AUTO_MIN:
         return True
     if n_phrases < PHRASE_MIN_BATCH or plans is None or stats is None:
         return False
     return estimate_host_ms(plans, stats) > estimate_stream_ms(stats, n_phrases)
+
+
+def estimate_device_batch_ms(stats, n_queries: int) -> float:
+    """Crude wall-time model of a concurrent two-phase device batch, for
+    want_stream's overlap credit.  Phase A sweeps the same corpus the
+    phrase stream does with the same cost shape (fixed dispatch floor +
+    per-token sweep + per-query staging/wave cost), so the calibrated
+    stream constants transfer: at 1M docs/44M postings this predicts a
+    256-query mixed batch at ~500ms (round-3 measured 450-530ms)."""
+    if n_queries <= 0:
+        return 0.0
+    return estimate_stream_ms(stats, n_queries)
 
 
 # --------------------------------------------------------------------------

@@ -251,6 +251,44 @@ def test_want_stream_cost_model(monkeypatch):
     )
 
 
+def test_want_stream_overlap_credit(monkeypatch):
+    """With a concurrent device batch, host phrase work hides under the
+    device wait (worker thread in named_index) — the router streams only
+    when the host estimate EXCEEDS the overlap credit by more than the
+    sweep's cost.  Measured 2026-08-20 on the 1M mixed bench batch:
+    streaming its 24 phrases (host est 215ms < device wall ~480ms) cost
+    the headline ~100 QPS vs overlapping them."""
+    from fugu_tpu.ops import phrase_stream as ps
+
+    monkeypatch.delenv("FUGU_PHRASE_STREAM", raising=False)
+
+    # moderate head pairs (~23ms host each, the mixed-bench regime):
+    # the batch's ~550ms host estimate beats the stream's ~220ms only
+    # when no device batch overlaps it
+    mid = _FakeStats({"a": 300_000, "b": 300_000})
+    plans = [_phrase_plan(["a", "b"])] * 24
+
+    # isolated (no device batch): these stream
+    assert ps.want_stream(24, plans=plans, stats=mid)
+    # same phrases next to a 232-query device batch: host is free
+    ov = ps.estimate_device_batch_ms(mid, 232)
+    assert ov > 0
+    assert not ps.want_stream(24, plans=plans, stats=mid, overlap_ms=ov)
+    # enough of them exceed any overlap budget -> stream again, even
+    # above PHRASE_AUTO_MIN (the credit applies at any batch size)
+    many = [_phrase_plan(["a", "b"])] * 256
+    assert ps.want_stream(256, plans=many, stats=mid, overlap_ms=ov)
+    # overlap credit never re-enables a stream the budget refused
+    monkeypatch.setenv("FUGU_DEVICE_MEM_BUDGET", "1")
+    assert not ps.want_stream(256, plans=many, stats=mid, overlap_ms=ov)
+    monkeypatch.delenv("FUGU_DEVICE_MEM_BUDGET", raising=False)
+    # explicit modes ignore the credit entirely
+    monkeypatch.setenv("FUGU_PHRASE_STREAM", "1")
+    assert ps.want_stream(8, plans=plans[:8], stats=mid, overlap_ms=1e9)
+    monkeypatch.setenv("FUGU_PHRASE_STREAM", "0")
+    assert not ps.want_stream(256, plans=many, stats=mid, overlap_ms=0)
+
+
 def test_want_stream_respects_residency_budget(monkeypatch):
     """Auto routing refuses to stage a token pack that would blow the
     HBM budget past what is resident (the 16M-on-16GB case: evicting

@@ -469,6 +469,16 @@ class NamedIndex:
                     want_stream,
                 )
 
+                # the concurrent device batch in THIS loop iteration
+                # sweeps only the current segment, so the overlap
+                # credit scales by its share of corpus tokens —
+                # index-wide stats would overestimate the credit per
+                # segment and bias phrases to the host thread when
+                # streaming would win (ADVICE r4)
+                _tot_toks = max(sum(stats.total_tokens.values()), 1)
+                _seg_share = (
+                    sum(seg.total_tokens.values()) / _tot_toks
+                )
                 if want_stream(
                     len(host_only_idx),
                     plans=[plans[i] for i in host_only_idx],
@@ -477,7 +487,7 @@ class NamedIndex:
                     # device batch's wait (worker thread below) — only
                     # its excess competes with the stream's sweep
                     overlap_ms=estimate_device_batch_ms(
-                        stats, len(device_idx)
+                        stats, len(device_idx), token_share=_seg_share
                     ),
                 ):
                     try:

@@ -576,6 +576,10 @@ class Segment:
             return cached[1]
         pack = BlockMajorPack(self, stats)
         object.__setattr__(self, "_block_major", (key, pack))
+        # same reserve()->cache window as device_pack: if a concurrent
+        # reserve evicted this key in between, don't re-cache unaccounted
+        if not residency.contains(("bm", id(self))):
+            object.__setattr__(self, "_block_major", None)
         return pack
 
     def device_pack(self):
@@ -621,6 +625,14 @@ class Segment:
                 jnp.asarray(tomb_words),
             )
             self._device_pack = pack
+            # close the reserve()->assign window: a concurrent thread's
+            # reserve may have evicted THIS key in between (its callback
+            # nulled the then-None attribute), after which the line
+            # above re-cached an unaccounted pack — resident bytes would
+            # undercount until the next invalidation.  The local `pack`
+            # stays valid for this call either way.
+            if not residency.contains(("entry", id(self))):
+                self._device_pack = None
         else:
             residency.touch(("entry", id(self)))
         return pack

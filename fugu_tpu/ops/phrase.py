@@ -296,8 +296,17 @@ def search_phrase_topk(
     w_rare = float(
         bm25_weight(dfs[k_rare], stats.doc_count, 1.0, plan.k1)
     )
-    if w_rare <= 0.0:
-        return []
+    if w_p <= 0.0 or w_rare <= 0.0:
+        # Negative/zero phrase idf: df > N/2 is possible when tombstones
+        # inflate df past the live doc count (Tantivy has the same
+        # ln(1 + (N-df+.5)/(df+.5)) < 0 regime — deleted docs stay in df
+        # until merge).  Matches still EXIST and score negatively, so
+        # returning [] here dropped real hits (found live r5: tiny
+        # corpus + delete -> phrase search came back empty).  And with
+        # w_p < 0 the bound formulas below invert into LOWER bounds
+        # (tf up => score down), so pruning is unsound — fall back to
+        # the dense oracle, which is exact for any weight sign.
+        return None
     slop = max(int(getattr(pc, "slop", 0) or 0), 0)
     if slop == 0 or len(pc.terms) == 1:
         # phrase_tf <= tf_rare: every match consumes a distinct rare-term

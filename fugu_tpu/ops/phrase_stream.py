@@ -226,11 +226,17 @@ def want_stream(
         return n_phrases >= 1  # begin() itself applies PHRASE_MIN_BATCH
     if stats is not None and not _stream_fits_budget(stats):
         return False
-    if plans is not None and stats is not None and overlap_ms > 0.0:
+    if overlap_ms > 0.0:
         # a concurrent device batch: only the host excess beyond the
         # device wall competes with the stream's serial sweep (applies
         # at ANY batch size — a huge overlapped host budget beats the
-        # sweep even above PHRASE_AUTO_MIN)
+        # sweep even above PHRASE_AUTO_MIN).  The credit gates on
+        # overlap_ms ALONE: a caller passing overlap without plans/stats
+        # must not fall through to the unconditional PHRASE_AUTO_MIN
+        # stream — that is exactly the regression the credit prevents
+        # (ADVICE r4) — so missing model inputs mean "don't stream".
+        if plans is None or stats is None:
+            return False
         return (
             n_phrases >= PHRASE_MIN_BATCH
             and estimate_host_ms(plans, stats) - overlap_ms
@@ -243,16 +249,29 @@ def want_stream(
     return estimate_host_ms(plans, stats) > estimate_stream_ms(stats, n_phrases)
 
 
-def estimate_device_batch_ms(stats, n_queries: int) -> float:
+def estimate_device_batch_ms(
+    stats, n_queries: int, token_share: float = 1.0
+) -> float:
     """Crude wall-time model of a concurrent two-phase device batch, for
     want_stream's overlap credit.  Phase A sweeps the same corpus the
     phrase stream does with the same cost shape (fixed dispatch floor +
     per-token sweep + per-query staging/wave cost), so the calibrated
     stream constants transfer: at 1M docs/44M postings this predicts a
-    256-query mixed batch at ~500ms (round-3 measured 450-530ms)."""
+    256-query mixed batch at ~500ms (round-3 measured 450-530ms).
+
+    ``token_share``: fraction of the index's tokens the concurrent batch
+    actually sweeps — multi-segment callers pass the CURRENT segment's
+    share, since each segment's device batch sweeps only that segment
+    (index-wide stats would overestimate the credit per segment and bias
+    phrases onto the host thread, ADVICE r4)."""
     if n_queries <= 0:
         return 0.0
-    return estimate_stream_ms(stats, n_queries)
+    toks = sum(stats.total_tokens.values()) * min(max(token_share, 0.0), 1.0)
+    return (
+        STREAM_FIXED_MS
+        + toks * STREAM_NS_PER_TOKEN * 1e-6
+        + n_queries * STREAM_MS_PER_PHRASE
+    )
 
 
 # --------------------------------------------------------------------------
@@ -434,6 +453,11 @@ def get_token_stream(segment: Segment, field: str, stats) -> Optional[
     if not pack.ok:
         return None
     cache[field] = (stats.fingerprint, pack)
+    # same reserve()->cache window as Segment.device_pack: a concurrent
+    # reserve may have evicted this key in between — don't re-cache an
+    # unaccounted pack (the local reference stays valid for this call)
+    if not residency.contains(("tok", id(segment), field)):
+        cache.pop(field, None)
     return pack
 
 

@@ -149,6 +149,16 @@ def _drop(key: tuple) -> None:
         _entries.pop(key, None)
 
 
+def contains(key: tuple) -> bool:
+    """True while ``key`` is still accounted (i.e. not evicted).  Lets
+    uploaders close the reserve()-then-cache window: if another thread's
+    reserve evicted this key between our reserve and our attribute
+    assignment, the assignment re-cached an unaccounted pack — the
+    caller re-checks and drops its cache (ADVICE r4, segment.py:611)."""
+    with _lock:
+        return key in _entries
+
+
 def touch(key: tuple) -> None:
     with _lock:
         e = _entries.get(key)

@@ -233,3 +233,44 @@ def test_blockmax_cache_tracks_index_stats():
     assert [(np.float32(s), d) for s, d in got] == [
         (np.float32(s), d) for s, d in exp
     ]
+
+
+def test_phrase_negative_idf_falls_back_not_empty():
+    """Regression (r5): tombstone-inflated df can push a phrase's idf
+    negative (df > live N/2 — Tantivy's ln(1+(N-df+.5)/(df+.5)) < 0
+    regime, deleted docs stay in df until merge).  search_phrase_topk
+    returned [] there, dropping real (negatively-scored) hits; the
+    bound scaling is also unsound for w <= 0.  It must return None so
+    callers fall back to the exact dense oracle."""
+    from fugu_tpu.engine.queryparser import parse_query
+
+    b = SegmentBuilder(DOCS_SCHEMA)
+    for i, t in enumerate(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "a quick brown bear walks in the forest",
+            "lazy rivers flow quick through the brown canyon",
+        ]
+    ):
+        b.add_document(
+            {"text": [t], "id": [f"a{i+1}"]}, stored={"id": f"a{i+1}"}
+        )
+    seg = b.build()
+    assert seg.delete_by_term("id", "a2") == 1
+    stats = oracle.IndexStats([seg])
+    plan = parse_query(
+        '"quick brown"',
+        ["text", "name"],
+        DOCS_SCHEMA.text_fields,
+        DOCS_SCHEMA.date_fields,
+    )
+    exp = [
+        (np.float32(h.score), h.doc)
+        for h in oracle.search([seg], plan, 10, stats)
+    ]
+    assert exp, "oracle must find the live adjacent match"
+    assert exp[0][0] < 0  # the regime under test: negative idf
+    got = search_blockmax(seg, plan, stats, 10)
+    # None (oracle fallback) is the contract; a result list must match
+    if got is not None:
+        assert [(np.float32(s), d) for s, d in got] == exp

@@ -55,13 +55,16 @@ def main():
         bench.N_DOCS = n
         segs[n] = load(n)
         stats[n] = oracle.IndexStats([segs[n]])
-        # pure-SHOULD device plans only: the drill exercises pack
+        # device-path plans only (should/must/mustnot/facet/limit100 —
+        # host-only phrase plans are dropped): the drill exercises pack
         # transitions, not the full class mix
         mix = [m for m in bench.make_query_mix(segs[n]) if not m[1].host_only]
         mixes[n] = mix[:48]
         log(f"{n}: {segs[n].n_entries} postings, {len(mixes[n])} queries")
 
     transitions = []
+    problems = []
+    prev_evictions = None
     # 16M -> 1M -> 16M: each arrow must evict and stay correct
     for step, n in enumerate((16_000_000, 1_000_000, 16_000_000)):
         t1 = time.time()
@@ -83,6 +86,18 @@ def main():
             assert got == want, f"mismatch at step {step} q{j}"
             ok += 1
         served = sum(1 for r in res if r is not None)
+        # a run that served nothing (all plans declined / below
+        # MIN_BATCH) exercised no packs and proves nothing — fail it
+        if served == 0:
+            problems.append(f"step {step}: served 0 of {len(plans)}")
+        if ok == 0:
+            problems.append(f"step {step}: zero spot checks ran")
+        if prev_evictions is not None and st["evictions"] <= prev_evictions:
+            problems.append(
+                f"step {step}: no eviction on namespace switch "
+                f"({st['evictions']} <= {prev_evictions})"
+            )
+        prev_evictions = st["evictions"]
         transitions.append(
             {
                 "ns_docs": n,
@@ -98,13 +113,15 @@ def main():
 
     st = residency.stats()
     out = {
-        "ok": True,
+        "ok": not problems,
+        "problems": problems,
         "budget_gb": round((st["budget_bytes"] or 0) / 2**30, 2),
         "evictions": st["evictions"],
         "transitions": transitions,
         "total_secs": round(time.time() - t0, 1),
     }
     print(json.dumps(out))
+    sys.exit(0 if not problems else 2)
 
 
 if __name__ == "__main__":

@@ -213,11 +213,17 @@ def search_blockmax(
     if plan.k1 != float(K1) or plan.b != float(B_CONST):
         return None
     if plan.has_phrase:
-        # doc-level pruned phrase path (ops/phrase.py); None for shapes
-        # it does not take keeps the caller's oracle fallback
+        # doc-level pruned phrase path (ops/phrase.py) for the pure
+        # single-phrase shape; mixed phrase/term/facet boolean plans
+        # take the generalized block-WAND engine (ops/mixed.py, r5);
+        # None from both keeps the caller's oracle fallback
+        from fugu_tpu.ops.mixed import search_mixed_topk
         from fugu_tpu.ops.phrase import search_phrase_topk
 
-        return search_phrase_topk(segment, plan, stats, limit)
+        r = search_phrase_topk(segment, plan, stats, limit)
+        if r is None:
+            r = search_mixed_topk(segment, plan, stats, limit)
+        return r
     staged = _stage(segment, plan, stats)
     if staged is None:
         return None
@@ -243,7 +249,13 @@ def search_blockmax(
         ids, maxima, bounds = bm.term_blocks(start, length)
         term_tabs.append((start, length, bit, ids, bounds))
         if not (mustnot & bit):
-            np.add.at(ub, ids, maxima.astype(np.float64))
+            # clamped at 0 (r5): with tombstone-inflated df a clause's
+            # idf — and so its block maxima — can go negative; a doc
+            # matching OTHER clauses but not this one would then sit
+            # above the block's summed bound and be wrongly pruned
+            np.add.at(
+                ub, ids, np.maximum(maxima.astype(np.float64), 0.0)
+            )
         if must & bit:
             p = present.setdefault(bit, np.zeros(nb, dtype=bool))
             p[ids] = True

@@ -181,8 +181,9 @@ def match_ranges(
     entries are located inside the windows with a searchsorted over its
     own (doc-sorted) posting range, so the cost scales with the windowed
     entry counts, not with doc frequency.  Anchor semantics are the same
-    integer arithmetic as :meth:`PhraseMatcher.match` (slop 0), so the
-    (docs, tf) sets are identical.  Windows must be disjoint ascending."""
+    integer arithmetic as :meth:`PhraseMatcher.match` (incl. the
+    ordered-window slop expansion, r5), so the (docs, tf) sets are
+    identical.  Windows must be disjoint ascending."""
     field = clause.field
     terms = clause.terms
     infos = [segment.term_info(field, t) for t in terms]
@@ -219,6 +220,7 @@ def match_ranges(
     base = segment.field_entry_base[field]
     offs = segment.pos_offsets[field]
     data = segment.pos_data[field]
+    slop = max(int(getattr(clause, "slop", 0) or 0), 0)
     inter: Optional[np.ndarray] = None
     for k, info in enumerate(infos):
         ent = windowed_entries(info) - base
@@ -230,7 +232,13 @@ def match_ranges(
         docs_k = segment.e_doc[ent + base].astype(np.int64)
         docrep = np.repeat(docs_k, lens_k)
         anchors = docrep * _POS_SHIFT + (positions - k)
-        if k:
+        if slop and k:
+            # ordered-window slop (PhraseMatcher.match): term k serves
+            # any anchor in [pos-k-slop, pos-k]
+            anchors = np.unique(
+                (anchors[None, :] - np.arange(slop + 1)[:, None]).reshape(-1)
+            )
+        elif k:
             keep = positions >= k
             anchors = anchors[keep]
         inter = anchors if inter is None else np.intersect1d(

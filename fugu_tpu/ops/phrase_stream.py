@@ -77,6 +77,15 @@ jax_setup.configure()
 #: and the chunk overlap (a row's KGAP-1 successors stay visible)
 KMAX = 8
 KGAP = KMAX
+#: max slop on the device path (r5).  Slop semantics are the oracle's
+#: ordered-window relaxation (term k anywhere in [anchor+k, anchor+k+
+#: slop]; ops/oracle.py:141) — the kernel ORs each slot's one-hot over
+#: its shift window, clamped to 1 per slot, so device phrase_tf stays
+#: EXACT for sloppy phrases too.  The forward reach (n_terms-1+slop)
+#: must stay <= KGAP: beyond that a roll's wrapped rows land on
+#: anchor-ELIGIBLE rows and the doc-gap sentinels no longer block
+#: cross-doc adjacency (see eligible_phrase).
+MAX_SLOP = 2
 #: term-ordinal bits in a packed stream row (doc_local rides bits 22-30,
 #: sign bit stays 0: 511 << 22 | TID_MASK == 0x7FFFFFFF)
 TID_BITS = 22
@@ -89,6 +98,9 @@ SENT_ROW = np.int32(TID_MASK)
 PB_BUCKETS = (64, 128, 256)
 PU_BUCKETS = (128, 256, 512)
 PK_BUCKETS = (2, 4, 8)
+#: kmax ladder for sloppy dispatches (smax=MAX_SLOP): the wrap/doc-gap
+#: constraint is kmax_bucket - 1 + smax <= KGAP, so the top bucket is 7
+PK_SLOP_BUCKETS = (2, 4, 7)
 
 #: one stream pays phase-A-like fixed cost (~40ms at 1M docs); below
 #: this many staged phrases the host matcher is cheaper
@@ -151,8 +163,13 @@ def estimate_host_ms(plans, stats) -> float:
                     inter *= d
                 inter /= float(n) ** (len(dfs) - 1)
                 total += min_df * HOST_NS_PER_MIN_POSTING * 1e-6
+                # slop multiplies the adjacency work: each later term's
+                # anchor set expands (slop+1)x before the intersection
+                # (PhraseMatcher.match's np.unique over shifted copies)
+                slop_f = 1.0 + max(int(getattr(pc, "slop", 0) or 0), 0)
                 total += (
                     inter
+                    * slop_f
                     * HOST_NS_PER_INTER_DOC
                     * 1e-6
                     * (1.0 + 3.0 * min_df / n)
@@ -471,7 +488,7 @@ def _phrase_kernel(
     tok_hbm,     # int32[T]    packed (doc_local << 22 | tid) stream
     cv_hbm,      # f32[NB*1024] per-doc BM25 denominator constants
     fid_hbm,     # int32[NB*1024] per-doc fieldnorm ids
-    w_ref,       # bf16[KMAX_b * U, B] flattened per-slot one-hot weights
+    w_ref,       # bf16[KMAX_b*(smax+1)*U, B] per-(slot, shift) weights
     tids_ref,    # int32[8, U] union term ordinals (row 0)
     wp_ref,      # f32[8, B]   per-query phrase BM25 weights (row 0)
     out_ref,     # f32[1, FINE_PER_BLOCK, B] per-fine-block score maxima
@@ -479,6 +496,7 @@ def _phrase_kernel(
     *scratch,
     kmax: int,
     u_pad: int,
+    smax: int,
     interpret: bool,
 ):
     tok_s, cv_s, fid_s, sems = scratch
@@ -548,25 +566,43 @@ def _phrase_kernel(
         # ride the ALWAYS-ONE column), i.e. s == kmax.
         x0 = tok_s[pl.ds(woff, BM_CHUNK)].reshape(BM_CHUNK, 1)
         doc = jax.lax.shift_right_logical(x0, TID_BITS)   # [C, 1]
-        s = None
-        for jj in range(kmax):
-            if jj == 0:
+
+        def shifted_onehot(d):
+            if d == 0:
                 xs = x0
             elif interpret:
-                xs = jnp.roll(x0, -jj, axis=0)
+                xs = jnp.roll(x0, -d, axis=0)
             else:
-                xs = pltpu.roll(x0, BM_CHUNK - jj, axis=0)
+                xs = pltpu.roll(x0, BM_CHUNK - d, axis=0)
             tid = jnp.bitwise_and(xs, TID_MASK)           # [C, 1]
-            oh = (
+            return (
                 (tid == tids_ref[0:1, :]) | (u_iota == u_pad - 1)
             ).astype(jnp.bfloat16)                        # [C, U]
-            xj = jax.lax.dot_general(
-                oh,
-                w_ref[pl.ds(jj * u_pad, u_pad)],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                             # [C, B] in {0,1}
-            s = xj if s is None else s + xj
+
+        s = None
+        for jj in range(kmax):
+            # slot jj matches iff ANY shift in its window [jj, jj+slop_q]
+            # hits its term — the per-(slot, shift) weight plane carries
+            # slop_q (plane (jj, ss) is zero for ss > slop_q; slot 0 and
+            # dead slots use only ss=0), and the min(y, 1) clamp turns
+            # the shift-count into the OR the oracle's ordered-window
+            # semantics need.  smax == 0 emits EXACTLY the round-4
+            # program (no clamp, one plane per slot) so the warm slop-0
+            # compile cache stays valid.
+            y = None
+            for ss in range(smax + 1):
+                oh = shifted_onehot(jj + ss)
+                plane = (jj * (smax + 1) + ss) * u_pad
+                xj = jax.lax.dot_general(
+                    oh,
+                    w_ref[pl.ds(plane, u_pad)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                         # [C, B]
+                y = xj if y is None else y + xj
+            if smax:
+                y = jnp.minimum(y, 1.0)
+            s = y if s is None else s + y
         m = jnp.where(
             (s > kmax - 0.5) & row_ok, 1.0, 0.0
         )                                                 # [C, B]
@@ -610,9 +646,9 @@ def _phrase_kernel(
     cls_ref[0, :, :] = jnp.where(is_max, cls, -1).max(axis=1)
 
 
-def _phrase_callable(nb_pad, u_pad, b_pad, kmax, interpret):
+def _phrase_callable(nb_pad, u_pad, b_pad, kmax, smax, interpret):
     kernel = functools.partial(
-        _phrase_kernel, kmax=kmax, u_pad=u_pad, interpret=interpret
+        _phrase_kernel, kmax=kmax, u_pad=u_pad, smax=smax, interpret=interpret
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -621,7 +657,9 @@ def _phrase_callable(nb_pad, u_pad, b_pad, kmax, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((kmax * u_pad, b_pad), lambda j, *_: (0, 0)),
+            pl.BlockSpec(
+                (kmax * (smax + 1) * u_pad, b_pad), lambda j, *_: (0, 0)
+            ),
             pl.BlockSpec((8, u_pad), lambda j, *_: (0, 0)),
             pl.BlockSpec((8, b_pad), lambda j, *_: (0, 0)),
         ],
@@ -662,11 +700,11 @@ def _phrase_callable(nb_pad, u_pad, b_pad, kmax, interpret):
 _KERNEL_CACHE: dict = {}
 
 
-def _get_kernel(nb_pad, u_pad, b_pad, kmax, interpret):
-    key = (nb_pad, u_pad, b_pad, kmax, interpret)
+def _get_kernel(nb_pad, u_pad, b_pad, kmax, smax, interpret):
+    key = (nb_pad, u_pad, b_pad, kmax, smax, interpret)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = jax.jit(
-            _phrase_callable(nb_pad, u_pad, b_pad, kmax, interpret)
+            _phrase_callable(nb_pad, u_pad, b_pad, kmax, smax, interpret)
         )
     return _KERNEL_CACHE[key]
 
@@ -676,10 +714,32 @@ def _get_kernel(nb_pad, u_pad, b_pad, kmax, interpret):
 # --------------------------------------------------------------------------
 
 
+def eligible_clause(pc: PhraseClause) -> bool:
+    """Whether one phrase clause fits the stream kernel: <= KMAX terms,
+    slop <= MAX_SLOP, positive boost, and forward reach (n_terms - 1 +
+    slop) <= KGAP — beyond KGAP a roll's wrapped rows land on
+    anchor-eligible rows and the inter-doc sentinel gap no longer
+    blocks cross-doc adjacency.  Sloppy dispatches additionally cap the
+    kmax bucket at KGAP + 1 - MAX_SLOP (= 7 terms at slop > 0)."""
+    if not pc.terms or len(pc.terms) > KMAX:
+        return False
+    slop = max(int(getattr(pc, "slop", 0) or 0), 0)
+    if slop > MAX_SLOP:
+        return False
+    if slop and len(pc.terms) > KGAP + 1 - MAX_SLOP:
+        return False
+    if len(pc.terms) - 1 + slop > KGAP:
+        return False
+    if pc.boost <= 0.0:
+        return False
+    return True
+
+
 def eligible_phrase(plan: QueryPlan) -> Optional[PhraseClause]:
     """The plan's phrase when the stream engine can serve it: ONE
-    single-phrase SHOULD/MUST group (the quoted-query shape), slop 0,
-    <= KMAX terms, default k1/b, positive boost.  Else None."""
+    single-phrase SHOULD/MUST group (the quoted-query shape), slop <=
+    MAX_SLOP (r5 — was slop 0), <= KMAX terms, default k1/b, positive
+    boost.  Else None."""
     from fugu_tpu.query import B as B_CONST, K1
 
     if plan.match_all or plan.has_range or plan.has_subplan:
@@ -694,11 +754,7 @@ def eligible_phrase(plan: QueryPlan) -> Optional[PhraseClause]:
     if g.subplan is not None or len(g.phrases) != 1:
         return None
     pc = g.phrases[0]
-    if not pc.terms or len(pc.terms) > KMAX:
-        return None
-    if max(int(getattr(pc, "slop", 0) or 0), 0) != 0:
-        return None
-    if pc.boost <= 0.0:
+    if not eligible_clause(pc):
         return None
     return pc
 
@@ -745,36 +801,53 @@ def phrase_stream_begin(
             for i in run:
                 del clauses[i]  # host path serves these
             continue
-        # split greedily when the union exceeds the largest U bucket
-        # (one usable slot is reserved for the ALWAYS-ONE column)
-        groups: List[List[int]] = []
-        cur: List[int] = []
-        cur_terms: set = set()
-        for i in run:
-            ts = set(clauses[i].terms)
-            new = ts - cur_terms
-            if cur and (
-                len(cur) >= PB_BUCKETS[-1]
-                or len(cur_terms) + len(new) > PU_BUCKETS[-1] - 1
-            ):
+        # slop-0 and sloppy queries dispatch separately: the sloppy
+        # program (smax=MAX_SLOP) pays (slop+1)x one-hot/matmul work per
+        # slot and compiles a different signature — keeping slop-0
+        # batches on the round-4 program preserves both its speed and
+        # its warm compile cache.  Each sub-run pays its own sweep; a
+        # mixed batch therefore costs up to two sweeps (measured
+        # tradeoff vs 3x-ing the common slop-0 case: slop-0 wins).
+        subruns = [
+            ([i for i in run if not _clause_slop(clauses[i])], 0),
+            ([i for i in run if _clause_slop(clauses[i])], MAX_SLOP),
+        ]
+        for sub, smax in subruns:
+            # split greedily when the union exceeds the largest U bucket
+            # (one usable slot is reserved for the ALWAYS-ONE column)
+            groups: List[List[int]] = []
+            cur: List[int] = []
+            cur_terms: set = set()
+            for i in sub:
+                ts = set(clauses[i].terms)
+                new = ts - cur_terms
+                if cur and (
+                    len(cur) >= PB_BUCKETS[-1]
+                    or len(cur_terms) + len(new) > PU_BUCKETS[-1] - 1
+                ):
+                    groups.append(cur)
+                    cur, cur_terms = [], set()
+                cur_terms |= ts
+                cur.append(i)
+            if cur:
                 groups.append(cur)
-                cur, cur_terms = [], set()
-            cur_terms |= ts
-            cur.append(i)
-        if cur:
-            groups.append(cur)
-        for q_idx in groups:
-            dispatches.append(
-                _dispatch_group(
-                    segment, pack, q_idx, clauses, stats, interpret
+            for q_idx in groups:
+                dispatches.append(
+                    _dispatch_group(
+                        segment, pack, q_idx, clauses, stats, interpret,
+                        smax,
+                    )
                 )
-            )
-            for i in q_idx:
-                staged.append((i, clauses[i]))
+                for i in q_idx:
+                    staged.append((i, clauses[i]))
     return (pre, staged, dispatches, segment, stats, list(limits))
 
 
-def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret):
+def _clause_slop(pc: PhraseClause) -> int:
+    return max(int(getattr(pc, "slop", 0) or 0), 0)
+
+
+def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret, smax=0):
     """Stage operands and launch kernel + postproc for one group."""
     terms: Dict[str, int] = {}
     kmax_need = 1
@@ -785,30 +858,37 @@ def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret):
         kmax_need = max(kmax_need, len(clauses[i].terms))
     u_pad = next(u for u in PU_BUCKETS if len(terms) + 1 <= u)
     b_pad = next(b for b in PB_BUCKETS if len(q_idx) <= b)
-    kmax = next(k for k in PK_BUCKETS if kmax_need <= k)
+    kb = PK_SLOP_BUCKETS if smax else PK_BUCKETS
+    kmax = next(k for k in kb if kmax_need <= k)
 
-    # flattened [kmax * u_pad, b_pad]: slot jj's one-hot plane lives at
-    # rows [jj * u_pad, (jj+1) * u_pad) (kernel slices per shifted view)
-    w = np.zeros((kmax * u_pad, b_pad), dtype=np.float32)
+    # flattened [kmax * (smax+1) * u_pad, b_pad]: plane (jj, ss) lives at
+    # rows [(jj*(smax+1)+ss) * u_pad, ...) and carries slot jj's one-hot
+    # weights for shift jj+ss.  Slot 0 anchors exactly (ss=0 only — the
+    # oracle's anchor IS term 0's position); slot jj >= 1 fills planes
+    # ss <= slop_q; dead slots ride the ALWAYS-ONE column on ss=0.
+    w = np.zeros((kmax * (smax + 1) * u_pad, b_pad), dtype=np.float32)
     tid_arr = np.full((8, u_pad), -2, dtype=np.int32)
     tid_arr[0, u_pad - 1] = -3  # reserved ALWAYS-ONE slot
     wp = np.zeros((8, b_pad), dtype=np.float32)
-    limidx = np.full(b_pad, -1, dtype=np.int32)
     for t, slot in terms.items():
         tid_arr[0, slot] = pack.tid_of[t]
     for qi, i in enumerate(q_idx):
         pc = clauses[i]
+        slop_q = min(_clause_slop(pc), smax)
         for jj in range(kmax):
+            base_row = jj * (smax + 1) * u_pad
             if jj < len(pc.terms):
-                w[jj * u_pad + terms[pc.terms[jj]], qi] = 1.0
+                n_shift = 1 if jj == 0 else slop_q + 1
+                for ss in range(n_shift):
+                    w[base_row + ss * u_pad + terms[pc.terms[jj]], qi] = 1.0
             else:
-                w[jj * u_pad + u_pad - 1, qi] = 1.0
+                w[base_row + u_pad - 1, qi] = 1.0
         dfs = [stats.doc_freq(pc.field, t) for t in pc.terms]
         wp[0, qi] = float(
             bm25_weight(max(dfs), stats.doc_count, pc.boost)
         )
 
-    fn = _get_kernel(pack.nb_pad, u_pad, b_pad, kmax, interpret)
+    fn = _get_kernel(pack.nb_pad, u_pad, b_pad, kmax, smax, interpret)
     amax, acls = fn(
         jnp.asarray(pack.chunk_offs),
         pack.d_tok,

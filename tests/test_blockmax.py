@@ -190,9 +190,10 @@ def test_phrase_slop_bound_is_not_tf_rare(monkeypatch):
     assert got[0][1] == 0  # the double-anchor doc wins
 
 
-def test_phrase_mixed_plan_falls_back(seg):
-    """Plans mixing phrases with term clauses are not taken (None) so the
-    caller's oracle fallback keeps them exact."""
+def test_phrase_mixed_plan_served_exactly(seg):
+    """Plans mixing phrases with term clauses route to the generalized
+    block-WAND engine (ops/mixed.py, r5 — they used to fall back to the
+    dense oracle) and must stay bit-identical to it."""
     from fugu_tpu.query import PhraseClause
 
     stats = oracle.IndexStats([seg])
@@ -202,7 +203,13 @@ def test_phrase_mixed_plan_falls_back(seg):
             QueryGroup(Occur.SHOULD, (TermClause("text", "w3"),)),
         )
     )
-    assert search_blockmax(seg, plan, stats, 10) is None
+    got = search_blockmax(seg, plan, stats, 10)
+    exp = [
+        (np.float32(h.score), h.doc)
+        for h in oracle.search([seg], plan, 10, stats)
+    ]
+    assert got is not None
+    assert [(np.float32(s), d) for s, d in got] == exp
 
 
 def test_blockmax_cache_tracks_index_stats():

@@ -135,7 +135,9 @@ def test_tombstones_drop_out(seg, stats):
 
 
 def test_ineligible_plans_fall_through(seg, stats):
-    slop = _phrase_plan(["w1", "w2"], slop=1)
+    deep_slop = _phrase_plan(["w1", "w2"], slop=3)  # > MAX_SLOP
+    # slop > 0 caps terms at KGAP+1-MAX_SLOP = 7 (roll-wrap constraint)
+    wide_slop = _phrase_plan([f"w{i}" for i in range(8)], slop=1)
     multi = QueryPlan(
         groups=(
             QueryGroup(
@@ -145,13 +147,55 @@ def test_ineligible_plans_fall_through(seg, stats):
         )
     )
     nine = _phrase_plan([f"w{i}" for i in range(9)])
-    assert eligible_phrase(slop) is None
+    assert eligible_phrase(deep_slop) is None
+    assert eligible_phrase(wide_slop) is None
     assert eligible_phrase(multi) is None
     assert eligible_phrase(nine) is None
     res = batch_phrase_search(
-        seg, [slop, multi, nine], stats, [10, 10, 10], interpret=True
+        seg,
+        [deep_slop, wide_slop, multi, nine],
+        stats,
+        [10, 10, 10, 10],
+        interpret=True,
     )
-    assert res == [None, None, None]
+    assert res == [None, None, None, None]
+
+
+def test_slop_parity(seg, stats):
+    """r5: slop <= MAX_SLOP runs on the stream kernel (per-slot shift
+    windows, clamped) — bit-identical to the oracle's ordered-window
+    slop for fuzzed sloppy phrases, mixed slops in one batch."""
+    rng = np.random.default_rng(9)
+    plans, limits = [], []
+    for _ in range(20):
+        k = int(rng.integers(2, 5))
+        w = rng.integers(0, 30, size=k)
+        slop = int(rng.integers(1, 3))  # 1 or 2
+        plans.append(_phrase_plan([f"w{x}" for x in w], slop=slop))
+        limits.append(int(rng.choice([3, 10, 50])))
+    # mixed batch: sloppy + slop-0 in one begin (separate dispatches)
+    plans.append(_phrase_plan(["w1", "w2"]))
+    limits.append(10)
+    res = batch_phrase_search(seg, plans, stats, limits, interpret=True)
+    for plan, lim, got in zip(plans, limits, res):
+        assert got is not None, plan
+        assert _got(got) == _expect(seg, stats, plan, lim), plan
+
+
+def test_slop_long_doc_and_bounds(seg, stats):
+    """Sloppy adjacency across chunk boundaries + 7-term slop-2 at the
+    eligibility edge + sloppy boost."""
+    plans = [
+        _phrase_plan(["w1", "w3"], slop=1),   # w1 _ w3 via the w2 gap
+        _phrase_plan(["w1", "w2"], slop=2),   # superset of exact matches
+        _phrase_plan([f"w{i}" for i in range(3, 10)], slop=2),  # 7 terms
+        _phrase_plan(["w2", "w5"], slop=2, boost=1.7),
+    ]
+    limits = [10, 5, 10, 10]
+    res = batch_phrase_search(seg, plans, stats, limits, interpret=True)
+    for plan, lim, got in zip(plans, limits, res):
+        assert got is not None, plan
+        assert _got(got) == _expect(seg, stats, plan, lim), plan
 
 
 def test_multivalue_gap_blocks_adjacency():

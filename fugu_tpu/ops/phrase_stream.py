@@ -296,129 +296,176 @@ def estimate_device_batch_ms(
 # --------------------------------------------------------------------------
 
 
+class _StreamArrays:
+    """Host-side token stream of one (segment, field, doc range):
+    (pack rows, cv, fid, chunk_offs, nb, nb_pad, tid_of, n_terms, ok).
+    Shared by the single-chip TokenStreamPack and the sharded
+    per-doc-range builder (parallel/phrase_sharded)."""
+
+    __slots__ = (
+        "pack", "cv", "fid", "chunk_offs", "n_blocks", "nb_pad",
+        "tid_of", "n_terms", "ok",
+    )
+
+
+def build_stream_arrays(
+    segment: Segment,
+    field: str,
+    stats,
+    doc_lo: int = 0,
+    doc_hi: Optional[int] = None,
+    nb_pad: Optional[int] = None,
+) -> _StreamArrays:
+    """Build the forward token stream for docs in [doc_lo, doc_hi) with
+    LOCAL doc ids (doc - doc_lo) — doc_lo=0/doc_hi=None is the whole
+    segment.  Term ordinals are segment-global per field, so a sharded
+    caller's weight matrices stay replicated across shards."""
+    out = _StreamArrays()
+    offs = segment.pos_offsets[field]
+    data = segment.pos_data[field]
+    base = segment.field_entry_base[field]
+    n_ent = len(offs) - 1
+    e_docs = segment.e_doc[base : base + n_ent].astype(np.int64)
+    if doc_hi is None:
+        doc_hi = segment.doc_count
+    doc_count = doc_hi - doc_lo
+    nb = max((doc_count + BM_BLOCK_DOCS - 1) // BM_BLOCK_DOCS, 1)
+    out.n_blocks = nb
+    out.nb_pad = nb_pad if nb_pad is not None else _nb_pad(nb)
+    assert out.nb_pad >= nb
+
+    # per-field term ordinals (the kernel's tid space)
+    tmap = segment.terms[field]
+    out.tid_of = {}
+    tid_entry = np.zeros(max(n_ent, 1), dtype=np.int64)
+    for j, (term, info) in enumerate(tmap.items()):
+        out.tid_of[term] = j
+        lo = info.start - base
+        tid_entry[lo : lo + info.doc_freq] = j
+    out.n_terms = len(tmap)
+    out.ok = out.n_terms < TID_MASK  # tid 2^22-1 is the sentinel
+    if not out.ok:
+        return out
+
+    # stream geometry: each LOCAL doc owns rows [row0[d], row0[d] +
+    # maxpos[d] + 1 + KGAP); docs with no tokens in the field (or
+    # tombstoned, or outside the range) own nothing
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    maxpos = np.full(doc_count, -1, dtype=np.int64)
+    in_range = (e_docs >= doc_lo) & (e_docs < doc_hi)
+    local_e = e_docs - doc_lo
+    if n_ent:
+        last = data[np.maximum(offs[1:] - 1, 0)].astype(np.int64)
+        last = np.where(lens > 0, last, -1)
+        np.maximum.at(
+            maxpos, np.where(in_range, local_e, 0), np.where(in_range, last, -1)
+        )
+    live = ~segment.tombstones[doc_lo:doc_hi]
+    has = (maxpos >= 0) & live
+    dlen = np.where(has, maxpos + 1 + KGAP, 0)
+    row0 = np.zeros(doc_count + 1, dtype=np.int64)
+    np.cumsum(dlen, out=row0[1:])
+    total_raw = int(row0[-1])
+
+    raw = np.full(max(total_raw, 1), SENT_ROW, dtype=np.int32)
+    if n_ent and total_raw:
+        keep_e = in_range & has[np.where(in_range, local_e, 0)]
+        rep_docs = np.repeat(local_e, lens * keep_e)
+        rep_tids = np.repeat(tid_entry[:n_ent], lens * keep_e)
+        pos_sel = _ragged_positions(data, offs, lens, keep_e)
+        rows = row0[rep_docs] + pos_sel
+        vals = rep_tids.astype(np.int64) | (
+            (rep_docs % BM_BLOCK_DOCS) << TID_BITS
+        )
+        raw[rows] = vals.astype(np.int32)
+
+    # per-block chunking with KGAP-row overlap: chunk i of a block
+    # reads raw rows [i*(C-KGAP), i*(C-KGAP)+C) of the block's range
+    usable = BM_CHUNK - KGAP
+    blk_starts = row0[np.minimum(
+        np.arange(nb, dtype=np.int64) * BM_BLOCK_DOCS, doc_count
+    )]
+    blk_ends = row0[np.minimum(
+        (np.arange(nb, dtype=np.int64) + 1) * BM_BLOCK_DOCS, doc_count
+    )]
+    blk_len = blk_ends - blk_starts
+    n_chunks = (blk_len + usable - 1) // usable  # 0 for empty blocks
+    chunk_offs = np.zeros(out.nb_pad + 1, dtype=np.int32)
+    np.cumsum(n_chunks, out=chunk_offs[1 : nb + 1])
+    chunk_offs[nb + 1 :] = chunk_offs[nb]
+    out.chunk_offs = chunk_offs
+    total_chunks = int(chunk_offs[nb])
+
+    size = _pack_rows(total_chunks)
+    pack = np.full(size, SENT_ROW, dtype=np.int32)
+    if total_chunks:
+        blk_of = np.repeat(
+            np.arange(nb, dtype=np.int64), n_chunks
+        )
+        within = (
+            np.arange(total_chunks, dtype=np.int64)
+            - chunk_offs[blk_of].astype(np.int64)
+        )
+        src0 = blk_starts[blk_of] + within * usable
+        idx = src0[:, None] + np.arange(BM_CHUNK, dtype=np.int64)[None, :]
+        valid = idx < blk_ends[blk_of][:, None]
+        took = raw[np.where(valid, idx, 0)]
+        pack[: total_chunks * BM_CHUNK] = np.where(
+            valid, took, SENT_ROW
+        ).reshape(-1)
+
+    # per-doc BM25 denominator constants, laid out [block * 1024 +
+    # doc_local] so the kernel DMAs one aligned 1024-f32 row per block
+    cache = fieldnorm_cache(stats.avg_fieldnorm(field))
+    fids = segment.fieldnorm_ids[field][doc_lo:doc_hi].astype(np.int64)
+    cv = np.zeros(out.nb_pad * 1024, dtype=np.float32)
+    didx = np.arange(doc_count, dtype=np.int64)
+    cv[(didx // BM_BLOCK_DOCS) * 1024 + didx % BM_BLOCK_DOCS] = cache[
+        fids
+    ]
+    # padded/empty doc slots keep cv=0; their tf is always 0, and the
+    # tf > 0.5 gate excludes them before the 0/0 division could matter
+    cv[cv == 0.0] = np.float32(1.0)
+    # per-doc fieldnorm ids, same layout: the kernel packs each
+    # block-max doc's exact INTEGER (tf, fid) class alongside the
+    # f32 maxima, so the host can recompute bit-exact bounds with
+    # its own float arithmetic (margin-free pruning)
+    fid_arr = np.zeros(out.nb_pad * 1024, dtype=np.int32)
+    fid_arr[(didx // BM_BLOCK_DOCS) * 1024 + didx % BM_BLOCK_DOCS] = fids
+    out.pack = pack
+    out.cv = cv
+    out.fid = fid_arr
+    return out
+
+
 class TokenStreamPack:
     """Forward token stream of one (segment, field), block-major and
     chunk-overlapped for the phrase kernel (see module docstring)."""
 
     def __init__(self, segment: Segment, field: str, stats):
-        offs = segment.pos_offsets[field]
-        data = segment.pos_data[field]
-        base = segment.field_entry_base[field]
-        n_ent = len(offs) - 1
-        e_docs = segment.e_doc[base : base + n_ent].astype(np.int64)
-        doc_count = segment.doc_count
-        nb = max((doc_count + BM_BLOCK_DOCS - 1) // BM_BLOCK_DOCS, 1)
-        self.n_blocks = nb
-        self.nb_pad = _nb_pad(nb)
-
-        # per-field term ordinals (the kernel's tid space)
-        tmap = segment.terms[field]
-        self.tid_of: Dict[str, int] = {}
-        tid_entry = np.zeros(max(n_ent, 1), dtype=np.int64)
-        for j, (term, info) in enumerate(tmap.items()):
-            self.tid_of[term] = j
-            lo = info.start - base
-            tid_entry[lo : lo + info.doc_freq] = j
-        self.n_terms = len(tmap)
-        self.ok = self.n_terms < TID_MASK  # tid 2^22-1 is the sentinel
+        arrs = build_stream_arrays(segment, field, stats)
+        self.n_blocks = arrs.n_blocks
+        self.nb_pad = arrs.nb_pad
+        self.tid_of = arrs.tid_of
+        self.n_terms = arrs.n_terms
+        self.ok = arrs.ok
         if not self.ok:
             return
-
-        # stream geometry: each doc owns rows [row0[d], row0[d] +
-        # maxpos[d] + 1 + KGAP); docs with no tokens in the field (or
-        # tombstoned) own nothing
-        lens = (offs[1:] - offs[:-1]).astype(np.int64)
-        maxpos = np.full(doc_count, -1, dtype=np.int64)
-        if n_ent:
-            last = data[np.maximum(offs[1:] - 1, 0)].astype(np.int64)
-            last = np.where(lens > 0, last, -1)
-            np.maximum.at(maxpos, e_docs, last)
-        live = ~segment.tombstones
-        has = (maxpos >= 0) & live
-        dlen = np.where(has, maxpos + 1 + KGAP, 0)
-        row0 = np.zeros(doc_count + 1, dtype=np.int64)
-        np.cumsum(dlen, out=row0[1:])
-        total_raw = int(row0[-1])
-
-        raw = np.full(max(total_raw, 1), SENT_ROW, dtype=np.int32)
-        if n_ent and total_raw:
-            keep_e = has[e_docs]
-            rep_docs = np.repeat(e_docs, lens * keep_e)
-            rep_tids = np.repeat(tid_entry[:n_ent], lens * keep_e)
-            pos_sel = _ragged_positions(data, offs, lens, keep_e)
-            rows = row0[rep_docs] + pos_sel
-            vals = rep_tids.astype(np.int64) | (
-                (rep_docs % BM_BLOCK_DOCS) << TID_BITS
-            )
-            raw[rows] = vals.astype(np.int32)
-
-        # per-block chunking with KGAP-row overlap: chunk i of a block
-        # reads raw rows [i*(C-KGAP), i*(C-KGAP)+C) of the block's range
-        usable = BM_CHUNK - KGAP
-        blk_starts = row0[np.minimum(
-            np.arange(nb, dtype=np.int64) * BM_BLOCK_DOCS, doc_count
-        )]
-        blk_ends = row0[np.minimum(
-            (np.arange(nb, dtype=np.int64) + 1) * BM_BLOCK_DOCS, doc_count
-        )]
-        blk_len = blk_ends - blk_starts
-        n_chunks = (blk_len + usable - 1) // usable  # 0 for empty blocks
-        chunk_offs = np.zeros(self.nb_pad + 1, dtype=np.int32)
-        np.cumsum(n_chunks, out=chunk_offs[1 : nb + 1])
-        chunk_offs[nb + 1 :] = chunk_offs[nb]
-        self.chunk_offs = chunk_offs
-        total_chunks = int(chunk_offs[nb])
-
-        size = _pack_rows(total_chunks)
-        pack = np.full(size, SENT_ROW, dtype=np.int32)
-        if total_chunks:
-            blk_of = np.repeat(
-                np.arange(nb, dtype=np.int64), n_chunks
-            )
-            within = (
-                np.arange(total_chunks, dtype=np.int64)
-                - chunk_offs[blk_of].astype(np.int64)
-            )
-            src0 = blk_starts[blk_of] + within * usable
-            idx = src0[:, None] + np.arange(BM_CHUNK, dtype=np.int64)[None, :]
-            valid = idx < blk_ends[blk_of][:, None]
-            took = raw[np.where(valid, idx, 0)]
-            pack[: total_chunks * BM_CHUNK] = np.where(
-                valid, took, SENT_ROW
-            ).reshape(-1)
-
-        # per-doc BM25 denominator constants, laid out [block * 1024 +
-        # doc_local] so the kernel DMAs one aligned 1024-f32 row per block
-        cache = fieldnorm_cache(stats.avg_fieldnorm(field))
-        fids = segment.fieldnorm_ids[field].astype(np.int64)
-        cv = np.zeros(self.nb_pad * 1024, dtype=np.float32)
-        didx = np.arange(doc_count, dtype=np.int64)
-        cv[(didx // BM_BLOCK_DOCS) * 1024 + didx % BM_BLOCK_DOCS] = cache[
-            fids
-        ]
-        # padded/empty doc slots keep cv=0; their tf is always 0, and the
-        # tf > 0.5 gate excludes them before the 0/0 division could matter
-        cv[cv == 0.0] = np.float32(1.0)
-        # per-doc fieldnorm ids, same layout: the kernel packs each
-        # block-max doc's exact INTEGER (tf, fid) class alongside the
-        # f32 maxima, so the host can recompute bit-exact bounds with
-        # its own float arithmetic (margin-free pruning)
-        fid_arr = np.zeros(self.nb_pad * 1024, dtype=np.int32)
-        fid_arr[(didx // BM_BLOCK_DOCS) * 1024 + didx % BM_BLOCK_DOCS] = fids
+        self.chunk_offs = arrs.chunk_offs
 
         from fugu_tpu.ops import residency
 
         residency.reserve(
             ("tok", id(segment), field),
-            pack.nbytes + cv.nbytes + fid_arr.nbytes,
+            arrs.pack.nbytes + arrs.cv.nbytes + arrs.fid.nbytes,
             segment,
             functools.partial(_evict_token_stream, field=field),
             kind="token_stream",
         )
-        self.d_tok = jnp.asarray(pack)
-        self.d_cv = jnp.asarray(cv)
-        self.d_fid = jnp.asarray(fid_arr)
-        self.hbm_bytes = pack.nbytes + cv.nbytes + fid_arr.nbytes
+        self.d_tok = jnp.asarray(arrs.pack)
+        self.d_cv = jnp.asarray(arrs.cv)
+        self.d_fid = jnp.asarray(arrs.fid)
+        self.hbm_bytes = arrs.pack.nbytes + arrs.cv.nbytes + arrs.fid.nbytes
 
 
 def _ragged_positions(data, offs, lens, keep_e):
@@ -801,45 +848,15 @@ def phrase_stream_begin(
             for i in run:
                 del clauses[i]  # host path serves these
             continue
-        # slop-0 and sloppy queries dispatch separately: the sloppy
-        # program (smax=MAX_SLOP) pays (slop+1)x one-hot/matmul work per
-        # slot and compiles a different signature — keeping slop-0
-        # batches on the round-4 program preserves both its speed and
-        # its warm compile cache.  Each sub-run pays its own sweep; a
-        # mixed batch therefore costs up to two sweeps (measured
-        # tradeoff vs 3x-ing the common slop-0 case: slop-0 wins).
-        subruns = [
-            ([i for i in run if not _clause_slop(clauses[i])], 0),
-            ([i for i in run if _clause_slop(clauses[i])], MAX_SLOP),
-        ]
-        for sub, smax in subruns:
-            # split greedily when the union exceeds the largest U bucket
-            # (one usable slot is reserved for the ALWAYS-ONE column)
-            groups: List[List[int]] = []
-            cur: List[int] = []
-            cur_terms: set = set()
-            for i in sub:
-                ts = set(clauses[i].terms)
-                new = ts - cur_terms
-                if cur and (
-                    len(cur) >= PB_BUCKETS[-1]
-                    or len(cur_terms) + len(new) > PU_BUCKETS[-1] - 1
-                ):
-                    groups.append(cur)
-                    cur, cur_terms = [], set()
-                cur_terms |= ts
-                cur.append(i)
-            if cur:
-                groups.append(cur)
-            for q_idx in groups:
-                dispatches.append(
-                    _dispatch_group(
-                        segment, pack, q_idx, clauses, stats, interpret,
-                        smax,
-                    )
+        for q_idx, smax in split_dispatch_groups(run, clauses):
+            dispatches.append(
+                _dispatch_group(
+                    segment, pack, q_idx, clauses, stats, interpret,
+                    smax,
                 )
-                for i in q_idx:
-                    staged.append((i, clauses[i]))
+            )
+            for i in q_idx:
+                staged.append((i, clauses[i]))
     return (pre, staged, dispatches, segment, stats, list(limits))
 
 
@@ -847,8 +864,50 @@ def _clause_slop(pc: PhraseClause) -> int:
     return max(int(getattr(pc, "slop", 0) or 0), 0)
 
 
-def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret, smax=0):
-    """Stage operands and launch kernel + postproc for one group."""
+def split_dispatch_groups(run, clauses) -> List[Tuple[List[int], int]]:
+    """[(q_idx, smax)] dispatch groups for ``run`` (eligible plan
+    indices, in order) — shared by the single-chip and sharded begins.
+
+    slop-0 and sloppy queries dispatch separately: the sloppy program
+    (smax=MAX_SLOP) pays (slop+1)x one-hot/matmul work per slot and
+    compiles a different signature — keeping slop-0 batches on the
+    round-4 program preserves both its speed and its warm compile
+    cache.  Each sub-run pays its own sweep; a mixed batch therefore
+    costs up to two sweeps (measured tradeoff vs 3x-ing the common
+    slop-0 case: slop-0 wins).  Within a sub-run, split greedily when
+    the union exceeds the largest U bucket (one usable slot is reserved
+    for the ALWAYS-ONE column)."""
+    out: List[Tuple[List[int], int]] = []
+    subruns = [
+        ([i for i in run if not _clause_slop(clauses[i])], 0),
+        ([i for i in run if _clause_slop(clauses[i])], MAX_SLOP),
+    ]
+    for sub, smax in subruns:
+        groups: List[List[int]] = []
+        cur: List[int] = []
+        cur_terms: set = set()
+        for i in sub:
+            ts = set(clauses[i].terms)
+            new = ts - cur_terms
+            if cur and (
+                len(cur) >= PB_BUCKETS[-1]
+                or len(cur_terms) + len(new) > PU_BUCKETS[-1] - 1
+            ):
+                groups.append(cur)
+                cur, cur_terms = [], set()
+            cur_terms |= ts
+            cur.append(i)
+        if cur:
+            groups.append(cur)
+        out.extend((g, smax) for g in groups)
+    return out
+
+
+def stage_group_weights(tid_of, q_idx, clauses, stats, smax):
+    """(w, tid_arr, wp, u_pad, b_pad, kmax) kernel operands for one
+    dispatch group — shared by the single-chip and sharded launchers
+    (term ordinals are segment-global per field, so the sharded path
+    replicates these across shards verbatim)."""
     terms: Dict[str, int] = {}
     kmax_need = 1
     for i in q_idx:
@@ -871,7 +930,7 @@ def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret, smax=0):
     tid_arr[0, u_pad - 1] = -3  # reserved ALWAYS-ONE slot
     wp = np.zeros((8, b_pad), dtype=np.float32)
     for t, slot in terms.items():
-        tid_arr[0, slot] = pack.tid_of[t]
+        tid_arr[0, slot] = tid_of[t]
     for qi, i in enumerate(q_idx):
         pc = clauses[i]
         slop_q = min(_clause_slop(pc), smax)
@@ -887,7 +946,14 @@ def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret, smax=0):
         wp[0, qi] = float(
             bm25_weight(max(dfs), stats.doc_count, pc.boost)
         )
+    return w, tid_arr, wp, u_pad, b_pad, kmax
 
+
+def _dispatch_group(segment, pack, q_idx, clauses, stats, interpret, smax=0):
+    """Stage operands and launch kernel + postproc for one group."""
+    w, tid_arr, wp, u_pad, b_pad, kmax = stage_group_weights(
+        pack.tid_of, q_idx, clauses, stats, smax
+    )
     fn = _get_kernel(pack.nb_pad, u_pad, b_pad, kmax, smax, interpret)
     amax, acls = fn(
         jnp.asarray(pack.chunk_offs),
@@ -1011,10 +1077,19 @@ _CLS_GUARD = 1e-6
 
 
 def _rescore_blocks(
-    segment, pc, stats, fine_ids, classes, truncated, limit
+    segment, pc, stats, fine_ids, classes, truncated, limit,
+    lo_table=None, hi_table=None,
 ):
     """Exact host top-k over candidate fine blocks in descending-bound
     order with margin-free early termination.
+
+    ``lo_table``/``hi_table`` (optional): per-fine-id doc windows for
+    callers whose id space is not the plain ``id * BM_FINE_DOCS``
+    layout — the sharded engine maps global padded fine ids onto
+    per-shard doc ranges (clamped at shard bounds so windows never
+    overlap a neighbour shard's block 0).  Tables must be monotone
+    non-decreasing in id (id order == doc order), which the shard
+    layout guarantees.
 
     ``classes`` are the kernel's per-block INTEGER (tf << 8 | 255-fid)
     classes of the score-argmax doc; the host recomputes each bound
@@ -1044,6 +1119,16 @@ def _rescore_blocks(
     ids_o = fine_ids[order]
     bnd_o = bounds[order]
 
+    def lo_of(ids):
+        if lo_table is None:
+            return ids * BM_FINE_DOCS
+        return lo_table[ids]
+
+    def hi_of(ids):
+        if hi_table is None:
+            return ids * BM_FINE_DOCS + BM_FINE_DOCS
+        return hi_table[ids]
+
     hits_docs: List[np.ndarray] = []
     hits_scores: List[np.ndarray] = []
     n_hits = 0
@@ -1057,7 +1142,7 @@ def _rescore_blocks(
             b = bnd_o[remaining]
             keep = (
                 (b > kth)
-                | ((b == kth) & (ids_o[remaining] * BM_FINE_DOCS < worst_doc))
+                | ((b == kth) & (lo_of(ids_o[remaining]) < worst_doc))
                 | ((b < kth) & (kth - b <= abs(kth) * _CLS_GUARD))
             )
             remaining = remaining[keep]
@@ -1065,8 +1150,7 @@ def _rescore_blocks(
                 break
         chunk, remaining = remaining[:group], remaining[group:]
         sel = np.sort(ids_o[chunk])
-        los = sel * BM_FINE_DOCS
-        docs, ptf = match_ranges(segment, pc, los, los + BM_FINE_DOCS)
+        docs, ptf = match_ranges(segment, pc, lo_of(sel), hi_of(sel))
         if len(docs):
             ptf_f = ptf.astype(np.float32)
             fids = fid_all[docs].astype(np.int64)
@@ -1097,7 +1181,13 @@ def _rescore_blocks(
             # class collides with kth (a colliding class's blocks may
             # order differently in device f32)
             tied = ids_o[bnd_o == b_min]
-            next_lo = (int(tied.max()) + 1) * BM_FINE_DOCS
+            next_id = int(tied.max()) + 1
+            if lo_table is None:
+                next_lo = next_id * BM_FINE_DOCS
+            elif next_id < len(lo_table):
+                next_lo = int(lo_table[next_id])
+            else:
+                next_lo = segment.doc_count
             if next_lo >= worst_doc and not _class_collides(kth, w, cache):
                 need_fallback = False
 

@@ -133,6 +133,11 @@ class ShardedBlockMajor:
         self.d_tid = jax.device_put(st_tid, spec)
         self.d_con = jax.device_put(st_con, spec)
         self.d_offs = jax.device_put(offs, spec)
+        #: total staged device bytes (split across d chips; residency
+        #: accounts hbm_bytes / d per chip — engine/named_index)
+        self.hbm_bytes = (
+            st_doc.nbytes + st_tid.nbytes + st_con.nbytes + offs.nbytes
+        )
 
 
 _SHARDED_PHASEA_CACHE: dict = {}

@@ -87,6 +87,9 @@ class PallasShardedPack(ShardedPack):
         self.p_doc = jax.device_put(stacked_doc, spec)
         self.p_pk = jax.device_put(stacked_pk, spec)
         self.p_flags = jax.device_put(flags, spec3)
+        self.hbm_bytes = getattr(self, "hbm_bytes", 0) + (
+            stacked_doc.nbytes + stacked_pk.nbytes + flags.nbytes
+        )
         #: searchsorted memo per shard: (start, len) -> block offsets
         self._offs_caches = [dict() for _ in range(d)]
 

@@ -145,6 +145,11 @@ class ShardedPack:
         self.d_offsets = jax.device_put(
             self.shard_starts.reshape(d, 1), shard_spec
         )
+        #: total staged device bytes (split across the mesh's d chips;
+        #: residency accounts hbm_bytes / d per chip — engine/named_index)
+        self.hbm_bytes = (
+            stacked_doc.nbytes + stacked_pk.nbytes + tomb.nbytes
+        )
 
     def stage(self, plan: QueryPlan, stats, t_pad: int):
         """Per-shard clause operands [D, T] + global masks, or None."""

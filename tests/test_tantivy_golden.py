@@ -110,3 +110,37 @@ def test_oracle_matches_real_tantivy(seg):
         if got != exp:
             mismatches.append((query, exp[:3], got[:3]))
     assert not mismatches, mismatches
+
+
+REVERSE = GOLDEN_DIR / "oracle_golden.json"
+
+
+def test_reverse_fixture_matches_live_oracle(seg):
+    """The committed REVERSE fixture (tools/dump_oracle_golden.py — our
+    ranked results in the tantivy_golden schema, the handshake a future
+    cargo run diffs against) must match the live oracle bit-for-bit; a
+    behavior change that forgets to regenerate it fails here."""
+    assert REVERSE.exists(), "run python tools/dump_oracle_golden.py"
+    reverse = json.loads(REVERSE.read_text())
+    assert reverse["tantivy_version_expected"] == "0.24.1"
+    limit = reverse["limit"]
+    stats = oracle.IndexStats([seg])
+    id_of = {d: seg.stored[d]["id"] for d in range(seg.doc_count)}
+    mismatches = []
+    for query, expected in reverse["results"].items():
+        if expected is None:
+            continue
+        plan = queryparser.parse_with_fallback(
+            query,
+            default_fields=("text", "name"),
+            known_fields=DOCS_SCHEMA.text_fields,
+            date_fields=DOCS_SCHEMA.date_fields,
+        )
+        hits = oracle.search([seg], plan, limit, stats)
+        got = [
+            [id_of[h.doc], int(np.float32(h.score).view(np.uint32))]
+            for h in hits
+        ]
+        if got != expected:
+            mismatches.append((query, expected[:2], got[:2]))
+    assert not mismatches, mismatches

@@ -169,6 +169,23 @@ class SegmentBuilder:
         self.approx_bytes += 64
         return doc
 
+    @staticmethod
+    def id_tokens(v: str) -> List[str]:
+        """The id field's analyzed tokens (ascii fast path: maximal
+        [0-9A-Za-z] runs — == str.isalnum for ascii — each under the
+        40-byte RemoveLongFilter limit when the whole id is, lowercased
+        char-wise == str.lower for ascii)."""
+        v = str(v)
+        if v.isascii() and len(v) < 40:
+            return [m.group().lower() for m in _ASCII_RUNS.finditer(v)]
+        return [tok.text for tok in analysis.tokenize(v)]
+
+    def _index_id_tokens(self, doc: int, values: Sequence[str]) -> None:
+        """Raw-id-token side table for in-batch upsert dedupe."""
+        for v in values:
+            for tok in self.id_tokens(v):
+                self._id_docs.setdefault(tok, []).append(doc)
+
     def _add_document_native(
         self, doc: int, text_fields: Dict[str, Sequence[str]]
     ) -> None:
@@ -197,21 +214,7 @@ class SegmentBuilder:
             buf.nvals.append(n)
         self.approx_bytes += approx
         if "id" in text_fields:
-            # raw-id-token side table for in-batch upsert dedupe
-            for v in text_fields["id"]:
-                v = str(v)
-                if v.isascii() and len(v) < 40:
-                    # ascii fast path: tokens are maximal [0-9A-Za-z]
-                    # runs (== str.isalnum for ascii), each under the
-                    # 40-byte RemoveLongFilter limit since the whole id
-                    # is, lowercased (char-wise == str.lower for ascii)
-                    for m in _ASCII_RUNS.finditer(v):
-                        self._id_docs.setdefault(
-                            m.group().lower(), []
-                        ).append(doc)
-                else:
-                    for tok in analysis.tokenize(v):
-                        self._id_docs.setdefault(tok.text, []).append(doc)
+            self._index_id_tokens(doc, text_fields["id"])
 
     def _add_document_python(
         self, doc: int, text_fields: Dict[str, Sequence[str]]

@@ -990,10 +990,14 @@ def batch_search(
         interpret = jax.default_backend() == "cpu"
 
     kinds = {}
+    from fugu_tpu.ops.scoring import has_nonpositive_weight
+
     for i, p in enumerate(plans):
         if limits[i] > MAX_K:
             continue
         kind = _classify(p)
+        if kind is not None and has_nonpositive_weight(p, stats):
+            kind = None  # 'scores > 0 == matched' breaks; host fallback
         if kind is not None:
             kinds[i] = kind
     # narrow-kind plans (pure/neg/gate) batch first so they ride narrow

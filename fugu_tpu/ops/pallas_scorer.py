@@ -82,6 +82,145 @@ MAX_K = 128           # per-block extraction budget (== K_OUT lanes); the
 _INT_MAX = np.int32(2**31 - 1)
 
 
+def _roll(x, shift, axis, interpret):
+    """Partner-fetch rotation: value FROM index i+shift (shift may be
+    negative).  Lane axis: pltpu.roll is a RIGHT rotation with
+    non-negative shifts (x_rolled[i] = x[i - s]), so "from i+j" =
+    right-rotate by N - j.  Sublane axis: static slice+concat (always
+    legal in Mosaic; the sublane count is tiny)."""
+    n = x.shape[axis]
+    s = shift % n
+    if axis == 0:
+        if s == 0:
+            return x
+        return jnp.concatenate([x[s:], x[:s]], axis=0)
+    if interpret:
+        return jnp.roll(x, -shift, axis=axis)
+    return pltpu.roll(x, (n - s) % n, axis=axis)
+
+
+def _bitonic_topk_update(masked, base, r_key, r_doc, interpret):
+    """Merge one block's masked scores into the running top-128.
+
+    ``masked``: (HI_ROWS, 256) f32 block scores (NEG_INF = no match);
+    ``base``: the block's global doc offset; ``r_key``/``r_doc``:
+    (HI_ROWS, K_OUT) running buffer — ROW 0 holds the current top-128
+    ASCENDING by (score, doc-desc) so lane 0 is the kth (skip bound).
+
+    In-kernel extraction (r5, VERDICT r4 #1 design (a)): the dense
+    nb_pad*2048 HBM write + XLA top_k re-read cost 10.5 ms/dispatch at
+    k=128 (~55% of wave-1 device time for the limit100 class).  Here a
+    SIMD bitonic sort runs on the (8, 256) tile itself — XOR-partner
+    exchanges become two rotations + selects at every distance (lane
+    rolls below 256, sublane rolls above), ~66 stages for 2048 lanes —
+    and a half-cleaner merges the block's sorted top-128 into the
+    running buffer.  A block whose max cannot beat the running kth
+    skips the sort entirely (one reduction), so warm queries sort only
+    the handful of blocks that still matter.
+
+    Ordering contract: winner = (key desc, doc asc) exactly like XLA
+    top_k's lowest-index-on-ties over ascending block ids, so the
+    candidate SET matches the dense path bit-for-bit."""
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (HI_ROWS, 256), 1)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (HI_ROWS, 256), 0)
+    i_flat = sub_iota * 256 + lane_iota
+    keys = masked
+    docs = base + i_flat
+
+    def wins(ka, da, kb, db):
+        return (ka > kb) | ((ka == kb) & (da < db))
+
+    def stage(k_, d_, kk, j):
+        if j < 256:
+            pk = jnp.where(
+                (lane_iota & j) == 0,
+                _roll(k_, j, 1, interpret),
+                _roll(k_, -j, 1, interpret),
+            )
+            pd = jnp.where(
+                (lane_iota & j) == 0,
+                _roll(d_, j, 1, interpret),
+                _roll(d_, -j, 1, interpret),
+            )
+            low = (lane_iota & j) == 0
+        else:
+            s = j // 256
+            pk = jnp.where(
+                (sub_iota & s) == 0,
+                _roll(k_, s, 0, interpret),
+                _roll(k_, -s, 0, interpret),
+            )
+            pd = jnp.where(
+                (sub_iota & s) == 0,
+                _roll(d_, s, 0, interpret),
+                _roll(d_, -s, 0, interpret),
+            )
+            low = (sub_iota & s) == 0
+        # 2kk-group direction: (i & kk) == 0 -> DESC (lower index holds
+        # the winner); the final kk = 2048 pass leaves flat-desc order
+        keep_w = ((i_flat & kk) == 0) == low
+        v_wins = wins(k_, d_, pk, pd)
+        take_self = keep_w == v_wins
+        return (
+            jnp.where(take_self, k_, pk),
+            jnp.where(take_self, d_, pd),
+        )
+
+    def sort_block(args):
+        k_, d_ = keys, docs
+        kk = 2
+        while kk <= BLOCK:
+            j = kk >> 1
+            while j >= 1:
+                k_, d_ = stage(k_, d_, kk, j)
+                j >>= 1
+            kk <<= 1
+        # flat-desc sorted: ranks 0..255 live in sublane 0; top-128 is
+        # row 0, lanes 0..127.  Broadcast row 0 to all sublanes (static
+        # slice + concat) so the merge below runs on whole tiles.
+        t_key = jnp.concatenate([k_[0:1]] * HI_ROWS, axis=0)[:, :K_OUT]
+        t_doc = jnp.concatenate([d_[0:1]] * HI_ROWS, axis=0)[:, :K_OUT]
+
+        rk, rd = args
+        # half-cleaner: running row is ASC, block top-128 is DESC, so
+        # [R_asc ++ T_desc] is bitonic and the elementwise winner holds
+        # the union's top-128 (itself bitonic)
+        w = wins(rk, rd, t_key, t_doc)
+        mk = jnp.where(w, rk, t_key)
+        md = jnp.where(w, rd, t_doc)
+        # clean the bitonic 128-sequence back to ASC (lane rolls only)
+        l128 = jax.lax.broadcasted_iota(jnp.int32, (HI_ROWS, K_OUT), 1)
+        j = K_OUT >> 1
+        while j >= 1:
+            low = (l128 & j) == 0
+            pk = jnp.where(
+                low,
+                _roll(mk, j, 1, interpret),
+                _roll(mk, -j, 1, interpret),
+            )
+            pd = jnp.where(
+                low,
+                _roll(md, j, 1, interpret),
+                _roll(md, -j, 1, interpret),
+            )
+            # ASC: lower index holds the LOSER
+            keep_w = ~low
+            v_wins = wins(mk, md, pk, pd)
+            take_self = keep_w == v_wins
+            mk = jnp.where(take_self, mk, pk)
+            md = jnp.where(take_self, md, pd)
+            j >>= 1
+        return mk, md
+
+    # skip bound: strict — a block whose max equals the kth could still
+    # displace it on the doc-asc tie-break
+    bm = jnp.max(keys)
+    kth = r_key[0, 0]
+    return jax.lax.cond(
+        bm > kth, sort_block, lambda a: a, (r_key, r_doc)
+    )
+
+
 def _scorer_kernel(
     # scalar prefetch (SMEM)
     nblocks,      # int32[B]     number of active block slots per query
@@ -97,18 +236,23 @@ def _scorer_kernel(
     e_doc_hbm,
     e_tffid_hbm,
     tomb_hbm,
-    # output (VMEM block, one row per query): the masked dense block
-    # scores — top-k extraction happens OUTSIDE the kernel via XLA's
-    # top_k in the same jitted program (in-kernel iterative extraction
-    # cost ~16 serial cross-lane reductions per query row)
-    out_scores,   # f32[1, NB*HI_ROWS, 256]
-    # scratch: per-clause 1-D doc/tf/fid buffers (match the 1-D HBM
-    # tiling), the per-doc tombstone flags, then the DMA semaphores
-    *scratch,
+    # outputs then scratch (see below): the dense path emits one
+    # f32[1, NB*HI_ROWS, 256] masked block-score row per query (top-k
+    # extraction via XLA top_k outside); the in-kernel-topk path
+    # (k = 128, r5) emits the running top-128 (f32 keys + i32 docs,
+    # [1, HI_ROWS, K_OUT]) merged block by block with the bitonic
+    # network above — no dense HBM write, no XLA top_k
+    *refs,
     t_pad: int,
     nb_pad: int,
     need_bits: bool,
+    inkernel_topk: bool = False,
+    interpret: bool = False,
 ):
+    if inkernel_topk:
+        out_key, out_doc, *scratch = refs
+    else:
+        out_scores, *scratch = refs
     doc_s = [scratch[2 * t] for t in range(t_pad)]       # (2*WINDOW,)
     pk_s = [scratch[2 * t + 1] for t in range(t_pad)]    # (2*WINDOW,)
     tomb_s = scratch[2 * t_pad]                          # (2*HI_ROWS, 256)
@@ -169,7 +313,7 @@ def _scorer_kernel(
         for d in dma_set(0, 0):
             d.start()
 
-    def block_step(jj, _):
+    def block_step(jj, carry):
         slot = jj % 2
         base = block_ids[b, jj] * BLOCK
         woff = pl.multiple_of(slot * WINDOW, 1024)
@@ -289,31 +433,73 @@ def _scorer_kernel(
         matched &= tomb_s[pl.ds(boff, HI_ROWS), :] == 0
 
         masked = jnp.where(matched, scores, NEG_INF)
+        if inkernel_topk:
+            rk, rd = carry
+            return _bitonic_topk_update(masked, base, rk, rd, interpret)
         row = pl.multiple_of(jj * HI_ROWS, HI_ROWS)
         out_scores[0, pl.ds(row, HI_ROWS), :] = masked
-        return 0
+        return carry
 
-    jax.lax.fori_loop(0, nb, block_step, 0)
-    # slots >= nb keep whatever the output buffer held; the XLA side
-    # masks them by nblocks before the top_k
+    if inkernel_topk:
+        r0 = (
+            jnp.full((HI_ROWS, K_OUT), NEG_INF, jnp.float32),
+            jnp.full((HI_ROWS, K_OUT), _INT_MAX, jnp.int32),
+        )
+        rk, rd = jax.lax.fori_loop(0, nb, block_step, r0)
+        out_key[0, :, :] = rk
+        out_doc[0, :, :] = rd
+    else:
+        jax.lax.fori_loop(0, nb, block_step, 0)
+    # dense path: slots >= nb keep whatever the output buffer held; the
+    # XLA side masks them by nblocks before the top_k
 
 
 K_OUT = 128  # lane-aligned output tile
 
 
 def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
-                      need_bits: bool, interpret: bool = False):
+                      need_bits: bool, interpret: bool = False,
+                      inkernel_topk: bool = False):
     """The raw (unjitted) wrapper — callers jit it directly
     (build_scorer) or trace it inside shard_map (parallel.pallas_sharded).
 
-    The Pallas kernel emits the masked dense block scores; the top-k
-    (with the score-desc/doc-asc tiebreak) runs as XLA ``top_k`` fused in
-    the same program — block_ids rows are ascending, so equal scores
-    resolve to the lowest global doc id by first-occurrence order.
+    Dense path: the Pallas kernel emits the masked dense block scores
+    and the top-k (score-desc/doc-asc tiebreak) runs as XLA ``top_k``
+    fused in the same program — block_ids rows are ascending, so equal
+    scores resolve to the lowest global doc id by first-occurrence
+    order.  ``inkernel_topk`` (k == K_OUT only, r5): the kernel merges
+    a running bitonic top-128 across blocks and emits just
+    [HI_ROWS, K_OUT] keys+docs per query — no dense HBM write, no XLA
+    top_k (measured 10.5 ms/dispatch on the limit100 wave shape).
     """
+    # the in-kernel network always extracts K_OUT candidates; for
+    # smaller k buckets that is a strict superset of the dense path's
+    # extraction (collectors filter + rescore-truncate), so exactness
+    # holds for any k
     kernel = functools.partial(
-        _scorer_kernel, t_pad=t_pad, nb_pad=nb_pad, need_bits=need_bits
+        _scorer_kernel, t_pad=t_pad, nb_pad=nb_pad, need_bits=need_bits,
+        inkernel_topk=inkernel_topk, interpret=interpret,
     )
+    if inkernel_topk:
+        out_specs = [
+            pl.BlockSpec((1, HI_ROWS, K_OUT), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, HI_ROWS, K_OUT), lambda b, *_: (b, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b_pad, HI_ROWS, K_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, HI_ROWS, K_OUT), jnp.int32),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec(
+                (1, nb_pad * HI_ROWS, 256), lambda b, *_: (b, 0, 0)
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (b_pad, nb_pad * HI_ROWS, 256), jnp.float32
+            )
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,
         grid=(b_pad,),
@@ -322,11 +508,7 @@ def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, nb_pad * HI_ROWS, 256), lambda b, *_: (b, 0, 0)
-            ),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2 * WINDOW,), jnp.int32) for _ in range(2 * t_pad)
         ]
@@ -338,17 +520,24 @@ def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
 
     def call(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
              masks, e_doc, e_tffid, tomb):
-        raw = pl.pallas_call(
+        outs = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct(
-                    (b_pad, nb_pad * HI_ROWS, 256), jnp.float32
-                )
-            ],
+            out_shape=out_shape,
             interpret=interpret,
         )(nblocks, block_ids, starts, counts, weights, c1, c2, gbits,
-          masks, e_doc, e_tffid, tomb)[0]
+          masks, e_doc, e_tffid, tomb)
+        if inkernel_topk:
+            r_key, r_doc = outs
+            # row 0 is the running buffer ASCENDING by (score, doc-desc)
+            # — reverse lanes so collectors see the usual desc layout
+            top_s = r_key[:, 0, ::-1]
+            top_d = r_doc[:, 0, ::-1]
+            top_d = jnp.where(
+                top_s > NEG_INF, top_d, jnp.int32(_INT_MAX)
+            )
+            return top_s[:, None, :], top_d[:, None, :]
+        raw = outs[0]
         flat = raw.reshape(b_pad, nb_pad, BLOCK)
         slot_ok = (
             jax.lax.broadcasted_iota(jnp.int32, (b_pad, nb_pad), 1)
@@ -369,9 +558,12 @@ def build_scorer_call(t_pad: int, nb_pad: int, k: int, b_pad: int,
 
 
 def build_scorer(t_pad: int, nb_pad: int, k: int, b_pad: int,
-                 need_bits: bool, interpret: bool = False):
+                 need_bits: bool, interpret: bool = False,
+                 inkernel_topk: bool = False):
     return jax.jit(
-        build_scorer_call(t_pad, nb_pad, k, b_pad, need_bits, interpret)
+        build_scorer_call(
+            t_pad, nb_pad, k, b_pad, need_bits, interpret, inkernel_topk
+        )
     )
 
 
@@ -384,11 +576,28 @@ _SCORER_CACHE: dict = {}
 PROFILE = {"stage_s": 0.0, "device_s": 0.0, "dispatches": 0}
 
 
+def _use_inkernel_topk(k: int) -> bool:
+    """Route k == K_OUT (the limit100 extraction bucket) through the
+    in-kernel bitonic top-k unless FUGU_INKERNEL_TOPK=0.  Smaller k
+    buckets keep the dense+XLA-top_k path (its top_k is proportionally
+    cheaper there and the dense program is long warm in the compile
+    cache)."""
+    import os
+
+    v = os.environ.get("FUGU_INKERNEL_TOPK", "1")
+    if v == "0":
+        return False
+    if v == "all":
+        return True
+    return k == K_OUT
+
+
 def _get_scorer(t_pad, nb_pad, k, b_pad, need_bits, interpret):
-    key = (t_pad, nb_pad, k, b_pad, need_bits, interpret)
+    ik = _use_inkernel_topk(k)
+    key = (t_pad, nb_pad, k, b_pad, need_bits, interpret, ik)
     if key not in _SCORER_CACHE:
         _SCORER_CACHE[key] = build_scorer(
-            t_pad, nb_pad, k, b_pad, need_bits, interpret
+            t_pad, nb_pad, k, b_pad, need_bits, interpret, ik
         )
     return _SCORER_CACHE[key]
 
@@ -491,6 +700,10 @@ def pallas_search_begin(
     for i, plan in enumerate(plans):
         if plan.host_only:
             continue
+        from fugu_tpu.ops.scoring import has_nonpositive_weight
+
+        if has_nonpositive_weight(plan, stats):
+            continue  # 'scores > 0 == matched' breaks; host fallback
         n_clauses = sum(len(g.clauses) for g in plan.groups)
         # floor at 4: 1-term and 4-term queries share one compiled
         # signature and one dispatch per batch; inactive clause slots

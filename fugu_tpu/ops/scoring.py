@@ -199,6 +199,54 @@ def mask_i32(mask: int) -> int:
     return mask - (1 << 32) if mask >= (1 << 31) else mask
 
 
+def has_nonpositive_weight(plan: QueryPlan, stats) -> bool:
+    """True when any SCORING clause's idf weight is <= 0 — possible only
+    in the tombstone-inflated-df regime (df counts dead docs until
+    merge, doc_count counts live ones, so df > N makes
+    ln(1 + (N-df+.5)/(df+.5)) negative; Tantivy scores identically).
+
+    Every device engine encodes "matched" as ``scores > 0`` for its
+    pure/neg/gate/shift kinds, which silently DROPS negatively-scored
+    hits (found r5: a majority-term query on a tombstoned corpus came
+    back empty while the oracle returned 100 hits).  Callers route these
+    plans to the host chain (block-max -> oracle), which is
+    sign-correct.
+
+    Exception: a single-facet MUST group is safe at any sign — the gate
+    and shift kinds move its constant OUT of the kernel score (GATE_BIG
+    gating / host re-shift), and the block kernel's boolean path matches
+    it by presence bits, so a negative facet idf (e.g. an ancestor path
+    carried by every doc on a tombstoned index) never meets the
+    ``scores > 0`` test."""
+    from fugu_tpu.query import Occur, idf
+
+    for g in plan.groups:
+        if g.occur is Occur.MUST_NOT:
+            continue
+        if (
+            g.occur is Occur.MUST
+            and len(g.clauses) == 1
+            and g.clauses[0].is_facet
+            and not g.phrases
+            and not g.ranges
+            and g.subplan is None
+        ):
+            continue
+        for c in g.clauses:
+            df = (
+                stats.facet_doc_freq(c.term)
+                if c.is_facet
+                else stats.doc_freq(c.field, c.term)
+            )
+            if df > 0 and float(idf(df, stats.doc_count)) <= 0.0:
+                return True
+        if g.subplan is not None and has_nonpositive_weight(
+            g.subplan, stats
+        ):
+            return True
+    return False
+
+
 def stage_clauses(
     segment: Segment,
     plan: QueryPlan,
@@ -365,6 +413,10 @@ def device_search_batch(
     for i, plan in enumerate(plans):
         if plan.host_only:
             continue
+        # no has_nonpositive_weight gate here: the merge-network kernel
+        # matches by group bits, not by ``scores > 0`` — verified
+        # sign-correct by test_scoring_device.test_tombstones_on_device
+        # (negative-idf regime, exact oracle parity)
         n_clauses = sum(len(g.clauses) for g in plan.groups)
         t_pad = buckets.t_bucket(max(n_clauses, 1))
         if t_pad > MERGE_MAX_T:

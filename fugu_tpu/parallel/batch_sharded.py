@@ -200,12 +200,16 @@ def batch_search_sharded(
         interpret = pack2.mesh.devices.flat[0].platform == "cpu"
 
     kinds = {}
+    from fugu_tpu.ops.scoring import has_nonpositive_weight
+
     for i, p in enumerate(plans):
         if limits[i] > MAX_K:
             continue
         kind = _classify(p)
         # "upper" needs raw maxima host-side (two waves); the plain
         # sharded scorer handles those exactly
+        if kind is not None and has_nonpositive_weight(p, stats):
+            kind = None  # 'scores > 0 == matched' breaks; host fallback
         if kind is not None and kind != "upper":
             kinds[i] = kind
     # narrow kinds first so plan_batches' narrow/wide boundary doesn't

@@ -222,11 +222,14 @@ def pallas_sharded_search_batch(
     # rescoring sees slack candidates (see ops/pallas_scorer.py)
     k = buckets.k_extract(limit) or MAX_K
     d = pack.n_shards
+    from fugu_tpu.ops.scoring import has_nonpositive_weight
 
     staged = []
     for i, plan in enumerate(plans):
         if plan.host_only:
             continue
+        if has_nonpositive_weight(plan, stats):
+            continue  # 'scores > 0 == matched' breaks; host fallback
         n_clauses = sum(len(g.clauses) for g in plan.groups)
         t_pad = max(buckets.t_bucket(max(n_clauses, 1)), 4)
         if t_pad > 16 or len(plan.groups) > 32:

@@ -272,7 +272,11 @@ def _sharded_topk(
 def sharded_search(
     pack: ShardedPack, plan: QueryPlan, stats, limit: int
 ) -> Optional[List[Tuple[float, int]]]:
-    """[(score, global_doc_id)] or None (oracle fallback)."""
+    """[(score, global_doc_id)] or None (oracle fallback).
+
+    (No has_nonpositive_weight gate: the merge-network kernel matches by
+    group bits, not ``scores > 0`` — sign-correct under tombstone-
+    inflated negative idf, pinned by test_sharded_tombstones.)"""
     n_clauses = sum(len(g.clauses) for g in plan.groups)
     t_pad = buckets.t_bucket(max(n_clauses, 1))
     staged = pack.stage(plan, stats, t_pad)

@@ -167,3 +167,96 @@ def test_group_bit_31_no_overflow(seg):
     plan = QueryPlan(groups=groups)
     assert len(plan.groups) == 32
     check(seg, plan, limit=20)
+
+
+def test_inkernel_topk_parity_and_ties(monkeypatch):
+    """r5 in-kernel bitonic top-128: forced on AND forced off must both
+    reproduce the oracle exactly at limit 100, including a corpus where
+    >128 docs tie on the same score class (the doc-asc tiebreak decides
+    WHICH docs survive extraction — candidate-set equality matters, not
+    just ordering)."""
+    from fugu_tpu.ops import pallas_scorer as ps
+
+    b = SegmentBuilder(DOCS_SCHEMA)
+    # 8000 docs across >3 blocks; a 30% minority matches "foo bar" with
+    # the same tf and fieldnorm -> a >128-deep score tie at POSITIVE
+    # weights (an all-docs term flips idf negative via tombstoned df and
+    # routes off the device engines entirely — separate test below)
+    for i in range(8000):
+        text = (
+            "foo bar baz qux" if i % 3 == 0 else "filler words only here"
+        )
+        b.add_document({"text": [text]}, stored={"id": f"t{i}"})
+    # a few strictly-better docs scattered across blocks
+    for i in range(7):
+        b.add_document({"text": ["foo foo foo bar"]}, stored={"id": f"hi{i}"})
+    s = b.build()
+    s.tombstones[::97] = True
+    stats = oracle.IndexStats([s])
+    plan = plan_terms("foo", "bar")
+
+    outs = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("FUGU_INKERNEL_TOPK", mode)
+        ps._SCORER_CACHE.clear()
+        got = pallas_search_batch(s, [plan], stats, 100, interpret=True)[0]
+        assert got is not None
+        outs[mode] = [(np.float32(sc), d) for sc, d in got]
+    exp = [
+        (np.float32(h.score), h.doc)
+        for h in oracle.search([s], plan, 100, stats)
+    ]
+    assert outs["1"] == exp
+    assert outs["0"] == exp
+    ps._SCORER_CACHE.clear()
+
+
+def test_negative_idf_routes_off_device(monkeypatch):
+    """r5 regression: tombstone-inflated df (df > live N) flips idf
+    negative; the device engines' 'scores > 0 == matched' convention
+    silently dropped ALL hits for such plans (found while building the
+    tie corpus above).  They must decline (None) so the host chain
+    serves the negatively-scored hits exactly."""
+    from fugu_tpu.ops import pallas_scorer as ps
+    from fugu_tpu.ops.batch_scorer import batch_search
+    from fugu_tpu.ops.blockmax import search_blockmax
+    from fugu_tpu.ops.scoring import device_search_segment
+
+    b = SegmentBuilder(DOCS_SCHEMA)
+    for i in range(5000):
+        b.add_document({"text": ["foo bar baz"]}, stored={"id": f"t{i}"})
+    s = b.build()
+    s.tombstones[::61] = True  # df (5000) > live doc count
+    stats = oracle.IndexStats([s])
+    plan = plan_terms("foo", "bar")
+    exp = [
+        (np.float32(h.score), h.doc)
+        for h in oracle.search([s], plan, 50, stats)
+    ]
+    assert exp and exp[0][0] < 0  # the regime under test
+    assert ps.pallas_search_batch(s, [plan], stats, 50, interpret=True) == [
+        None
+    ]
+    assert batch_search(s, [plan], stats, [50], interpret=True) == [None]
+    # the XLA merge-network path matches by group bits (not scores > 0)
+    # and stays EXACT under negative weights — it keeps serving
+    xla = device_search_segment(s, plan, stats, 50)
+    assert xla is not None
+    assert [(np.float32(sc), d) for sc, d in xla] == exp
+    got = search_blockmax(s, plan, stats, 50)
+    if got is not None:  # host chain stays exact either way
+        assert [(np.float32(sc), d) for sc, d in got] == exp
+
+
+def test_inkernel_topk_with_slice_split(monkeypatch):
+    """In-kernel extraction under NB_SPLIT=1 (every block its own row):
+    per-row running buffers merge on the host and must stay exact."""
+    from fugu_tpu.ops import pallas_scorer as ps
+
+    monkeypatch.setenv("FUGU_INKERNEL_TOPK", "all")
+    monkeypatch.setattr(ps, "NB_SPLIT", 1)
+    ps._SCORER_CACHE.clear()
+    seg = make_segment()
+    check(seg, plan_terms("w0", "w3"), limit=100)
+    check(seg, plan_terms("w0", "w5", occur=Occur.MUST), limit=20)
+    ps._SCORER_CACHE.clear()

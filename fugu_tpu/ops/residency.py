@@ -73,7 +73,18 @@ def _parse_budget(raw: str) -> Optional[int]:
 
 
 def _auto_budget() -> Optional[int]:
-    """Backend-reported HBM limit minus 15% headroom, else unlimited."""
+    """Backend-reported HBM limit minus 15% headroom, else a
+    device-kind table, else unlimited.
+
+    The table matters in production here: relayed TPU plugins (this
+    box's axon tunnel) return ``memory_stats() is None``, which made
+    "auto" silently unlimited on the REAL chip — the one place the
+    budget exists to protect (measured 2026-08-20: a 16M-doc token
+    stream uploaded past the phase-A packs and died
+    RESOURCE_EXHAUSTED mid-bench).  Known-kind fallback keeps the
+    budget live when the backend won't report; truly unknown
+    accelerators stay unlimited.
+    """
     try:
         import jax
 
@@ -84,9 +95,28 @@ def _auto_budget() -> Optional[int]:
         limit = (ms or {}).get("bytes_limit")
         if limit:
             return int(limit * 0.85)
+        kind = (dev.device_kind or "").lower()
+        for pat, gib in _HBM_BY_KIND:
+            if pat in kind:
+                return int(gib * (2**30) * 0.85)
     except Exception:
         pass
     return None
+
+
+#: per-chip HBM for TPU generations whose relayed plugins don't report
+#: bytes_limit (first substring match wins; order matters: "v5p"
+#: before "v5").
+_HBM_BY_KIND = (
+    ("v5 lite", 16),
+    ("v5e", 16),
+    ("v5p", 95),
+    ("v6 lite", 32),
+    ("v6e", 32),
+    ("v4", 32),
+    ("v3", 32),
+    ("v2", 16),
+)
 
 
 def budget_bytes() -> Optional[int]:

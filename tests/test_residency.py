@@ -60,6 +60,34 @@ def test_budget_parsing(monkeypatch):
     assert residency.budget_bytes() == 12345
 
 
+def test_auto_budget_kind_fallback(monkeypatch):
+    """Relayed TPU plugins return memory_stats() is None (this box's
+    axon tunnel, measured 2026-08-20) — "auto" must fall back to the
+    device-kind HBM table instead of silently unlimited."""
+
+    class _Dev:
+        platform = "tpu"
+        device_kind = "TPU v5 lite"
+
+        @staticmethod
+        def memory_stats():
+            return None
+
+    import jax
+
+    monkeypatch.setattr(jax, "local_devices", lambda: [_Dev()])
+    monkeypatch.setenv("FUGU_DEVICE_MEM_BUDGET", "auto")
+    residency._budget_cache = None
+    try:
+        assert residency.budget_bytes() == int(16 * 2**30 * 0.85)
+        # unknown accelerator stays unlimited
+        _Dev.device_kind = "FrobnitzCore 9000"
+        residency._budget_cache = None
+        assert residency.budget_bytes() is None
+    finally:
+        residency._budget_cache = None
+
+
 def test_lru_eviction_bounds_memory(monkeypatch):
     segs = [_make_seg(600, s) for s in range(4)]
     stats = [oracle.IndexStats([s]) for s in segs]

@@ -1116,11 +1116,59 @@ def batch_search(
     # two-wave re-threshold
     fine_of: Dict[int, int] = {}
 
+    def order_blocks_by_bound(plan, blocks: np.ndarray) -> np.ndarray:
+        """Candidate kernel blocks reordered bound-DESC from the host
+        skip tables (summed per-term maxima, max over the kernel
+        block's 512-doc sub-blocks) — the in-kernel top-k's running kth
+        then saturates within the first few blocks and the block-max
+        skip fires for the tail, which is where the r4-attributed
+        ~10ms/dispatch extraction cost actually goes (KERNEL_NOTES
+        "Round 5").  Ordering is a perf hint only: the kernel's
+        (score desc, doc asc) comparator is visit-order-independent, so
+        any order is exact; approximation (facet/phrase members and
+        gate shifts ignored) and failure (bare `return blocks`) are
+        both safe."""
+        try:
+            from fugu_tpu.ops.blockmax import BM_BLOCK, get_blockmax
+
+            bm = get_blockmax(segment, stats, plan.k1, plan.b)
+            bound = np.zeros(bm.n_blocks + 1, dtype=np.float32)
+            for group in plan.groups:
+                if group.occur is Occur.MUST_NOT:
+                    continue
+                for cl in group.clauses:
+                    if cl.is_facet:
+                        continue
+                    info = segment.term_info(cl.field, cl.term)
+                    if info is None or info.doc_freq == 0:
+                        continue
+                    ids, maxima, _offs = bm.term_blocks(
+                        info.start, info.doc_freq
+                    )
+                    np.add.at(
+                        bound, ids, maxima * np.float32(cl.boost)
+                    )
+            # kernel blocks (B_BLOCK docs) vs skip-table blocks
+            # (BM_BLOCK docs) differ in granularity both ways: max the
+            # bound over every overlapping skip-table block
+            lo = (blocks * B_BLOCK) // BM_BLOCK
+            nspan = max(B_BLOCK // BM_BLOCK, 1)
+            big = np.full(len(blocks), -np.inf, dtype=np.float32)
+            for s in range(nspan):
+                idx = np.minimum(lo + s, bm.n_blocks)
+                big = np.maximum(big, bound[idx])
+            return blocks[np.argsort(-big, kind="stable")]
+        except Exception:
+            return blocks
+
     def run_wave(idxs: List[int], lists: Dict[int, np.ndarray]):
         """One batched block-kernel wave, grouped by per-plan limit; all
         limit groups dispatch before any fetch so their device work and
         relay round trips overlap."""
+        from fugu_tpu.ops import buckets
         from fugu_tpu.ops.pallas_scorer import (
+            MAX_K,
+            _use_inkernel_topk,
             pallas_search_begin,
             pallas_search_collect,
         )
@@ -1130,6 +1178,14 @@ def batch_search(
         for i in idxs:
             by_limit.setdefault(limits[i], []).append(i)
         groups = list(by_limit.items())
+        if os.environ.get("FUGU_IK_BOUND_ORDER", "1") != "0":
+            for lim, ii in groups:
+                k = buckets.k_extract(lim) or MAX_K
+                if _use_inkernel_topk(k):
+                    for i in ii:
+                        lists[i] = order_blocks_by_bound(
+                            plans[i], lists[i]
+                        )
         handles = [
             pallas_search_begin(
                 segment,

@@ -750,7 +750,14 @@ def pallas_search_begin(
                 e_doc_np, args, t_pad, n_blocks, must, offs_cache
             )
             if block_lists is not None and i in block_lists:
-                nonempty = np.intersect1d(nonempty, block_lists[i])
+                # preserve the CALLER's block order (ascending for the
+                # dense path's tie contract; bound-DESC when the
+                # two-phase engine orders for the in-kernel top-k —
+                # batch_scorer.order_blocks_by_bound)
+                bl = np.asarray(block_lists[i], dtype=np.int64)
+                nonempty = bl[
+                    np.isin(bl, nonempty, assume_unique=True)
+                ]
             # block-heavy queries become several rows over block slices;
             # result assembly merges the per-slice top-k lists
             for s in range(0, max(len(nonempty), 1), NB_SPLIT):

@@ -553,3 +553,33 @@ def test_boosted_should_vs_mustnot_penalty():
     res = batch_search_should(seg, [plan], stats, 10, interpret=True)
     assert_tie_tolerant(res[0], plan, seg, stats, 10)
     assert len(res[0]) == 10
+
+
+def test_ik_bound_order_parity(seg, monkeypatch):
+    """Bound-DESC block visiting for the in-kernel top-k (r5) is a perf
+    hint only: results must be BIT-IDENTICAL to the oracle and to the
+    unordered run, including tie ordering at a deep limit."""
+    stats = oracle.IndexStats([seg])
+    rng = np.random.default_rng(9)
+    plans = []
+    for _ in range(8):
+        n = int(rng.integers(1, 4))
+        terms = rng.choice(12, size=n, replace=False)  # heavy terms: ties
+        plans.append(
+            QueryPlan(
+                groups=tuple(
+                    QueryGroup(Occur.SHOULD, (TermClause("text", f"w{t}"),))
+                    for t in terms
+                )
+            )
+        )
+    monkeypatch.setenv("FUGU_INKERNEL_TOPK", "1")
+    monkeypatch.setenv("FUGU_IK_BOUND_ORDER", "1")
+    ordered = batch_search(seg, plans, stats, [100] * len(plans),
+                           interpret=True)
+    monkeypatch.setenv("FUGU_IK_BOUND_ORDER", "0")
+    plain = batch_search(seg, plans, stats, [100] * len(plans),
+                         interpret=True)
+    for plan, a, b2 in zip(plans, ordered, plain):
+        assert a is not None and a == b2
+        assert_tie_tolerant(a, plan, seg, stats, 100)

@@ -1178,7 +1178,14 @@ def batch_search(
         for i in idxs:
             by_limit.setdefault(limits[i], []).append(i)
         groups = list(by_limit.items())
-        if os.environ.get("FUGU_IK_BOUND_ORDER", "1") != "0":
+        # default OFF: interleaved A/B at 1M measured NEUTRAL (medians
+        # 1007 vs 983ms — wave time on this relay-tunneled host is
+        # dispatch-floored, so extraction-side savings don't surface),
+        # while the first call pays the host skip-table build
+        # (seconds at 1M, worse at 16M) in an otherwise device-only
+        # serving process.  The knob stays for direct-attached TPUs
+        # where the ~10ms/dispatch extraction cost is a real fraction.
+        if os.environ.get("FUGU_IK_BOUND_ORDER", "0") == "1":
             for lim, ii in groups:
                 k = buckets.k_extract(lim) or MAX_K
                 if _use_inkernel_topk(k):

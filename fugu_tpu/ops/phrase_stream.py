@@ -259,10 +259,16 @@ def want_stream(
             and estimate_host_ms(plans, stats) - overlap_ms
             > estimate_stream_ms(stats, n_phrases)
         )
-    if n_phrases >= PHRASE_AUTO_MIN:
-        return True
+    if n_phrases >= PHRASE_AUTO_MIN and (plans is None or stats is None):
+        return True  # model inputs missing: large batches favor the sweep
     if n_phrases < PHRASE_MIN_BATCH or plans is None or stats is None:
         return False
+    # the cost model decides at ANY batch size when its inputs exist:
+    # round 5's off-corpus validation (tools/phrase_cost_validate.py)
+    # caught the old >= PHRASE_AUTO_MIN unconditional stream losing 5x
+    # on a flat-Zipf corpus whose heavy terms are still cheap for the
+    # host matcher (160 phrases: host 30.5ms vs stream 163.6ms) —
+    # df-blind batch-size rules don't transfer across df profiles.
     return estimate_host_ms(plans, stats) > estimate_stream_ms(stats, n_phrases)
 
 

@@ -90,6 +90,20 @@ def main():
         # MIN_BATCH) exercised no packs and proves nothing — fail it
         if served == 0:
             problems.append(f"step {step}: served 0 of {len(plans)}")
+        if step == 0:
+            # pin the budget JUST above the 16M residency so the 1M
+            # namespace cannot coexist — on this chip the default auto
+            # budget (13.6G) turned out to hold BOTH namespaces
+            # (12.4 + 1.1GB, first r5 run: zero evictions, nothing
+            # proven).  200MB headroom < the 1M packs, so every
+            # namespace switch below must run the evict/re-upload
+            # cycle the drill exists to certify.
+            os.environ["FUGU_DEVICE_MEM_BUDGET"] = str(
+                st["resident_bytes"] + 200 * 2**20
+            )
+            log(
+                f"budget pinned to {(st['resident_bytes'] + 200 * 2**20) / 2**30:.2f}GB"
+            )
         if ok == 0:
             problems.append(f"step {step}: zero spot checks ran")
         if prev_evictions is not None and st["evictions"] <= prev_evictions:

@@ -514,3 +514,21 @@ def test_pack_invalidated_on_delete(seg, stats):
     plan = _phrase_plan(["w1", "w2"])
     res = batch_phrase_search(s2, [plan], st2, [10], interpret=True)
     assert _got(res[0]) == _expect(s2, st2, plan, 10)
+
+
+def test_want_stream_model_overrides_auto_min(monkeypatch):
+    """r5 (COSTVAL_r05.json): above PHRASE_AUTO_MIN the cost model still
+    decides when its inputs exist — a flat-df corpus's 160 'heavy'
+    phrases measured host 30.5ms vs stream 163.6ms, so batch size alone
+    must not force the sweep.  Without plans/stats the old AUTO_MIN
+    fallback survives (there is nothing better to go on)."""
+    from fugu_tpu.ops import phrase_stream as ps
+
+    monkeypatch.delenv("FUGU_PHRASE_STREAM", raising=False)
+    n = ps.PHRASE_AUTO_MIN + 32
+    cheap = _FakeStats({"a": 300, "b": 900})  # flat corpus: tiny dfs
+    plans = [_phrase_plan(["a", "b"]) for _ in range(n)]
+    assert not ps.want_stream(n, plans=plans, stats=cheap)
+    heavy = _FakeStats({"a": 963_000, "b": 999_000})
+    assert ps.want_stream(n, plans=plans, stats=heavy)
+    assert ps.want_stream(n)  # inputs missing: fallback unchanged

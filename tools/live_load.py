@@ -244,6 +244,19 @@ def main() -> None:
 
     results = []
     for conc in [int(c) for c in args.concurrency.split(",")]:
+        # untimed full-coverage pass at THIS level's concurrency first:
+        # batch composition (hence u_pad/b_pad bucket mix) depends on
+        # both, and a shape's first use in a process pays a ~1s
+        # persistent-cache executable load (or a remote compile if
+        # truly new) — measured 2026-08-20: ~60s of such stalls landed
+        # inside the first timed 64-way level (14 QPS), while levels
+        # 2-3 of a 64,64,64 run read 144.7/166.1 QPS.
+        _dt, werrs = asyncio.run(
+            drive(srv.base, bodies, conc, max(args.requests, len(bodies)))
+        )
+        if werrs:
+            log(f"  level-warm errors: {werrs[0]}")
+            raise SystemExit("level warmup errors")
         before = scrape(srv.base)
         dt, errs = asyncio.run(drive(srv.base, bodies, conc, args.requests))
         after = scrape(srv.base)

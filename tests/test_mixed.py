@@ -195,3 +195,53 @@ def test_absent_term_and_dead_phrase(seg, stats):
 def test_term_only_plans_decline(seg, stats):
     plan = QueryPlan(groups=(_g_term("w1"), _g_term("w2")))
     assert search_mixed_topk(seg, plan, stats, 10) is None
+
+
+def test_mixed_under_negative_idf(seg, stats):
+    """Tombstone-inflated df (df > live N => idf < 0) is the regime
+    that broke the device kinds twice this round: term/facet bounds
+    must stay valid on signed contributions, negative-weight phrases
+    must decline (oracle fallback), and whatever serves must be
+    bit-exact."""
+    import copy
+
+    heavy = copy.deepcopy(seg)
+    heavy.tombstones[:] = False
+    # live N = 2000 < head-term df (~2850): head idfs go NEGATIVE
+    heavy.tombstones[: heavy.doc_count - 2000] = True
+    hstats = oracle.IndexStats([heavy])
+    from fugu_tpu.query import idf as _idf
+
+    assert (
+        min(
+            _idf(hstats.doc_freq("text", f"w{i}"), hstats.doc_count)
+            for i in range(12)
+        )
+        < 0.0
+    ), "fixture no longer reaches the negative-idf regime"
+
+    rng = np.random.default_rng(31)
+    served = 0
+    for trial in range(40):
+        groups = [
+            _g_phrase(
+                [f"w{int(x)}" for x in rng.integers(0, 12, size=2)],
+                Occur.MUST if rng.random() < 0.3 else Occur.SHOULD,
+                slop=int(rng.choice([0, 1])),
+            )
+        ]
+        for _ in range(int(rng.integers(1, 3))):
+            groups.append(
+                _g_term(
+                    f"w{int(rng.integers(0, 12))}",  # head terms: big df
+                    Occur.MUST_NOT if rng.random() < 0.2 else Occur.SHOULD,
+                )
+            )
+        plan = QueryPlan(groups=tuple(groups))
+        got = search_mixed_topk(heavy, plan, hstats, 10)
+        if got is None:
+            continue  # declined regimes fall to the oracle — correct
+        served += 1
+        assert _got(got) == _expect(heavy, hstats, plan, 10), (trial, plan)
+    # the signed-bound paths must serve at least some of these
+    assert served >= 10, served

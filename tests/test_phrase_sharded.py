@@ -143,3 +143,29 @@ def test_sharded_residency_registered(seg, stats, mesh):
     )
     st = residency.stats()
     assert st["by_kind"].get("token_stream", 0) > 0
+
+
+def test_sharded_stream_evicted_then_reserved(seg, stats, mesh, monkeypatch):
+    """Evicting the sharded token stream (budget pressure) must drop the
+    cache so the next search re-uploads and re-registers — and results
+    stay bit-identical across the cycle."""
+    from fugu_tpu.ops import residency
+
+    plans = [_phrase_plan(["w1", "w2"]), _phrase_plan(["w2", "w3"], slop=1)]
+    first = batch_phrase_search_sharded(
+        seg, mesh, plans, stats, [5, 5], interpret=True
+    )
+    key = ("stok", id(seg), "text")
+    assert residency.contains(key)
+    # simulate LRU pressure: a tiny budget evicts everything resident
+    monkeypatch.setenv("FUGU_DEVICE_MEM_BUDGET", "1")
+    residency.reserve(("probe", 0), 1, seg, lambda _o: None, kind="probe")
+    assert not residency.contains(key)
+    assert getattr(seg, "_sharded_token_stream", {}) == {}
+    monkeypatch.setenv("FUGU_DEVICE_MEM_BUDGET", "auto")
+    residency.unregister(("probe", 0))
+    second = batch_phrase_search_sharded(
+        seg, mesh, plans, stats, [5, 5], interpret=True
+    )
+    assert first == second
+    assert residency.contains(key)

@@ -35,6 +35,7 @@ tests/test_pallas_scorer.py (interpret mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import List, Optional, Sequence, Tuple
 
@@ -845,8 +846,14 @@ def _dispatch_rows(
     while pos < len(rows):
         # SMEM budget: the prefetched starts/counts tables live in
         # scalar memory (~1MB total, with internal replication) —
-        # keep B*NB*T small enough to fit
-        smem_cap = max(1, 16384 // (nb_pad * t_pad))
+        # keep B*NB*T small enough to fit.  FUGU_SMEM_ELEMS raises the
+        # element budget experimentally: on a dispatch-floored relay
+        # host, doubling b_pad at the nb=256 signature halves the
+        # dispatch count for block-heavy classes (Mosaic rejects the
+        # program if the tables genuinely don't fit — fail fast, not
+        # wrong results)
+        smem_elems = int(os.environ.get("FUGU_SMEM_ELEMS", "16384"))
+        smem_cap = max(1, smem_elems // (nb_pad * t_pad))
         b_allowed = max([x for x in buckets.B_BUCKETS if x <= smem_cap] or [1])
         # fixed b_pad per signature: the tail chunk pads with inactive
         # queries rather than compiling a second program
